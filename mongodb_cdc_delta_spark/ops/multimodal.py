@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The decode libraries (PIL/librosa/ffmpeg) are not in this container, so the
+decode kernel is STUBBED behind ``decode_image_stub`` — a deterministic fake
+that unpacks bytes into a fixed-shape feature vector. Everything around it
+(binary schema, mapInPandas batching, partition sizing, output schema) is
+the real production plumbing: swapping the stub for a real decoder changes
+one function body and nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..queries import load, register
+
+FEATURE_DIM = 8
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Model documents as media blobs: an opaque binary payload + typed
+    metadata columns — the canonical multimodal layout (blob stays opaque,
+    metadata is queryable/skippable)."""
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("payload"),
+        F.octet_length("text").alias("n_bytes"),
+        F.lit("application/fake-image").alias("mime_type"),
+        (F.octet_length("text") % 640).alias("width"),
+        (F.octet_length("text") % 480).alias("height"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           'application/fake-image' AS mime_type,
+           strlen(text) % 640 AS width,
+           strlen(text) % 480 AS height
+    FROM documents
+    """,
+    description="binary media table: opaque payload + typed metadata columns "
+    "(metadata queries never touch the blob → column pruning wins)",
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    return as_media_table(load(spark, sf, "documents")).drop("payload")
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB decode kernel. Production would be e.g.:
+
+        img = PIL.Image.open(io.BytesIO(payload)).resize((224, 224))
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    PIL is not installed in this container (NotImplementedError on the real
+    path); the deterministic fake folds bytes into FEATURE_DIM buckets so
+    the full pipeline remains testable end-to-end.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.pad(arr, (0, pad))
+    return arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extract: Arrow-batched, one Python process
+    per task, batch size bounded by spark.sql.execution.arrow.
+    maxRecordsPerBatch so decoded images never blow executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image_stub(p).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"].astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # Pandas-UDF kernel; plumbing verified in tests
+    description="binary→feature extraction via mapInPandas (stub decode "
+    "kernel, real Arrow batching/schema/partitioning)",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = as_media_table(load(spark, sf, "documents"))
+    feats = extract_features(media)
+    # summarize to keep driver-side comparison small and schema stable
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, v: a + v.cast("double")
+            ),
+            6,
+        ).alias("feature_sum"),
+    )
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
+    """Video-style frame sampling analogue: slice the payload into fixed
+    windows and keep every Nth — demonstrates offset-windowed binary
+    processing without decoding (substring on BinaryType is JVM-side)."""
+    n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
+    return media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.col("payload")
+        .substr(F.lit(1) + F.col("frame_idx") * every_n_bytes, F.lit(16))
+        .alias("frame_bytes"),
+    ).where(F.col("frame_idx") % 2 == 0)

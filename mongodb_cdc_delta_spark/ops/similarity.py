@@ -1,0 +1,239 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. The query vector is a
+  literal broadcast into a JVM-side expression (F.zip_with + F.aggregate) —
+  one scan, no shuffle, TakeOrdered for the top-k. At 100 TB this is the
+  "exact rescoring" stage.
+- IVF (inverted-file) index: coarse k-means-style cells (here: seeded by
+  hash-sampled centroids, refined with a few Lloyd iterations computed as
+  DataFrame aggregations), rows stored bucketed by cell id; a query probes
+  the nprobe nearest cells only — the scan shrinks by ~ncells/nprobe. This
+  is the scale path; recall vs brute force is asserted in tests.
+- pairwise near-dup: cosine ≥ threshold within a blocking key to bound the
+  candidate pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import load, register
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    """cosine(a, b) as a pure JVM column expression (no Python per row)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _query_vec(spark: SparkSession, sf: str, vec_id: int = 0):
+    """The embedding of `vec_id` as a literal array (broadcast scalar)."""
+    row = (
+        load(spark, sf, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return F.array(*[F.lit(float(x)) for x in row[0]])
+
+
+@register(
+    "knn_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qv FROM q)), 6) AS cos_sim
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    description="brute-force cosine top-10 for a query vector; JVM "
+    "expressions + TakeOrdered (no sort, no shuffle)",
+    tags=("similarity", "topk"),
+)
+def knn_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    qv = _query_vec(spark, sf, 0)
+    emb = load(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(cosine_col(F.col("embedding"), qv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+    description="embedding-cosine near-dup pairs, blocked by label so the "
+    "pair space stays bounded (label = coarse cluster at scale)",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .where(F.col("cos_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate search (scale path; rows-only oracle, recall vs brute
+# force asserted in tests/test_similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_cells(
+    emb: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = 13
+) -> tuple[DataFrame, DataFrame]:
+    """K-means-lite IVF index build, entirely as DataFrame ops.
+
+    Returns (assignments: vec_id→cell, centroids: cell→array<double>).
+    Centroid init: deterministic hash-sample of n_cells rows. Each Lloyd
+    iteration = one explode+groupBy (posexplode to average per dimension) —
+    no driver loops over data, only over `iters`.
+    """
+    from pyspark.sql import Window
+
+    # deterministic init: rank rows by hash, take the first n_cells as seeds
+    # (the post-limit window runs on n_cells rows — single tiny partition)
+    hashed = emb.select(
+        "embedding", F.xxhash64(F.col("vec_id") + seed).alias("h")
+    ).orderBy("h").limit(n_cells)
+    centroids = hashed.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+
+    for _ in range(iters):
+        assigned = _assign_cells(emb, centroids)
+        centroids = (
+            assigned.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean"))
+                ).alias("dm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("dm"), lambda s: s["mean"]).alias("centroid"),
+            )
+        )
+    assignments = _assign_cells(emb, centroids)
+    return assignments, centroids
+
+
+def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec_id → nearest centroid cell. Centroids are tiny → broadcast
+    cross join + min-by distance, one narrow pass over the data."""
+    joined = emb.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select("vec_id", "cell", d2.alias("d2"))
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cell"))["cell"].alias("cell")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    description="IVF ANN: probe the 4 nearest of 16 cells, exact cosine "
+    "rescoring inside — ~4x scan reduction here, ncells/nprobe at scale",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    assignments, centroids = build_ivf_cells(emb, n_cells=16, iters=2)
+    qv = _query_vec(spark, sf, 0)
+    # nprobe=4 nearest cells to the query
+    probe_cells = [
+        r["cell"]
+        for r in centroids.select(
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"),
+                    qv,
+                    lambda x, y: (x - y.cast("double"))
+                    * (x - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        .orderBy("d2")
+        .limit(4)
+        .collect()
+    ]
+    cand = emb.join(
+        assignments.where(F.col("cell").isin(probe_cells)), "vec_id"
+    ).where(F.col("vec_id") != 0)
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine_col(F.col("embedding"), qv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -1,0 +1,180 @@
+"""Text analysis over the documents table: token counting, quality scoring,
+language-ID heuristic, token histogram, rolling-hash fingerprint.
+
+All hot-path logic is JVM column expressions (split/transform/aggregate) —
+Python never touches row data, so throughput scales with executor cores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import load, register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           n_chars
+    FROM documents
+    """,
+    description="whitespace token counts + distinct-token counts per doc",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split("text", " ")
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CASE WHEN n_tokens >= 50
+                 AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+                THEN 'high' ELSE 'low' END AS quality_band
+    FROM s
+    """,
+    description="quality scoring: length, stopword ratio, avg token length "
+    "→ quality band (the Gopher-rules shape, deterministic arithmetic)",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = load(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (F.col("n_tokens") >= 50)
+            & stop_ratio.between(0.01, 0.5),
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("quality_band"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       x -> x IN {_STOP_SQL}))
+                       * 10 >= len(string_split(text, ' '))
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
+    """,
+    description="language-ID heuristic (stopword-hit-rate n-gram proxy), "
+    "confusion counts vs the labeled lang column",
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    predicted = F.when(
+        n_stop * 10 >= F.size(toks), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "token_histogram",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+    description="corpus token histogram (explode + agg), top-20",
+    tags=("text", "agg"),
+)
+def token_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(7 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST(ascii(w) * 131 + length(w) AS BIGINT))),
+             (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    description="rolling polynomial hash fingerprint over tokens (mod 1e9+7 "
+    "at each step — portable exact integer arithmetic)",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split("text", " ")
+    tok_vals = F.transform(
+        toks,
+        lambda w: (F.ascii(w) * 131 + F.length(w)).cast("long"),
+    )
+    fp = F.aggregate(
+        tok_vals,
+        F.lit(7).cast("long"),
+        lambda acc, v: (acc * 31 + v) % 1000000007,
+    )
+    return load(spark, sf, "documents").select(
+        "doc_id", fp.alias("fingerprint")
+    )

@@ -1,0 +1,709 @@
+"""Declared analytical query surface (SURVEY.md §2.7 Q1-Q8) plus the §2.7
+gap-list extensions (windows, rollup/cube, set ops, semi/anti/as-of/range
+joins, distinct aggregates, JSON extraction).
+
+The reference delegates this entire surface to DuckDB over its Delta tables
+(reference: specs/001-mongodb-cdc-delta/spec.md:307-312, research.md:576-634);
+here each class is a first-class Spark DataFrame plan that Catalyst optimizes
+(pushdown, pruning, broadcast joins, whole-stage codegen).
+
+Determinism contract (see queries/__init__.py): aggregated doubles go through
+DECIMAL(18,4) per row; averages are exact-decimal-sum → double / count; every
+LIMIT has a unique total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+DEC = "decimal(18,4)"
+
+
+def _dec(col):
+    """Per-row decimal cast so cross-engine sums are exact and order-free."""
+    return col.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Q1 point query (spec.md:308 — equality filter on key)
+# ---------------------------------------------------------------------------
+@register(
+    "point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id = 4242
+    """,
+    description="Q1 point query: key-equality filter; pushed to parquet scan",
+    tags=("q1", "filter"),
+)
+def point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .where(F.col("event_id") == 4242)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 range query (spec.md:309 — BETWEEN on date column)
+# ---------------------------------------------------------------------------
+@register(
+    "range_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+    description="Q2 range query: date BETWEEN; min/max file skipping applies",
+    tags=("q2", "filter"),
+)
+def range_scan(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .where(
+            F.col("o_orderdate").between(
+                F.to_timestamp(F.lit("1996-01-01 00:00:00")),
+                F.to_timestamp(F.lit("1996-12-31 23:59:59")),
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 aggregation (spec.md:310 — GROUP BY + COUNT/SUM)
+# ---------------------------------------------------------------------------
+@register(
+    "group_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Q3 aggregation: hash agg with partial (map-side) combine",
+    tags=("q3", "agg"),
+)
+def group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).alias("sum_value"),
+        )
+        .withColumn(
+            "avg_value", F.col("sum_value").cast("double") / F.col("n_events")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 top-k (research.md:576-583 — the reference's own DuckDB example:
+# GROUP BY customer ORDER BY count DESC LIMIT 10)
+# ---------------------------------------------------------------------------
+@register(
+    "group_topk",
+    oracle="""
+    SELECT o_custkey, count(*) AS order_count
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY order_count DESC, o_custkey ASC
+    LIMIT 10
+    """,
+    description="Q3 top-k: agg + TakeOrderedAndProject (no full sort)",
+    tags=("q3", "agg", "topk"),
+)
+def group_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy(F.col("order_count").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 FK join (spec.md:311 — INNER JOIN on indexed FK)
+# ---------------------------------------------------------------------------
+@register(
+    "fk_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Q4 FK join: customer⋈orders; AQE picks broadcast vs SMJ",
+    tags=("q4", "join", "agg"),
+)
+def fk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — the flagship scan+agg query
+# ---------------------------------------------------------------------------
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    oracle=PRICING_SUMMARY_ORACLE,
+    description="TPC-H Q1-style scan-heavy aggregate (flagship)",
+    tags=("q3", "agg", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    # charge carries ~6 conceptual decimals, so a double→decimal cast can land
+    # on exact rounding midpoints where engines disagree (HALF_UP vs
+    # HALF_EVEN). floor-scaling to a BIGINT is midpoint-free and exact.
+    charge_scaled = F.floor(charge * 10000).cast("long")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+        F.sum(_dec(disc_price)).alias("sum_disc_price"),
+        (F.sum(charge_scaled).cast("double") / 10000.0).alias("sum_charge"),
+        F.sum(_dec(F.col("l_discount"))).alias("sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        (F.col("sum_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style: selective scan + single aggregate (pushdown showcase)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_forecast",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6-style: all predicates pushed to the parquet scan",
+    tags=("q5", "q6", "filter", "agg"),
+)
+def revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style star join: region⋈nation⋈customer⋈orders⋈lineitem⋈supplier
+# ---------------------------------------------------------------------------
+@register(
+    "star_join_revenue",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5-style star join; dims broadcast, facts co-shuffled",
+    tags=("q4", "join", "agg", "star"),
+)
+def star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    # Dimension tables are tiny at every SF — broadcast them explicitly so the
+    # only shuffles are the two fact-fact joins (orders⋈lineitem on orderkey).
+    joined = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (gap-list: reference lacks these entirely)
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+    FROM events
+    """,
+    description="running per-user sum; single shuffle on the partition key",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(_dec(F.col("value"))).over(w).alias("run_sum"),
+        )
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events WHERE event_type = 'purchase') t
+    WHERE rn <= 3
+    """,
+    description="top-N per group via row_number (rank pushdown in AQE)",
+    tags=("window", "topk"),
+)
+def window_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        load(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    description="per-user lag delta (deterministic IEEE subtraction)",
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    description="gap-based sessionization (30 min) via lag + cumulative sum",
+    tags=("window", "session"),
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: the cumulative-sum window in the oracle orders by event_id; event
+    # ids are assigned in ts order per user in this dataset only at the global
+    # level, so we order by (ts, event_id) for the lag and event_id for the
+    # running sum exactly as the oracle does.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w2).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE (gap-list)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_daily",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    description="hierarchical rollup (type → day → grand total)",
+    tags=("agg", "rollup"),
+)
+def rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).alias("sum_value"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    description="2-D cube over orders",
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (gap-list)
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops",
+    oracle="""
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ) buyers_who_click
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+    description="INTERSECT + EXCEPT composition",
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    errs = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.intersect(buys).exceptAll(errs)
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (gap-list)
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    """,
+    description="left-semi join (EXISTS) — no row duplication, early out",
+    tags=("join", "semi"),
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left-anti join (NOT EXISTS)",
+    tags=("join", "anti"),
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "exact_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    description="exact COUNT(DISTINCT) — expands to two-phase agg",
+    tags=("agg", "distinct"),
+)
+def exact_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # HLL sketches differ per engine; driver does rows-only
+    description="approx_count_distinct (HyperLogLog++) — scale path for "
+    "COUNT(DISTINCT) at 100 TB; validated vs exact in tests",
+    tags=("agg", "approx"),
+)
+def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (gap-list; implemented scalably via union + carry-forward —
+# no row explosion, one shuffle on the partition key)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) - (
+             SELECT max(epoch_us(c.ts)) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = e.user_id
+               AND c.ts <= e.ts) AS gap_us
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    description="as-of join: last click at-or-before each error, per user. "
+    "Union + last(ignorenulls) carry-forward: O(n log n) per key, no "
+    "range-join explosion — the pattern that survives 100 TB",
+    tags=("join", "asof"),
+)
+def asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(0).alias("src"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.lit(1).alias("src"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # at equal ts the click sorts first (src=0) so the error sees it — same
+    # boundary semantics as the oracle's c.ts <= e.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(errors).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("src") == 1).select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+# ---------------------------------------------------------------------------
+@register(
+    "range_join",
+    oracle="""
+    SELECT e.event_id, count(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    GROUP BY e.event_id
+    """,
+    description="interval range join: clicks within 10 min before each error; "
+    "equi-key on user bounds the search space",
+    tags=("join", "range"),
+)
+def range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("err_id").alias("event_id")).agg(
+        F.count("click_id").alias("n_recent_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction (Mongo-document analogue)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    description="JSON path extraction from a document column + aggregate "
+    "(the schemaless-Mongo query pattern)",
+    tags=("json", "agg"),
+)
+def json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"))
+    )

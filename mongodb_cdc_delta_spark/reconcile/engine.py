@@ -1,0 +1,142 @@
+"""Reconciliation as DataFrame algebra.
+
+Design for 100 TB: never collect, never loop over batches on the driver.
+- count compare: one aggregate per side, bucketed so a mismatch localizes
+  to a key range (reference batches by _id range 10k docs —
+  research.md:690-700; a groupBy on a bucket expression is the shuffle-free
+  Spark equivalent since both sides are aggregated map-side).
+- hash compare: order-insensitive per-bucket checksum = SUM of a per-row
+  64-bit hash (xxhash64). SUM is commutative, so no sort is needed and the
+  whole comparison is one partial-aggregated scan per side.
+- record diff: full outer join on the key — the only full shuffle, and it
+  only runs on buckets whose checksums disagreed.
+- repair: the diff output IS the merge source (insert missing, update
+  mismatched, delete extras) — applied via the sink's upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("bucket")
+
+
+def count_compare(
+    source: DataFrame, target: DataFrame, key: str, n_buckets: int = 256
+) -> DataFrame:
+    """Per-bucket row counts for both sides (C1). Output:
+    bucket, src_count, tgt_count, count_diff."""
+    s = source.groupBy(_bucket(key, n_buckets)).agg(
+        F.count("*").alias("src_count")
+    )
+    t = target.groupBy(_bucket(key, n_buckets)).agg(
+        F.count("*").alias("tgt_count")
+    )
+    return (
+        s.join(t, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("src_count", F.lit(0)).alias("src_count"),
+            F.coalesce("tgt_count", F.lit(0)).alias("tgt_count"),
+        )
+        .withColumn("count_diff", F.col("src_count") - F.col("tgt_count"))
+    )
+
+
+def _row_hash(cols: list[str]):
+    # canonical per-row hash over the compared columns; NULL-safe via
+    # explicit casts to string with a sentinel (concat_ws drops NULLs,
+    # which would make ('a', NULL) collide with (NULL, 'a') otherwise)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+    ]
+    return F.xxhash64(*parts)
+
+
+def bucket_hash_compare(
+    source: DataFrame,
+    target: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Order-insensitive per-bucket checksums (C3). A bucket whose sums match
+    contains identical multisets of row hashes with overwhelming probability;
+    only mismatching buckets need the record-level diff."""
+    compare_cols = compare_cols or source.columns
+
+    def side(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy(_bucket(key, n_buckets)).agg(
+            F.sum(_row_hash(compare_cols)).alias(f"{label}_hash"),
+            F.count("*").alias(f"{label}_count"),
+        )
+
+    return (
+        side(source, "src")
+        .join(side(target, "tgt"), "bucket", "full_outer")
+        .withColumn(
+            "match",
+            (F.col("src_hash").eqNullSafe(F.col("tgt_hash")))
+            & (F.col("src_count").eqNullSafe(F.col("tgt_count"))),
+        )
+    )
+
+
+def record_diff(
+    source: DataFrame,
+    target: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Record-level diff (C4): full outer join on the key, classify each key
+    as missing_in_target / extra_in_target / field_mismatch.
+    Output: <key>, status, plus src_/tgt_ copies of compared columns."""
+    compare_cols = compare_cols or [c for c in source.columns if c != key]
+    s = source.select(
+        F.col(key),
+        *[F.col(c).alias(f"src_{c}") for c in compare_cols],
+        _row_hash(compare_cols).alias("src_hash"),
+    )
+    t = target.select(
+        F.col(key).alias("_tgt_key"),
+        *[F.col(c).alias(f"tgt_{c}") for c in compare_cols],
+        _row_hash(compare_cols).alias("tgt_hash"),
+    )
+    joined = s.join(t, s[key] == t["_tgt_key"], "full_outer")
+    status = (
+        F.when(F.col("_tgt_key").isNull(), F.lit("missing_in_target"))
+        .when(F.col(key).isNull(), F.lit("extra_in_target"))
+        .when(F.col("src_hash") != F.col("tgt_hash"), F.lit("field_mismatch"))
+        .otherwise(F.lit("match"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .withColumn("_key", F.coalesce(F.col(key), F.col("_tgt_key")))
+        .where(F.col("status") != "match")
+        .select(
+            F.col("_key").alias(key),
+            "status",
+            *[f"src_{c}" for c in compare_cols],
+            *[f"tgt_{c}" for c in compare_cols],
+        )
+    )
+
+
+def repair_plan(diff: DataFrame, key: str, compare_cols: list[str]) -> DataFrame:
+    """Turn a record_diff output into an upsert/delete plan (C6):
+    missing_in_target → insert, field_mismatch → update, extra_in_target →
+    delete. Source values win (reference FR-021: source of truth is MongoDB).
+    Output: <key>, _action, <compare_cols as source values>."""
+    action = (
+        F.when(F.col("status") == "missing_in_target", F.lit("insert"))
+        .when(F.col("status") == "field_mismatch", F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    return diff.select(
+        F.col(key),
+        action.alias("_action"),
+        *[F.col(f"src_{c}").alias(c) for c in compare_cols],
+    )
