@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced through the noop sink (full computation, no driver
+collect). One warm-up query amortizes JVM/codegen startup so numbers reflect
+steady-state throughput, which is what matters for cluster extrapolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mongodb_cdc_delta_spark.queries import all_queries
+from mongodb_cdc_delta_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_forecast",
+    "star_join_revenue",
+    "group_agg",
+    "group_topk",
+    "fk_join_agg",
+    "exact_distinct",
+    "window_running_sum",
+    "window_topn_per_group",
+    "sessionize",
+    "rollup_daily",
+    "asof_join",
+    "range_join",
+    "json_extract_agg",
+    "cdc_latest_state",
+    "reconcile_hash_buckets",
+    "reconcile_record_diff",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_topk",
+    "embedding_near_dup",
+    "text_quality",
+    "token_histogram",
+    "doc_fingerprint",
+    "multimodal_features",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # warm-up: JVM JIT, codegen, parquet footer caches
+    force(registry["group_agg"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

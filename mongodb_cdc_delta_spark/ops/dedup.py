@@ -99,8 +99,9 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
 JACCARD_ORACLE = """
     WITH sh AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 1),
-                                   i -> toks[i] || ' ' || toks[i+1])) AS shingle
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -115,20 +116,22 @@ JACCARD_ORACLE = """
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
 """
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=JACCARD_ORACLE,
-    description="near-dup via word-bigram Jaccard ≥ 0.2: explode shingles, "
-    "self-join on shingle (bounded key space), exact set arithmetic",
+    description="near-dup via word-trigram Jaccard ≥ 0.05: explode shingles, "
+    "self-join on shingle, exact set arithmetic. Trigrams keep the shingle "
+    "key space selective (sum of df² bounds the join output — bigrams on a "
+    "small vocab explode ~25x); at extreme scale add a max-df shingle cap",
     tags=("dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=2).cache()
+    sh = shingles(docs, n=3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -148,7 +151,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= 0.05)
     )
     return jac.select("doc_a", "doc_b", "jaccard")
 
@@ -250,7 +253,7 @@ def minhash_estimate(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=2)
+    sh = shingles(docs, n=3)
     sigs = minhash_signatures(sh).cache()
     pairs = lsh_candidate_pairs(sigs)
     return minhash_estimate(sigs, pairs).where(F.col("est_jaccard") >= 0.2)

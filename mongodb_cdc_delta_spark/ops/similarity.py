@@ -103,22 +103,33 @@ def knn_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
+    # precompute each row's norm BEFORE the join: the pairwise hot loop then
+    # does one dot product instead of dot + two norms (~3x less flops/pair)
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
     )
     return (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
-            "cos_sim", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6)
+            "cos_sim",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
         )
         .where(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
