@@ -1,0 +1,405 @@
+"""Debezium CDC event pipeline: raw Kafka value → per-collection lake tables.
+
+Re-expresses the reference's delta-writer data plane as one declarative
+DataFrame transformation per micro-batch (reference lifecycle §3.1:
+event_handler.py parse/classify/extract, bson_to_delta.py normalization,
+batch_processor.py routing, delta_writer.py write):
+
+- envelope parse: single typed ``from_json`` for scalars + ``get_json_object``
+  for the document body, which uniformly handles Debezium-Mongo's
+  string-encoded ``after`` and the inline-object fixture shape
+  (reference tests/contract/test_debezium_events.py:20-56)
+- op classify c/r→insert, u→update, d→delete, unknown→dropped
+  (reference event_handler.py:102-124)
+- document extract: after for insert/update, before-else-key for delete
+  (reference event_handler.py:126-166)
+- Mongo extended-JSON normalization ($oid/$date/$numberX/$binary) as
+  vectorized regexp rewrites on the JSON text — the whole-stage-codegen
+  equivalent of the reference's per-value Python recursion
+  (reference bson_to_delta.py:24-84)
+- CDC metadata columns (reference event_handler.py:168-214,
+  schema_inferrer.py:463-501)
+- dirty-data / oversize / stale policies → DLQ with the reference's reason
+  enum (reference dlq_writer.py:24-34, spec FR-015/FR-024/FR-056)
+- per-collection schema inference via ``schema_of_variant_agg`` (one JVM
+  aggregate, no Python loop — replaces schema_inferrer.py:62-125), widened
+  against the live table schema (schema/types.py), then an idempotent
+  transactional append (sinks/table.py)
+
+Scale notes: everything before the write is one shuffle-free narrow pipeline
+over the Kafka batch; the only driver-side loop is over *distinct
+collections* in the batch (bounded by topic count, not rows). Schema
+inference is a JVM aggregate per collection. At 1000 executors this is scan →
+filter → append, exactly what the 10k events/s/collection target
+(BASELINE.md) wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..schema import MergeMode, merge_schemas
+from ..sinks.table import LakeTable
+
+MAX_DOCUMENT_BYTES = 16 * 1024 * 1024  # MongoDB's 16 MB document cap
+STALE_DAYS_DEFAULT = 7  # spec FR-024 (spec.md:302-305)
+
+#: CDC metadata columns appended to every table
+#: (reference schema_inferrer.py:463-501, event_handler.py:200-213)
+CDC_META_COLUMNS = [
+    "_cdc_timestamp",
+    "_cdc_operation",
+    "_ingestion_timestamp",
+    "_kafka_offset",
+    "_kafka_partition",
+    "_kafka_topic",
+    "_ingestion_date",
+    "_source_database",
+    "_source_collection",
+]
+
+
+class DLQReason(str, Enum):
+    """Verbatim from reference dlq_writer.py:24-34, plus the spec'd
+    stale-event policy (FR-024)."""
+
+    MAX_RETRIES_EXCEEDED = "max_retries_exceeded"
+    CORRUPTED_DATA = "corrupted_data"
+    SCHEMA_VALIDATION_FAILED = "schema_validation_failed"
+    OVERSIZED_DOCUMENT = "oversized_document"
+    INVALID_BSON = "invalid_bson"
+    TRANSFORMATION_ERROR = "transformation_error"
+    MINIO_ERROR = "minio_error"
+    DELTA_WRITE_ERROR = "delta_write_error"
+    UNHANDLED_EXCEPTION = "unhandled_exception"
+    STALE_EVENT = "stale_event"
+
+
+DLQ_SCHEMA = StructType(
+    [
+        StructField("original_event", StringType(), True),
+        StructField("reason", StringType(), True),
+        StructField("error_message", StringType(), True),
+        StructField("source_topic", StringType(), True),
+        StructField("partition", LongType(), True),
+        StructField("offset", LongType(), True),
+        StructField("retry_count", LongType(), True),
+        StructField("_ingestion_timestamp", TimestampType(), True),
+    ]
+)
+
+# typed scalar extraction — one parse; after/before handled separately
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField(
+            "payload",
+            StructType(
+                [
+                    StructField("op", StringType(), True),
+                    StructField("ts_ms", LongType(), True),
+                    StructField(
+                        "source",
+                        StructType(
+                            [
+                                StructField("db", StringType(), True),
+                                StructField("collection", StringType(), True),
+                                StructField("snapshot", StringType(), True),
+                                StructField("ts_ms", LongType(), True),
+                            ]
+                        ),
+                        True,
+                    ),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
+
+def normalize_extended_json(col):
+    """Rewrite MongoDB extended-JSON wrappers to plain JSON scalars, as
+    vectorized regexes over the document text (reference bson_to_delta.py:
+    24-84 does this per-value in Python: ObjectId→hex string, Decimal128→
+    decimal, Binary→base64 string, $date→timestamp millis)."""
+    c = col
+    # {"$oid": "24-hex"} → "24-hex"
+    c = F.regexp_replace(
+        c, r'\{\s*"\$oid"\s*:\s*("[0-9a-fA-F]{24}")\s*\}', r"$1"
+    )
+    # {"$date": {"$numberLong": "123"}} → 123 (epoch millis)
+    c = F.regexp_replace(
+        c,
+        r'\{\s*"\$date"\s*:\s*\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}\s*\}',
+        r"$1",
+    )
+    # {"$date": "ISO8601"} → "ISO8601"
+    c = F.regexp_replace(c, r'\{\s*"\$date"\s*:\s*("[^"]*")\s*\}', r"$1")
+    # {"$numberLong|Int": "123"} → 123
+    c = F.regexp_replace(
+        c, r'\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}', r"$1"
+    )
+    # {"$numberDouble|Decimal": "1.5"} → 1.5
+    c = F.regexp_replace(
+        c,
+        r'\{\s*"\$number(?:Double|Decimal)"\s*:\s*"(-?[\d.eE+]+)"\s*\}',
+        r"$1",
+    )
+    # {"$binary": {"base64": "...", "subType": "xx"}} → base64 string
+    c = F.regexp_replace(
+        c,
+        r'\{\s*"\$binary"\s*:\s*\{\s*"base64"\s*:\s*("[^"]*")\s*,\s*"subType"\s*:\s*"[^"]*"\s*\}\s*\}',
+        r"$1",
+    )
+    return c
+
+
+def _ensure_kafka_columns(raw_df: DataFrame) -> DataFrame:
+    """Accept either a Kafka source frame (topic/partition/offset present) or
+    a bare `value` frame (file source in tests); normalize value to string."""
+    df = raw_df
+    if "value" not in df.columns:
+        raise ValueError("raw event frame must have a `value` column")
+    df = df.withColumn("value", F.col("value").cast("string"))
+    for name, typ in (("topic", "string"), ("partition", "int"), ("offset", "long")):
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(typ))
+    return df
+
+
+def parse_events(
+    raw_df: DataFrame,
+    now=None,
+    stale_days: int = STALE_DAYS_DEFAULT,
+    max_doc_bytes: int = MAX_DOCUMENT_BYTES,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw event batch into (clean, dlq).
+
+    clean: db, collection, doc (normalized JSON string) + CDC_META_COLUMNS.
+    dlq:   DLQ_SCHEMA rows (corrupted / oversized / stale).
+    Unknown ops are dropped, matching the reference (event_handler.py:121-124
+    returns None → skip, not DLQ).
+    """
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    df = _ensure_kafka_columns(raw_df)
+
+    env = F.from_json(F.col("value"), ENVELOPE_SCHEMA)
+    op_raw = env["payload"]["op"]
+    operation = (
+        F.when(op_raw.isin("c", "r"), F.lit("insert"))
+        .when(op_raw == "u", F.lit("update"))
+        .when(op_raw == "d", F.lit("delete"))
+    )
+    after = F.get_json_object("value", "$.payload.after")
+    before = F.get_json_object("value", "$.payload.before")
+    key_doc = F.when(
+        F.get_json_object("value", "$.payload._id").isNotNull(),
+        F.concat(
+            F.lit('{"_id": '),
+            F.coalesce(
+                F.get_json_object("value", "$.payload._id"), F.lit("null")
+            ),
+            F.lit("}"),
+        ),
+    )
+    doc = F.when(
+        operation.isin("insert", "update"), after
+    ).when(operation == "delete", F.coalesce(before, key_doc))
+
+    cdc_ts = F.timestamp_millis(
+        F.coalesce(env["payload"]["ts_ms"], env["payload"]["source"]["ts_ms"])
+    )
+
+    parsed = df.select(
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        env["payload"]["source"]["db"].alias("db"),
+        env["payload"]["source"]["collection"].alias("collection"),
+        op_raw.alias("op_raw"),
+        operation.alias("_cdc_operation"),
+        doc.alias("doc"),
+        cdc_ts.alias("_cdc_timestamp"),
+    )
+
+    reason = (
+        F.when(
+            F.length("value") > max_doc_bytes,
+            F.lit(DLQReason.OVERSIZED_DOCUMENT.value),
+        )
+        .when(
+            F.col("db").isNull()
+            | F.col("collection").isNull()
+            | F.col("op_raw").isNull(),
+            F.lit(DLQReason.CORRUPTED_DATA.value),
+        )
+        .when(
+            F.col("_cdc_operation").isNotNull() & F.col("doc").isNull(),
+            F.lit(DLQReason.CORRUPTED_DATA.value),
+        )
+        .when(
+            F.col("_cdc_timestamp")
+            < now_expr - F.make_dt_interval(F.lit(stale_days)),
+            F.lit(DLQReason.STALE_EVENT.value),
+        )
+    )
+    parsed = parsed.withColumn("_dlq_reason", reason)
+
+    clean = (
+        parsed.where(
+            F.col("_dlq_reason").isNull() & F.col("_cdc_operation").isNotNull()
+        )
+        .select(
+            "db",
+            "collection",
+            normalize_extended_json(F.col("doc")).alias("doc"),
+            "_cdc_timestamp",
+            "_cdc_operation",
+            now_expr.alias("_ingestion_timestamp"),
+            F.col("offset").alias("_kafka_offset"),
+            F.col("partition").cast("int").alias("_kafka_partition"),
+            F.col("topic").alias("_kafka_topic"),
+            F.date_format(now_expr, "yyyy-MM-dd").alias("_ingestion_date"),
+            F.col("db").alias("_source_database"),
+            F.col("collection").alias("_source_collection"),
+        )
+    )
+
+    dlq = parsed.where(F.col("_dlq_reason").isNotNull()).select(
+        F.col("value").alias("original_event"),
+        F.col("_dlq_reason").alias("reason"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.col("topic").alias("source_topic"),
+        F.col("partition").cast("long").alias("partition"),
+        F.col("offset").alias("offset"),
+        F.lit(0).cast("long").alias("retry_count"),
+        now_expr.alias("_ingestion_timestamp"),
+    )
+    return clean, dlq
+
+
+def _decimals_to_double(t):
+    """JSON fractional numbers are BSON doubles (reference bson_to_delta.py
+    maps double→float64); variant inference yields DECIMAL — normalize."""
+    from pyspark.sql.types import ArrayType, DecimalType, DoubleType
+
+    if isinstance(t, DecimalType):
+        return DoubleType() if t.scale > 0 else t
+    if isinstance(t, ArrayType):
+        return ArrayType(_decimals_to_double(t.elementType), True)
+    if isinstance(t, StructType):
+        return StructType(
+            [
+                StructField(f.name, _decimals_to_double(f.dataType), True)
+                for f in t.fields
+            ]
+        )
+    return t
+
+
+def infer_doc_schema(docs_df: DataFrame, col: str = "doc") -> StructType | None:
+    """Batch-level schema inference as one JVM aggregate
+    (replaces reference schema_inferrer.py:62-125's per-doc Python fold).
+    Returns None when no parseable docs exist."""
+    ddl = docs_df.select(
+        F.schema_of_variant_agg(F.try_parse_json(F.col(col))).alias("s")
+    ).first()[0]
+    if ddl is None or not ddl.startswith("OBJECT<"):
+        return None
+    schema = StructType.fromDDL(ddl.replace("OBJECT<", "STRUCT<"))
+    return _decimals_to_double(schema)
+
+
+@dataclass
+class IngestStats:
+    collections: dict[str, dict[str, Any]] = field(default_factory=dict)
+    dlq_rows: int = 0
+    dropped_unknown_ops: int = 0
+
+
+class CDCIngestor:
+    """Per-collection CDC batch writer over a lake root directory; one
+    LakeTable per `{db}_{collection}` (reference event_consumer.py:232-247
+    table URIs) plus a `_dlq` table (reference dlq_writer.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_root: str,
+        mode: MergeMode = MergeMode.AUTO,
+        stale_days: int = STALE_DAYS_DEFAULT,
+        partition_by: tuple[str, ...] = ("_ingestion_date",),
+    ):
+        self.spark = spark
+        self.lake_root = lake_root
+        self.mode = mode
+        self.stale_days = stale_days
+        self.partition_by = list(partition_by)
+
+    def table(self, name: str) -> LakeTable:
+        import os
+
+        return LakeTable(self.spark, os.path.join(self.lake_root, name))
+
+    def ingest_batch(
+        self, raw_df: DataFrame, batch_id: int | None = None, now=None
+    ) -> IngestStats:
+        """Process one micro-batch: parse → split → route → append.
+
+        Idempotent under retries when batch_id is given (foreachBatch
+        exactly-once: txn app_id per table + batch_id as txn version).
+        """
+        stats = IngestStats()
+        clean, dlq = parse_events(raw_df, now=now, stale_days=self.stale_days)
+        clean = clean.persist()
+        try:
+            collections = [
+                (r["db"], r["collection"])
+                for r in clean.select("db", "collection").distinct().collect()
+            ]
+            for db, coll in sorted(collections):
+                table_name = f"{db}_{coll}"
+                sub = clean.where(
+                    (F.col("db") == db) & (F.col("collection") == coll)
+                ).drop("db", "collection")
+                doc_schema = infer_doc_schema(sub)
+                if doc_schema is None:
+                    continue
+                table = self.table(table_name)
+                live = table.schema()
+                if live is not None:
+                    data_schema = StructType(
+                        [f for f in live.fields if f.name not in CDC_META_COLUMNS]
+                    )
+                    doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
+                rows = sub.select(
+                    F.from_json("doc", doc_schema).alias("d"), *CDC_META_COLUMNS
+                ).select("d.*", *CDC_META_COLUMNS)
+                txn = (
+                    (f"cdc-{table_name}", batch_id) if batch_id is not None else None
+                )
+                res = table.append(
+                    rows, partition_by=self.partition_by, mode=self.mode, txn=txn
+                )
+                stats.collections[table_name] = res
+            n_dlq = dlq.count()
+            stats.dlq_rows = n_dlq
+            if n_dlq:
+                txn = ("cdc-_dlq", batch_id) if batch_id is not None else None
+                self.table("_dlq").append(dlq, partition_by=[], txn=txn)
+        finally:
+            clean.unpersist()
+        return stats

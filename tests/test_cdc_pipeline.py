@@ -1,0 +1,236 @@
+"""CDC ingest pipeline: Debezium envelope → parse/classify/extract →
+extended-JSON normalization → DLQ split → per-collection lake append.
+
+Event shapes mirror the reference's contract fixtures
+(tests/contract/test_debezium_events.py:20-56) and its e2e assertions
+(tests/e2e/test_cdc_flow.py:60-157: per-op row counts + updated values).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.cdc.pipeline import (
+    CDC_META_COLUMNS,
+    CDCIngestor,
+    DLQReason,
+    infer_doc_schema,
+    normalize_extended_json,
+    parse_events,
+)
+
+NOW = "2024-01-24 00:00:00"
+TS = 1706054400000  # 2024-01-24T00:00:00Z millis
+
+
+def envelope(op, db="shop", coll="users", after=None, before=None, ts=TS):
+    payload = {"op": op, "ts_ms": ts, "source": {"db": db, "collection": coll}}
+    if after is not None:
+        payload["after"] = json.dumps(after) if isinstance(after, dict) else after
+    if before is not None:
+        payload["before"] = (
+            json.dumps(before) if isinstance(before, dict) else before
+        )
+    return json.dumps({"payload": payload})
+
+
+def raw_df(spark, values, with_kafka=True):
+    if with_kafka:
+        rows = [
+            (v, "mongodb.shop.users", 0, i) for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(
+            rows, "value string, topic string, partition int, offset long"
+        )
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+class TestParseEvents:
+    def test_insert_update_delete_classification(self, spark):
+        events = [
+            envelope("c", after={"_id": "a", "n": 1}),
+            envelope("r", after={"_id": "b", "n": 2}),  # snapshot read → insert
+            envelope("u", after={"_id": "a", "n": 3}),
+            envelope("d", before={"_id": "b", "n": 2}),
+            envelope("x", after={"_id": "z"}),  # unknown op → dropped
+        ]
+        clean, dlq = parse_events(raw_df(spark, events), now=NOW)
+        ops = [r["_cdc_operation"] for r in clean.orderBy("_kafka_offset").collect()]
+        assert ops == ["insert", "insert", "update", "delete"]
+        assert dlq.count() == 0
+
+    def test_delete_falls_back_to_key(self, spark):
+        # Debezium-Mongo deletes often carry no before image — key only
+        ev = json.dumps(
+            {
+                "payload": {
+                    "op": "d",
+                    "ts_ms": TS,
+                    "_id": '"doc9"',
+                    "source": {"db": "shop", "collection": "users"},
+                }
+            }
+        )
+        clean, _ = parse_events(raw_df(spark, [ev]), now=NOW)
+        row = clean.first()
+        assert row["_cdc_operation"] == "delete"
+        assert json.loads(row["doc"]) == {"_id": "doc9"}
+
+    def test_corrupted_and_oversized_to_dlq(self, spark):
+        events = [
+            "not json at all {{{",
+            json.dumps({"payload": {"op": "c", "ts_ms": TS}}),  # no source
+            envelope("c", after=None),  # insert without document
+        ]
+        clean, dlq = parse_events(raw_df(spark, events), now=NOW)
+        assert clean.count() == 0
+        reasons = {r["reason"] for r in dlq.collect()}
+        assert reasons == {DLQReason.CORRUPTED_DATA.value}
+
+    def test_oversized_document_to_dlq(self, spark):
+        big = envelope("c", after={"_id": "big", "blob": "x" * 100})
+        clean, dlq = parse_events(
+            raw_df(spark, [big]), now=NOW, max_doc_bytes=50
+        )
+        assert clean.count() == 0
+        assert dlq.first()["reason"] == DLQReason.OVERSIZED_DOCUMENT.value
+
+    def test_stale_event_to_dlq(self, spark):
+        old_ts = TS - 8 * 86400 * 1000  # 8 days before NOW → stale at 7d
+        events = [
+            envelope("c", after={"_id": "old"}, ts=old_ts),
+            envelope("c", after={"_id": "new"}),
+        ]
+        clean, dlq = parse_events(raw_df(spark, events), now=NOW)
+        assert clean.count() == 1
+        assert dlq.first()["reason"] == DLQReason.STALE_EVENT.value
+
+    def test_metadata_columns_present(self, spark):
+        clean, _ = parse_events(
+            raw_df(spark, [envelope("c", after={"_id": "m"})]), now=NOW
+        )
+        row = clean.first()
+        for c in CDC_META_COLUMNS:
+            assert c in clean.columns
+        assert row["_kafka_topic"] == "mongodb.shop.users"
+        assert row["_kafka_offset"] == 0
+        assert row["_ingestion_date"] == "2024-01-24"
+        assert row["_source_database"] == "shop"
+        assert row["_source_collection"] == "users"
+
+    def test_file_source_without_kafka_columns(self, spark):
+        clean, _ = parse_events(
+            raw_df(spark, [envelope("c", after={"_id": "f"})], with_kafka=False),
+            now=NOW,
+        )
+        row = clean.first()
+        assert row["_cdc_operation"] == "insert"
+        assert row["_kafka_topic"] is None
+
+
+class TestExtendedJson:
+    def test_normalize_wrappers(self, spark):
+        doc = (
+            '{"_id": {"$oid": "65b0a1b2c3d4e5f601234567"},'
+            ' "when": {"$date": {"$numberLong": "1706054400000"}},'
+            ' "amount": {"$numberDecimal": "19.99"},'
+            ' "count": {"$numberLong": "42"},'
+            ' "blob": {"$binary": {"base64": "aGVsbG8=", "subType": "00"}}}'
+        )
+        out = spark.range(1).select(
+            normalize_extended_json(F.lit(doc)).alias("d")
+        ).first()["d"]
+        parsed = json.loads(out)
+        assert parsed["_id"] == "65b0a1b2c3d4e5f601234567"
+        assert parsed["when"] == 1706054400000
+        assert parsed["amount"] == 19.99
+        assert parsed["count"] == 42
+        assert parsed["blob"] == "aGVsbG8="
+
+    def test_infer_doc_schema(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ('{"a": 1, "b": "x", "nested": {"c": 1.5}}',),
+                ('{"a": 2, "d": true}',),
+            ],
+            "doc string",
+        )
+        schema = infer_doc_schema(docs)
+        names = {f.name for f in schema.fields}
+        assert names == {"a", "b", "nested", "d"}
+        assert schema["nested"].dataType.typeName() == "struct"
+
+
+class TestCDCIngestor:
+    def test_end_to_end_multi_collection(self, spark, tmp_path):
+        # reference e2e test_cdc_flow.py: inserts/updates/deletes land as
+        # append-log rows tagged _cdc_operation, per collection
+        events = [
+            envelope("c", coll="users", after={"_id": "u1", "name": "Alice", "age": 30}),
+            envelope("c", coll="users", after={"_id": "u2", "name": "Bob", "age": 25}),
+            envelope("u", coll="users", after={"_id": "u1", "name": "Alice2", "age": 31}),
+            envelope("d", coll="users", before={"_id": "u2", "name": "Bob", "age": 25}),
+            envelope("c", coll="orders", after={"_id": "o1", "total": 99.5}),
+        ]
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.ingest_batch(raw_df(spark, events), batch_id=0, now=NOW)
+        assert set(stats.collections) == {"shop_users", "shop_orders"}
+
+        users = ing.table("shop_users").read()
+        assert users.count() == 4
+        by_op = {
+            r["_cdc_operation"]: r["n"]
+            for r in users.groupBy("_cdc_operation").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_op == {"insert": 2, "update": 1, "delete": 1}
+        # updated value visible (reference test_cdc_flow.py:129-146)
+        upd = users.where(F.col("_cdc_operation") == "update").first()
+        assert upd["name"] == "Alice2" and upd["age"] == 31
+
+        orders = ing.table("shop_orders").read()
+        assert orders.count() == 1 and orders.first()["total"] == 99.5
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        events = [envelope("c", after={"_id": "u1", "n": 1})]
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        ing.ingest_batch(raw_df(spark, events), batch_id=5, now=NOW)
+        stats2 = ing.ingest_batch(raw_df(spark, events), batch_id=5, now=NOW)
+        assert stats2.collections["shop_users"]["skipped"]
+        assert ing.table("shop_users").read().count() == 1
+
+    def test_schema_evolution_across_batches(self, spark, tmp_path):
+        # reference load test: phased schema growth incl. int→float widening
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        ing.ingest_batch(
+            raw_df(spark, [envelope("c", after={"_id": "1", "value": 10})]),
+            batch_id=0,
+            now=NOW,
+        )
+        ing.ingest_batch(
+            raw_df(
+                spark,
+                [envelope("c", after={"_id": "2", "value": 2.5, "tag": "new"})],
+            ),
+            batch_id=1,
+            now=NOW,
+        )
+        t = ing.table("shop_users")
+        assert t.schema()["value"].dataType.typeName() == "double"
+        vals = sorted(r.value for r in t.read().collect())
+        assert vals == [2.5, 10.0]
+
+    def test_dlq_table_written(self, spark, tmp_path):
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.ingest_batch(
+            raw_df(spark, ["garbage {{", envelope("c", after={"_id": "ok"})]),
+            batch_id=0,
+            now=NOW,
+        )
+        assert stats.dlq_rows == 1
+        dlq = ing.table("_dlq").read()
+        assert dlq.count() == 1
+        assert dlq.first()["reason"] == DLQReason.CORRUPTED_DATA.value

@@ -1,0 +1,177 @@
+"""LakeTable sink: ACID append, schema evolution on write, time travel,
+idempotent txns, OPTIMIZE, VACUUM.
+
+Mirrors the reference's integration coverage (tests/integration/
+test_cdc_insert.py, test_type_evolution.py:65-118 int32→int64 widening
+against the live table, test_crash_recovery.py idempotent redelivery).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.schema import MergeMode, SchemaEvolutionError
+from mongodb_cdc_delta_spark.sinks import ConcurrentWriteError, LakeTable
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return str(tmp_path / "lake")
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_and_read_roundtrip(spark, lake):
+    t = LakeTable(spark, lake + "/users")
+    df = _df(spark, [(1, "alice"), (2, "bob")], "id long, name string")
+    res = t.append(df)
+    assert res["version"] == 0 and res["files"] >= 1
+    got = t.read().orderBy("id").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "alice"), (2, "bob")]
+
+
+def test_append_is_atomic_versions_increment(spark, lake):
+    t = LakeTable(spark, lake + "/t")
+    df = _df(spark, [(1,)], "id long")
+    t.append(df)
+    t.append(df)
+    assert t.version() == 1
+    assert t.read().count() == 2
+    hist = t.history()
+    assert [c.version for c in hist] == [1, 0]
+    assert all(c.operation == "WRITE" for c in hist)
+
+
+def test_partitioned_append_prunes(spark, lake):
+    t = LakeTable(spark, lake + "/p")
+    df = _df(
+        spark,
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "id long, _ingestion_date string",
+    )
+    t.append(df, partition_by=["_ingestion_date"])
+    out = t.read().where(F.col("_ingestion_date") == "2024-01-02")
+    assert out.count() == 2
+    # partition filter must reach the scan as a PartitionFilters pushdown
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_schema_evolution_add_column(spark, lake):
+    t = LakeTable(spark, lake + "/evo")
+    t.append(_df(spark, [(1, "a")], "id long, name string"))
+    t.append(_df(spark, [(2, "b", 9.5)], "id long, name string, score double"))
+    schema = t.schema()
+    assert {f.name for f in schema.fields} == {"id", "name", "score"}
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_schema_evolution_int_widens_to_long(spark, lake):
+    # reference test_type_evolution.py:65-118: int32 → int64 against the table
+    t = LakeTable(spark, lake + "/widen")
+    t.append(_df(spark, [(1, 10)], "id long, v int"))
+    t.append(_df(spark, [(2, 2**40)], "id long, v long"))
+    assert t.schema()["v"].dataType.typeName() == "long"
+    vals = sorted(r.v for r in t.read().collect())
+    assert vals == [10, 2**40]
+
+
+def test_schema_conflict_to_string_permissive(spark, lake):
+    # reference fixture schema_evolution_samples.json:43-62 — long + string
+    # resolves to string under PERMISSIVE/AUTO widening
+    t = LakeTable(spark, lake + "/conflict")
+    t.append(_df(spark, [(1, 42)], "id long, v long"))
+    t.append(
+        _df(spark, [(2, "hello")], "id long, v string"), mode=MergeMode.PERMISSIVE
+    )
+    assert t.schema()["v"].dataType.typeName() == "string"
+    vals = sorted(r.v for r in t.read().collect())
+    assert vals == ["42", "hello"]
+
+
+def test_schema_conflict_strict_raises(spark, lake):
+    t = LakeTable(spark, lake + "/strict")
+    t.append(_df(spark, [(1, 42)], "id long, v long"))
+    with pytest.raises(SchemaEvolutionError):
+        t.append(
+            _df(spark, [(2, "x")], "id long, v string"), mode=MergeMode.STRICT
+        )
+
+
+def test_time_travel_by_version(spark, lake):
+    t = LakeTable(spark, lake + "/tt")
+    t.append(_df(spark, [(1,)], "id long"))
+    t.append(_df(spark, [(2,)], "id long"))
+    assert t.read(version_as_of=0).count() == 1
+    assert t.read(version_as_of=1).count() == 2
+    with pytest.raises(ValueError):
+        t.read(version_as_of=99)
+
+
+def test_txn_idempotency_skips_replayed_batch(spark, lake):
+    # foreachBatch exactly-once: same (app_id, batch_id) → skipped
+    t = LakeTable(spark, lake + "/txn")
+    df = _df(spark, [(1,)], "id long")
+    r1 = t.append(df, txn=("app", 7))
+    r2 = t.append(df, txn=("app", 7))
+    assert not r1["skipped"] and r2["skipped"]
+    assert t.read().count() == 1
+    r3 = t.append(df, txn=("app", 8))
+    assert not r3["skipped"] and t.read().count() == 2
+
+
+def test_concurrent_write_detected(spark, lake):
+    t1 = LakeTable(spark, lake + "/cc")
+    t2 = LakeTable(spark, lake + "/cc")
+    t1.append(_df(spark, [(1,)], "id long"))
+    # simulate a lost race: t2 tries to publish a version t1 already owns
+    from mongodb_cdc_delta_spark.sinks.table import CommitInfo
+
+    with pytest.raises(ConcurrentWriteError):
+        t2._publish(
+            CommitInfo(version=0, timestamp_ms=0, operation="WRITE")
+        )
+
+
+def test_optimize_compacts_small_files(spark, lake):
+    t = LakeTable(spark, lake + "/opt")
+    for i in range(3):
+        t.append(
+            _df(spark, [(i, "2024-01-01")], "id long, d string").coalesce(1),
+            partition_by=["d"],
+        )
+    before = t.file_count()
+    assert before >= 3
+    res = t.optimize()
+    assert res["partitions_compacted"] == 1
+    assert t.file_count() < before
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2]
+    # old snapshot still readable (files not deleted until vacuum)
+    assert t.read(version_as_of=2).count() == 3
+
+
+def test_vacuum_deletes_unreferenced_files(spark, lake):
+    t = LakeTable(spark, lake + "/vac")
+    for i in range(2):
+        t.append(_df(spark, [(i,)], "id long").coalesce(1))
+    t.optimize()
+    # retention 0 → everything unreferenced is deletable immediately
+    res = t.vacuum(retention_hours=0.0)
+    assert res["files_deleted"] >= 2
+    assert t.read().count() == 2
+
+
+def test_create_if_not_exists(spark, lake):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = LakeTable(spark, lake + "/empty")
+    schema = StructType([StructField("id", LongType())])
+    assert t.create_if_not_exists(schema, partition_by=[])
+    assert not t.create_if_not_exists(schema)
+    assert t.read().count() == 0
+    assert t.schema()["id"].dataType.typeName() == "long"
