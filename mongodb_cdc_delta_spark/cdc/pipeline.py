@@ -342,12 +342,47 @@ class CDCIngestor:
         mode: MergeMode = MergeMode.AUTO,
         stale_days: int = STALE_DAYS_DEFAULT,
         partition_by: tuple[str, ...] = ("_ingestion_date",),
+        retry_config=None,
+        circuit_breaker=None,
     ):
+        from ..quality.reliability import RetryConfig
+
         self.spark = spark
         self.lake_root = lake_root
         self.mode = mode
         self.stale_days = stale_days
         self.partition_by = list(partition_by)
+        self.retry_config = retry_config or RetryConfig()
+        self.circuit_breaker = circuit_breaker
+
+    def _guarded_append(self, table: LakeTable, rows, **kwargs):
+        """Sink write under retry (transient + schema errors, reference
+        error_handler.py R1 + delta_writer.py:166-201 R3) and an optional
+        circuit breaker (R2)."""
+        from ..quality.reliability import (
+            is_retryable,
+            is_schema_error,
+            retry_call,
+        )
+
+        def write():
+            return table.append(rows, **kwargs)
+
+        def attempt():
+            if self.circuit_breaker is not None:
+                return self.circuit_breaker.call(write)
+            return write()
+
+        from ..sinks.table import ConcurrentWriteError
+
+        return retry_call(
+            attempt,
+            self.retry_config,
+            # lost optimistic-concurrency races re-replay the log and retry
+            retry_if=lambda e: isinstance(e, ConcurrentWriteError)
+            or is_retryable(e)
+            or is_schema_error(e),
+        )
 
     def table(self, name: str) -> LakeTable:
         import os
@@ -391,15 +426,21 @@ class CDCIngestor:
                 txn = (
                     (f"cdc-{table_name}", batch_id) if batch_id is not None else None
                 )
-                res = table.append(
-                    rows, partition_by=self.partition_by, mode=self.mode, txn=txn
+                res = self._guarded_append(
+                    table,
+                    rows,
+                    partition_by=self.partition_by,
+                    mode=self.mode,
+                    txn=txn,
                 )
                 stats.collections[table_name] = res
             n_dlq = dlq.count()
             stats.dlq_rows = n_dlq
             if n_dlq:
                 txn = ("cdc-_dlq", batch_id) if batch_id is not None else None
-                self.table("_dlq").append(dlq, partition_by=[], txn=txn)
+                self._guarded_append(
+                    self.table("_dlq"), dlq, partition_by=[], txn=txn
+                )
         finally:
             clean.unpersist()
         return stats

@@ -1,0 +1,96 @@
+"""Oracle-checkable formulations of the quality/transformation rules
+(spec FR-057/FR-059), run on the driver's tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import load, register
+from .rules import (
+    DateConversion,
+    FieldRename,
+    MaskRule,
+    ValidationRule,
+    apply_transformations,
+    validate_split,
+)
+
+
+@register(
+    "quality_validation_split",
+    oracle="""
+    SELECT CASE
+             WHEN c_acctbal IS NULL OR c_acctbal < -900 THEN 'acctbal_range'
+             WHEN c_name IS NULL OR length(c_name) = 0 THEN 'name_required'
+             ELSE 'valid' END AS bucket,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+    description="validation rules on critical fields (FR-057 T1): failing "
+    "rows quarantined with the first failed rule name",
+    tags=("quality",),
+)
+def quality_validation_split(spark: SparkSession, sf: str) -> DataFrame:
+    rules = [
+        ValidationRule("acctbal_range", "c_acctbal IS NOT NULL AND c_acctbal >= -900"),
+        ValidationRule("name_required", "c_name IS NOT NULL AND length(c_name) > 0"),
+    ]
+    valid, invalid = validate_split(load(spark, sf, "customer"), rules)
+    v = valid.select(F.lit("valid").alias("bucket"))
+    i = invalid.select(F.col("_failed_rules")[0].alias("bucket"))
+    return v.union(i).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+@register(
+    "quality_pii_mask",
+    oracle="""
+    SELECT c_custkey,
+           sha256(c_name) AS c_name,
+           '***' AS c_mktsegment,
+           repeat('*', greatest(length(CAST(c_acctbal AS VARCHAR)) - 4, 0))
+             || right(CAST(c_acctbal AS VARCHAR), 4) AS c_acctbal
+    FROM customer WHERE c_custkey <= 100
+    """,
+    description="PII masking (FR-059 T4): hash / redact / partial "
+    "strategies as sha2 + string expressions (reference crypto.py HMAC "
+    "pseudonymization kept deterministic for joins)",
+    tags=("quality",),
+)
+def quality_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    df = load(spark, sf, "customer").where(F.col("c_custkey") <= 100)
+    out = apply_transformations(
+        df,
+        mask_rules=[
+            MaskRule("c_name", "hash"),
+            MaskRule("c_mktsegment", "redact"),
+            MaskRule("c_acctbal", "partial", keep_last=4),
+        ],
+    )
+    return out.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "quality_rename_dateconvert",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) // 1000000 AS event_epoch,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS event_iso
+    FROM events WHERE event_id < 2000
+    """,
+    description="field renaming + ISO8601/Unix date conversion (FR-059 "
+    "T2/T3) as pure projections",
+    tags=("quality",),
+)
+def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
+    df = load(spark, sf, "events").where(F.col("event_id") < 2000)
+    df = df.withColumn("ts2", F.col("ts"))
+    out = apply_transformations(
+        df,
+        renames=[FieldRename("ts", "event_epoch"), FieldRename("ts2", "event_iso")],
+        date_rules=[
+            DateConversion("event_epoch", to="unix"),
+            DateConversion("event_iso", to="iso"),
+        ],
+    )
+    return out.select("event_id", "event_epoch", "event_iso")

@@ -83,5 +83,6 @@ def all_queries() -> dict[str, Query]:
     from ..ops import dedup, similarity, textstats, multimodal  # noqa: F401
     from ..reconcile import queries as reconcile_queries  # noqa: F401
     from ..cdc import queries as cdc_queries  # noqa: F401
+    from ..quality import queries as quality_queries  # noqa: F401
 
     return REGISTRY
