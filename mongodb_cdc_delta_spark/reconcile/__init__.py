@@ -8,8 +8,10 @@ shuffle replaces the reference's hand-rolled worker pool.
 """
 
 from .engine import (
+    apply_repair,
     bucket_hash_compare,
     count_compare,
+    current_state,
     record_diff,
     repair_plan,
 )
@@ -19,4 +21,6 @@ __all__ = [
     "bucket_hash_compare",
     "record_diff",
     "repair_plan",
+    "apply_repair",
+    "current_state",
 ]

@@ -16,7 +16,7 @@ Design for 100 TB: never collect, never loop over batches on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -139,4 +139,36 @@ def repair_plan(diff: DataFrame, key: str, compare_cols: list[str]) -> DataFrame
         F.col(key),
         action.alias("_action"),
         *[F.col(f"src_{c}").alias(c) for c in compare_cols],
+    )
+
+
+def apply_repair(table, plan: DataFrame, key: str) -> dict:
+    """Apply a repair plan to a LakeTable via copy-on-write MERGE (C6,
+    reference FR-021 'sync identified discrepancies', 100% accuracy
+    SC-023). insert/update rows upsert; delete rows remove their key."""
+    return table.merge(
+        plan.withColumnRenamed("_action", "_action_"),
+        key,
+        delete_expr="_action_ = 'delete'",
+    )
+
+
+def current_state(
+    log: DataFrame,
+    key: str,
+    order_cols: list[str] = ("_kafka_offset",),
+    op_col: str = "_cdc_operation",
+) -> DataFrame:
+    """Materialize current state from the CDC append log (C8): the latest
+    row per key by the ordering columns; keys whose latest op is delete
+    disappear. This is the standard Spark CDC compaction — one shuffle on
+    the key."""
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .where(F.col(op_col) != "delete")
     )

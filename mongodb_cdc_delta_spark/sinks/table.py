@@ -197,6 +197,45 @@ class LakeTable:
 
     # -------------------------------------------------------------- write
 
+    def _stage_write(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> list[dict[str, Any]]:
+        """Write df's parquet files under a per-commit staging dir, then move
+        each part file into its hive partition dir at the table root with a
+        unique name. Returns the commit's add-file entries."""
+        commit_id = uuid.uuid4().hex
+        stage = os.path.join(self.root, _TMP_DIR, commit_id)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+
+        add: list[dict[str, Any]] = []
+        n = 0
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                rel_part = os.path.relpath(dirpath, stage)
+                part_dir = (
+                    self.root
+                    if rel_part == "."
+                    else os.path.join(self.root, rel_part)
+                )
+                os.makedirs(part_dir, exist_ok=True)
+                dst = os.path.join(part_dir, f"part-{commit_id}-{n:05d}.parquet")
+                n += 1
+                os.rename(src, dst)
+                add.append(
+                    {
+                        "path": os.path.relpath(dst, self.root),
+                        "size": os.path.getsize(dst),
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return add
+
     def _publish(self, commit: CommitInfo) -> None:
         """Two-phase atomic publish: write tmp, link into place. os.link
         fails with EEXIST if the version was taken — optimistic concurrency
@@ -264,38 +303,7 @@ class LakeTable:
             merged = batch_schema
         df = cast_to_schema(df, merged)
 
-        # stage data files under a per-commit uuid, then move each part file
-        # into its hive partition dir at the table root with a unique name.
-        commit_id = uuid.uuid4().hex
-        stage = os.path.join(self.root, _TMP_DIR, commit_id)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(stage)
-
-        add: list[dict[str, Any]] = []
-        for dirpath, _dirs, names in os.walk(stage):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, name)
-                rel_part = os.path.relpath(dirpath, stage)
-                part_dir = (
-                    self.root
-                    if rel_part == "."
-                    else os.path.join(self.root, rel_part)
-                )
-                os.makedirs(part_dir, exist_ok=True)
-                dst_name = f"part-{commit_id}-{name.split('-')[1]}.parquet"
-                dst = os.path.join(part_dir, dst_name)
-                os.rename(src, dst)
-                add.append(
-                    {
-                        "path": os.path.relpath(dst, self.root),
-                        "size": os.path.getsize(dst),
-                    }
-                )
-        shutil.rmtree(stage, ignore_errors=True)
+        add = self._stage_write(df, partition_by)
 
         commit = CommitInfo(
             version=self.version() + 1,
@@ -312,6 +320,112 @@ class LakeTable:
             "rows": None,
             "files": len(add),
             "version": commit.version,
+            "skipped": False,
+        }
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        delete_expr: str | None = None,
+        mode: MergeMode = MergeMode.AUTO,
+        txn: tuple[str, int] | None = None,
+    ) -> dict[str, Any]:
+        """Copy-on-write MERGE (Delta's ``MERGE INTO`` equivalent; reference
+        reconciliation repair FR-021 research.md:826-855, and the upsert
+        write mode config.py:47 left unused by the reference writer).
+
+        Semantics: rows of ``source`` matching ``delete_expr`` delete their
+        key from the table; all other source rows upsert (update matched
+        keys, insert new ones). Duplicate keys in the table collapse to the
+        source row on upsert.
+
+        Scale: only data files that *contain a matched key* are rewritten —
+        file pruning via a semi-join on the key (the same strategy Delta's
+        MERGE uses). Unmatched files are untouched, so a 100 TB table with
+        a 1 GB repair plan rewrites ~1 GB, not 100 TB.
+        """
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return {"version": self.version(), "skipped": True}
+
+        snap = self._replay()
+        # delete rows need no special handling beyond key membership: their
+        # keys drop out of the survivors and are not re-inserted.
+        ups = (
+            source.where(f"NOT ({delete_expr})")
+            if delete_expr is not None
+            else source
+        )
+
+        if snap.schema is None or not snap.files:
+            # empty/missing table: merge degenerates to an insert-only append
+            return self.append(ups, mode=mode, txn=txn, operation="MERGE")
+
+        keys = source.select(key).distinct()
+        target_schema = merge_schemas(snap.schema, ups.schema, mode)
+
+        # 1) locate affected files (per historical-schema group so the scan
+        #    schema always matches the physical files)
+        by_schema: dict[int, list[str]] = {}
+        for f in snap.files:
+            by_schema.setdefault(snap.file_schema[f], []).append(f)
+        affected: list[str] = []
+        for idx, group in sorted(by_schema.items()):
+            write_schema = StructType.fromJson(snap.schemas[idx])
+            if key not in write_schema.fieldNames():
+                continue
+            paths = [os.path.join(self.root, f) for f in group]
+            scan = (
+                self.spark.read.schema(write_schema)
+                .option("basePath", self.root)
+                .parquet(*paths)
+                .select(
+                    F.col(key), F.col("_metadata.file_path").alias("__file")
+                )
+            )
+            hits = (
+                scan.join(F.broadcast(keys), key, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            root_real = os.path.realpath(self.root)
+            for r in hits:
+                p = r["__file"]
+                if p.startswith("file:"):
+                    p = p[len("file:") :]
+                affected.append(os.path.relpath(os.path.realpath(p), root_real))
+        affected = sorted(set(affected))
+
+        # 2) survivors: rows in affected files whose key is NOT in source
+        parts: list[DataFrame] = []
+        if affected:
+            survivors = self._read_file_groups(
+                snap, affected, target_schema
+            ).join(F.broadcast(keys), key, "left_anti")
+            parts.append(survivors)
+        parts.append(cast_to_schema(ups, target_schema))
+        new_df = parts[0]
+        for p in parts[1:]:
+            new_df = new_df.union(p)
+
+        add = self._stage_write(new_df, snap.partition_by)
+        commit = CommitInfo(
+            version=self.version() + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation="MERGE",
+            add=add,
+            remove=affected,
+            schema=target_schema.jsonValue(),
+            partition_by=snap.partition_by,
+            txn={"app_id": txn[0], "version": txn[1]} if txn else None,
+            metrics={"files_rewritten": len(affected), "files_added": len(add)},
+        )
+        self._publish(commit)
+        return {
+            "version": commit.version,
+            "files_rewritten": len(affected),
+            "files_added": len(add),
             "skipped": False,
         }
 
