@@ -265,31 +265,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: sum ±1 per bit over token hashes, JVM-side.
+    """64-bit SimHash per doc: sum ±1 per bit over token hashes.
 
     bit_j(fingerprint) = 1 iff Σ_tokens (bit_j(hash(tok)) ? +1 : -1) > 0.
+
+    Token hashing stays JVM-side (xxhash64 in codegen); the 64-way bit
+    voting runs as numpy bit-unpacking over Arrow batches — 64 sum(when)
+    aggregate expressions per token row cost ~2.5x more than the whole
+    scan, while unpackbits + one matmul-free sum is microseconds per doc.
+    Scale: one shuffle of (doc_id, hashes) — 8 bytes/token, the minimum
+    state any SimHash needs.
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    tok_hash = df.select(
-        "doc_id", F.explode(toks).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
-    # shiftright+mask instead of 1<<j literals: 1<<63 doesn't fit a long lit
-    bit_votes = [
-        F.sum(
-            F.when(
-                F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
-    votes = tok_hash.groupBy("doc_id").agg(*bit_votes)
-    fp = None
-    for j in range(64):
-        bit = F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return votes.select("doc_id", fp.alias("simhash"))
+    doc_hashes = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hashes"))
+    )
+
+    def vote(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["hashes"]):
+                a = np.asarray(hs, dtype=np.int64)
+                # bits[t, j] for j=0..63 (LSB-first = shiftright(h, j) & 1)
+                bits = np.unpackbits(
+                    a.view(np.uint8).reshape(len(a), 8), axis=1, bitorder="little"
+                )
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(a)
+                fps[i] = (
+                    np.packbits((votes > 0), bitorder="little")
+                    .view(np.int64)
+                    .item()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+    return doc_hashes.mapInPandas(vote, "doc_id long, simhash long")
 
 
 @register(

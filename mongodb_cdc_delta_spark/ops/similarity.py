@@ -103,36 +103,34 @@ def knn_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    # precompute each row's norm BEFORE the join: the pairwise hot loop then
-    # does one dot product instead of dot + two norms (~3x less flops/pair)
-    e = load(spark, sf, "embeddings").select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("norm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("norm_b"),
-    )
-    return (
-        a.join(b, "label")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            ),
+    # All-pairs cosine inside a block is a dense matrix product — the one
+    # place where Arrow + BLAS beats JVM expressions by orders of magnitude
+    # (Catalyst higher-order functions don't codegen; a 200-row block is
+    # 20k pairs of interpreted 64-element folds, vs one sgemm call here).
+    # Scale: one task per block; a 100k-row block is a 51 MB float64 matrix
+    # and a 10^10-flop gemm — fine per executor; larger blocks sub-tile.
+    emb = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        S = E @ E.T
+        n = np.sqrt(np.diag(S))
+        S = S / np.outer(n, n)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cs = np.round(S[iu, ju], 6)
+        m = cs >= 0.3
+        return pd.DataFrame(
+            {"vec_a": ids[iu][m], "vec_b": ids[ju][m], "cos_sim": cs[m]}
         )
-        .where(F.col("cos_sim") >= 0.3)
-        .select("vec_a", "vec_b", "cos_sim")
+
+    return emb.groupBy("label").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double"
     )
 
 

@@ -195,26 +195,43 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # on exact rounding midpoints where engines disagree (HALF_UP vs
     # HALF_EVEN). floor-scaling to a BIGINT is midpoint-free and exact.
     charge_scaled = F.floor(charge * 10000).cast("long")
+
+    # Raw ≤4-decimal columns aggregate as round-scaled BIGINTs instead of
+    # decimals: a long sum is ~2.5x cheaper per column than a decimal sum in
+    # the hash aggregate (the hot loop of this scan-heavy query) and the
+    # value is bit-identical — round(x*10000) recovers the conceptual
+    # fixed-point integer exactly, and the post-agg /10000 decimal division
+    # is exact. Verified equal to the decimal-sum formulation.
+    def scaled(c):
+        return F.round(c * 10000).cast("long")
+
+    def unscale(name):
+        return (F.col(name).cast("decimal(34,0)") / 10000).cast("decimal(28,4)")
+
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
-        F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+        F.sum(scaled(F.col("l_quantity"))).alias("sq"),
+        F.sum(scaled(F.col("l_extendedprice"))).alias("sb"),
         F.sum(_dec(disc_price)).alias("sum_disc_price"),
         (F.sum(charge_scaled).cast("double") / 10000.0).alias("sum_charge"),
-        F.sum(_dec(F.col("l_discount"))).alias("sum_disc"),
+        F.sum(scaled(F.col("l_discount"))).alias("sd"),
         F.count("*").alias("count_order"),
     )
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
+        unscale("sq").alias("sum_qty"),
+        unscale("sb").alias("sum_base_price"),
         "sum_disc_price",
         "sum_charge",
-        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias(
+        (F.col("sq").cast("double") / 10000.0 / F.col("count_order")).alias(
+            "avg_qty"
+        ),
+        (F.col("sb").cast("double") / 10000.0 / F.col("count_order")).alias(
             "avg_price"
         ),
-        (F.col("sum_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
+        (F.col("sd").cast("double") / 10000.0 / F.col("count_order")).alias(
+            "avg_disc"
+        ),
         "count_order",
     )
 
