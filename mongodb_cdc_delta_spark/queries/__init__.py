@@ -80,7 +80,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the populated registry."""
     from . import relational  # noqa: F401
-    from ..ops import dedup, similarity, textstats, multimodal  # noqa: F401
+    from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
     from ..reconcile import queries as reconcile_queries  # noqa: F401
     from ..cdc import queries as cdc_queries  # noqa: F401
     from ..quality import queries as quality_queries  # noqa: F401

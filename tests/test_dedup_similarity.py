@@ -1,0 +1,158 @@
+"""Accuracy tests for the sketch-based dedup/similarity operators whose
+registered queries carry no SQL oracle: MinHash+LSH vs exact Jaccard,
+SimHash Hamming properties, IVF ANN recall vs brute force.
+
+These back the rows-only entries in the driver's correctness gate with
+quantitative guarantees (the reference has no analogue — these are the
+driver-mandated LLM-data-pipeline extensions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.ops.dedup import (
+    lsh_candidate_pairs,
+    minhash_estimate,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from mongodb_cdc_delta_spark.ops.similarity import build_ivf_cells, cosine_col
+
+SF = "/root/testdata/sf0.001"
+
+
+def exact_jaccard(spark, sh):
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("j"),
+        )
+    )
+
+
+class TestMinHash:
+    def test_estimate_tracks_exact_jaccard(self, spark):
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, SF, "documents")
+        sh = shingles(docs, n=3).cache()
+        sigs = minhash_signatures(sh, num_hashes=32)
+        exact = exact_jaccard(spark, sh)
+        # estimate over ALL exact pairs with meaningful overlap
+        strong = exact.where(F.col("j") >= 0.3)
+        est = minhash_estimate(sigs, strong.select("doc_a", "doc_b"))
+        joined = strong.join(est, ["doc_a", "doc_b"]).select("j", "est_jaccard")
+        rows = joined.collect()
+        assert rows, "need at least one high-overlap pair in testdata"
+        # 32 permutations → stderr ≈ sqrt(j(1-j)/32) ≤ 0.09; allow 3σ
+        for r in rows:
+            assert abs(r.j - r.est_jaccard) < 0.3
+
+    def test_lsh_recall_on_high_similarity(self, spark):
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, SF, "documents")
+        sh = shingles(docs, n=3).cache()
+        sigs = minhash_signatures(sh, num_hashes=32).cache()
+        cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+        exact = exact_jaccard(spark, sh)
+        # pairs with j >= 0.6: P(caught by >=1 of 8 bands) = 1-(1-j^4)^8 > 0.7;
+        # testdata dups are near-identical (j~1) so recall should be total
+        strong = exact.where(F.col("j") >= 0.6)
+        n_strong = strong.count()
+        assert n_strong > 0
+        hit = strong.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+        assert hit / n_strong >= 0.7
+
+    def test_signature_deterministic(self, spark):
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, SF, "documents").limit(50)
+        sh = shingles(docs, n=3)
+        s1 = {r.doc_id: r.sig for r in minhash_signatures(sh).collect()}
+        s2 = {r.doc_id: r.sig for r in minhash_signatures(sh).collect()}
+        assert s1 == s2
+
+
+class TestSimHash:
+    def test_identical_text_same_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+        assert fps[1] == fps[2]
+
+    def test_near_identical_low_hamming_disjoint_high(self, spark):
+        # SimHash needs realistic doc sizes: with ~10 tokens most bits sit
+        # at tie margins and one token flips many. 200 tokens, 2.5% edit.
+        base_toks = [f"w{i}" for i in range(200)]
+        near_toks = [f"x{i}" if i < 5 else f"w{i}" for i in range(200)]
+        far_toks = [f"v{i}" for i in range(200)]
+        df = spark.createDataFrame(
+            [
+                (1, " ".join(base_toks)),
+                (2, " ".join(near_toks)),
+                (3, " ".join(far_toks)),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        near, far = ham(fps[1], fps[2]), ham(fps[1], fps[3])
+        assert near <= 16, f"97.5%-overlap docs differ in {near} bits"
+        assert far >= 20, f"disjoint docs differ in only {far} bits"
+        assert far > near
+
+    def test_query_finds_duplicate_docs(self, spark):
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        out = all_queries()["dedup_simhash"].fn(spark, SF)
+        # testdata contains near-duplicate docs; simhash must surface some
+        assert out.count() > 0
+        assert out.where(F.col("hamming") > 3).count() == 0
+
+
+class TestIVF:
+    def test_recall_vs_brute_force(self, spark):
+        from mongodb_cdc_delta_spark.queries import all_queries, load
+
+        reg = all_queries()
+        brute = [
+            r.vec_id for r in reg["knn_cosine_topk"].fn(spark, SF).collect()
+        ]
+        approx = [r.vec_id for r in reg["ann_ivf_topk"].fn(spark, SF).collect()]
+        overlap = len(set(brute) & set(approx))
+        # nprobe=4/16 cells: recall@10 >= 0.5 on clustered testdata
+        assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+
+    def test_cells_partition_all_vectors(self, spark):
+        from mongodb_cdc_delta_spark.queries import load
+
+        emb = load(spark, SF, "embeddings")
+        assignments, centroids = build_ivf_cells(emb, n_cells=8, iters=1)
+        n = emb.count()
+        assert assignments.count() == n
+        assert assignments.select("vec_id").distinct().count() == n
+        n_cells = assignments.select("cell").distinct().count()
+        assert 1 < n_cells <= 8
