@@ -15,6 +15,7 @@ from .engine import (
     record_diff,
     repair_plan,
 )
+from .incremental import incremental_reconcile, snapshot_diff
 
 __all__ = [
     "count_compare",
@@ -23,4 +24,6 @@ __all__ = [
     "repair_plan",
     "apply_repair",
     "current_state",
+    "incremental_reconcile",
+    "snapshot_diff",
 ]

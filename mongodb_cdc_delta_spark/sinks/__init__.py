@@ -1,5 +1,6 @@
 """Transactional lake sinks (ACID append, time travel, OPTIMIZE/VACUUM)."""
 
+from .catalog import LakeCatalog
 from .table import CommitInfo, ConcurrentWriteError, LakeTable
 
-__all__ = ["LakeTable", "CommitInfo", "ConcurrentWriteError"]
+__all__ = ["LakeTable", "LakeCatalog", "CommitInfo", "ConcurrentWriteError"]
