@@ -140,10 +140,35 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     windows and keep every Nth — demonstrates offset-windowed binary
     processing without decoding (substring on BinaryType is JVM-side)."""
     n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
+    # guard: sequence(0, -1) would produce a DESCENDING [0, -1] sequence
+    # for payloads shorter than one frame — emit no frames instead
+    frames = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return media.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(frames).alias("frame_idx"),
         F.col("payload")
         .substr(F.lit(1) + F.col("frame_idx") * every_n_bytes, F.lit(16))
         .alias("frame_bytes"),
     ).where(F.col("frame_idx") % 2 == 0)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents)
+    SELECT doc_id, frame_idx,
+           encode(substring(text, CAST(1 + frame_idx * 100 AS INT), 16))
+             AS frame_bytes
+    FROM m, UNNEST(generate_series(0,
+                CAST(floor(n_bytes / 100) AS INT) - 1)) AS t(frame_idx)
+    WHERE floor(n_bytes / 100) > 0 AND frame_idx % 2 = 0
+    """,
+    description="video-style frame sampling: fixed-offset binary windows, "
+    "every 2nd kept — pure JVM substr on BinaryType, no decode",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    media = as_media_table(load(spark, sf, "documents"))
+    return frame_sample(media, every_n_bytes=100)

@@ -84,5 +84,6 @@ def all_queries() -> dict[str, Query]:
     from ..reconcile import queries as reconcile_queries  # noqa: F401
     from ..cdc import queries as cdc_queries  # noqa: F401
     from ..quality import queries as quality_queries  # noqa: F401
+    from ..streaming import queries as streaming_queries  # noqa: F401
 
     return REGISTRY

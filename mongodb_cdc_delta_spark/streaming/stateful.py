@@ -1,0 +1,145 @@
+"""Stateful streaming operators (extensions beyond the reference, which has
+no stateful streaming — SURVEY §2.7 gap list / §7.3: "watermarks only for
+the stale-event policy"; these give the rebuild the standard Spark
+streaming-state surface).
+
+- session_window_agg: gap-based session windows with watermarked event
+  time — works identically on batch and streaming DataFrames (Spark's
+  unified semantics), so tests validate the batch plan and streaming runs
+  share the code path.
+- tumbling_window_agg: fixed windows + watermark late-data handling.
+- RunningTotals: a custom stateful operator via applyInPandasWithState —
+  per-key running count/sum surviving across micro-batches in the state
+  store (RocksDB/HDFS-backed on a cluster), with processing-time timeout
+  eviction. The pattern for any bespoke state logic Spark's built-in
+  windows can't express.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def session_window_agg(
+    df: DataFrame,
+    event_time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Events separated by more than ``gap`` start a new session; output one
+    row per (key, session) with bounds and counts. On a stream the
+    watermark bounds state: sessions older than it finalize and evict."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(event_time_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("session"),
+            *key_cols,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(event_time_col).alias("first_event"),
+            F.max(event_time_col).alias("last_event"),
+        )
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    event_time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    width: str = "10 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Fixed event-time windows; late rows beyond the watermark drop —
+    the streaming-native form of the stale-event policy (spec FR-024)."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(event_time_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(event_time_col), width).alias("w"), *key_cols
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("total_events", LongType()),
+        StructField("batch_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+
+
+def running_totals(
+    grouped_stream,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful operator: per-key cumulative event count across
+    micro-batches via applyInPandasWithState.
+
+    Call on a streaming ``df.groupBy(key_col)``; returns a streaming
+    DataFrame of RUNNING_TOTALS_SCHEMA. State = one long per key; with
+    ``timeout_minutes`` idle keys evict (bounded state at 100 TB key
+    cardinalities)."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + batch_n
+        state.update((total,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "total_events": [total],
+                "batch_events": [batch_n],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,203 @@
+"""Stateful streaming: session windows on a stream, watermark late-data
+drop, and the applyInPandasWithState running-totals operator persisting
+state across micro-batches via the checkpointed state store."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.streaming.stateful import (
+    running_totals,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _stream(spark, src_dir, schema="user_id long, ts timestamp, v double"):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(str(src_dir))
+    )
+
+
+def write_jsonl(src_dir, name, rows):
+    import json
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    (src_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+
+
+def run_to_memory(spark, df, name, mode="append", timeout=120.0):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestSessionWindowStreaming:
+    def test_sessions_finalize_on_stream(self, spark, tmp_path):
+        src = tmp_path / "ev"
+        write_jsonl(
+            src,
+            "b0.json",
+            [
+                # user 1: two sessions separated by > 30 min
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+                {"user_id": 1, "ts": "2024-01-01T10:10:00", "v": 1.0},
+                {"user_id": 1, "ts": "2024-01-01T12:00:00", "v": 1.0},
+                # user 2: one session
+                {"user_id": 2, "ts": "2024-01-01T10:05:00", "v": 1.0},
+            ],
+        )
+        ckpt = str(tmp_path / "sess_ckpt")
+
+        def run():
+            collected = []
+            out = session_window_agg(
+                _stream(spark, src), gap="30 minutes", watermark="10 minutes"
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _bid: collected.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return collected
+
+        rows = {
+            (r.user_id, r.session_start.isoformat()): r.n_events
+            for r in run()
+        }
+        # sessions older than the final watermark (12:00 - 10 min) have
+        # finalized; the 12:00 session correctly stays open in state
+        assert rows == {
+            (1, "2024-01-01T10:00:00"): 2,
+            (2, "2024-01-01T10:05:00"): 1,
+        }
+
+        # a later event advances the watermark; the held session finalizes
+        write_jsonl(
+            src,
+            "b1.json",
+            [{"user_id": 2, "ts": "2024-01-01T14:00:00", "v": 1.0}],
+        )
+        rows2 = {
+            (r.user_id, r.session_start.isoformat()): r.n_events
+            for r in run()
+        }
+        assert rows2[(1, "2024-01-01T12:00:00")] == 1
+
+    def test_late_rows_beyond_watermark_drop(self, spark, tmp_path):
+        src = tmp_path / "late"
+        ckpt = str(tmp_path / "ckpt")
+        collected = []
+
+        def run():
+            stream = tumbling_window_agg(
+                _stream(spark, src),
+                key_cols=("user_id",),
+                width="10 minutes",
+                watermark="1 hour",
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, _bid: collected.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1 advances the watermark far ahead; batch 2's late row drops
+        write_jsonl(
+            src,
+            "b0.json",
+            [{"user_id": 1, "ts": "2024-01-02T00:00:00", "v": 1.0}],
+        )
+        run()
+        write_jsonl(
+            src,
+            "b1.json",
+            [
+                {"user_id": 9, "ts": "2024-01-01T00:00:00", "v": 1.0},  # late
+                {"user_id": 2, "ts": "2024-01-02T00:05:00", "v": 1.0},  # ok
+            ],
+        )
+        run()
+        # push the watermark past every open window so they all finalize
+        write_jsonl(
+            src,
+            "b2.json",
+            [{"user_id": 5, "ts": "2024-01-02T06:00:00", "v": 1.0}],
+        )
+        run()
+        users = {r.user_id for r in collected}
+        assert 1 in users and 2 in users
+        assert 9 not in users  # the >1h-late row never emits
+
+
+class TestRunningTotalsState:
+    def test_state_persists_across_micro_batches(self, spark, tmp_path):
+        src = tmp_path / "rt"
+        ckpt = str(tmp_path / "rt_ckpt")
+        write_jsonl(
+            src,
+            "b0.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00", "v": 1.0},
+                {"user_id": 1, "ts": "2024-01-01T00:01:00", "v": 1.0},
+                {"user_id": 2, "ts": "2024-01-01T00:02:00", "v": 1.0},
+            ],
+        )
+
+        def run():
+            collected = []
+            stream = _stream(spark, src).withColumn(
+                "key", F.col("user_id").cast("string")
+            )
+            out = running_totals(stream.groupBy("key"))
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _bid: collected.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return collected
+
+        r1 = {r.key: r.total_events for r in run()}
+        assert r1 == {"1": 2, "2": 1}
+
+        # second batch: totals must ACCUMULATE on top of checkpointed state
+        write_jsonl(
+            src,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01T00:03:00", "v": 1.0},
+                {"user_id": 3, "ts": "2024-01-01T00:04:00", "v": 1.0},
+            ],
+        )
+        r2 = {r.key: (r.total_events, r.batch_events) for r in run()}
+        assert r2["1"] == (3, 1)  # 2 from state + 1 new
+        assert r2["3"] == (1, 1)
