@@ -1,0 +1,112 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100x scale-up. A correctness-preserving change that loses
+pushdown, broadcasts, partial aggregation, or adds a shuffle fails here.
+
+(Reference delegates these to DuckDB — research.md:588-634; in the rebuild
+they are Catalyst behaviors we must not regress.)"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mongodb_cdc_delta_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+REG = all_queries()
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    df = REG[name].fn(spark, SF)
+    if execute:
+        # AQE finalizes (and codegen-annotates) the plan only on execution,
+        # and only the df's own QueryExecution reflects it (a sink write
+        # spawns a separate execution)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+class TestPushdown:
+    def test_point_lookup_filter_reaches_scan(self, spark):
+        plan = plan_of(spark, "point_lookup")
+        assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id," in plan
+
+    def test_range_scan_bounds_pushed(self, spark):
+        plan = plan_of(spark, "range_scan")
+        assert "GreaterThanOrEqual" in plan or "GreaterThan" in plan
+        assert "LessThanOrEqual" in plan or "LessThan" in plan
+        assert "PushedFilters: []" not in plan.split("FileScan")[1][:400]
+
+    def test_projection_pruned_to_read_schema(self, spark):
+        # group_topk reads orders for a single column — the scan schema
+        # must contain only that column, not the whole table
+        plan = plan_of(spark, "group_topk")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "o_custkey:bigint"
+
+
+class TestJoins:
+    def test_star_join_broadcasts_all_dims(self, spark):
+        plan = plan_of(spark, "star_join_revenue")
+        assert count(r"BroadcastHashJoin", plan) >= 4
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_fk_join_no_cartesian(self, spark):
+        plan = plan_of(spark, "fk_join_agg")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semi_join_stays_semi(self, spark):
+        # EXISTS must compile to a semi join (no row duplication), never a
+        # full join + dedup
+        plan = plan_of(spark, "semi_join")
+        assert "LeftSemi" in plan
+
+
+class TestAggregation:
+    def test_group_agg_partial_mapside(self, spark):
+        plan = plan_of(spark, "group_agg")
+        assert "partial_" in plan  # map-side combine before the shuffle
+        assert count(r"Exchange hashpartitioning", plan) == 1
+
+    def test_pricing_summary_single_shuffle(self, spark):
+        plan = plan_of(spark, "pricing_summary")
+        assert count(r"Exchange", plan) == 1
+        assert "partial_" in plan
+
+    def test_topk_uses_take_ordered_not_global_sort(self, spark):
+        plan = plan_of(spark, "group_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert count(r"\bSort\b", plan) == 0
+
+    def test_knn_topk_no_shuffle(self, spark):
+        # scan → project → TakeOrdered: brute-force knn needs zero shuffles
+        plan = plan_of(spark, "knn_cosine_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert count(r"Exchange hashpartitioning", plan) == 0
+
+
+class TestWindows:
+    def test_running_sum_single_shuffle(self, spark):
+        plan = plan_of(spark, "window_running_sum")
+        assert count(r"Exchange hashpartitioning", plan) == 1
+
+    def test_session_window_single_shuffle(self, spark):
+        plan = plan_of(spark, "session_window_native")
+        assert count(r"Exchange hashpartitioning", plan) <= 1
+
+
+class TestCodegen:
+    @pytest.mark.parametrize(
+        "name", ["pricing_summary", "group_agg", "range_scan", "sessionize"]
+    )
+    def test_hot_path_is_whole_stage_codegen(self, spark, name):
+        plan = plan_of(spark, name, execute=True)
+        # '*(n)' prefixes mark whole-stage-codegen spans
+        assert count(r"\*\(\d+\)", plan) >= 1, f"{name} fell out of codegen"
