@@ -178,3 +178,36 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "documents").select(
         "doc_id", fp.alias("fingerprint")
     )
+
+
+# GPT-2-style pre-tokenizer approximation: contractions | space-prefixed
+# word | space-prefixed number | space-prefixed punctuation run | whitespace.
+# Kept to syntax Java regex and RE2 (DuckDB) share — no lookarounds.
+_BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+"
+)
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'))
+             AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+    description="BPE-ish token counting: GPT-2 pre-tokenizer regex "
+    "(contractions/words/numbers/punct) — the LLM-corpus sizing metric; "
+    "one regexp_count, whole-stage codegen",
+    tags=("text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+        "n_chars",
+    )

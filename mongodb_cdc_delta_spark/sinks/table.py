@@ -450,8 +450,11 @@ class LakeTable:
                 .option("basePath", self.root)
                 .parquet(*paths)
             )
-            if write_schema != target:
-                df = cast_to_schema(df, target)
+            # ALWAYS project onto the target schema, even when the write
+            # schema matches: the file relation moves partition columns to
+            # the end, so group column ORDER differs from the declared
+            # schema and a positional union would misalign columns.
+            df = cast_to_schema(df, target)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
