@@ -52,7 +52,17 @@ HEADLINE = [
     "text_quality",
     "token_histogram",
     "doc_fingerprint",
+    "text_bpe_token_count",
     "multimodal_features",
+    "multimodal_frame_sample",
+    "session_window_native",
+    "tumbling_window_counts",
+    "grouping_sets_agg",
+    "exact_percentiles",
+    "pandas_udf_scalar",
+    "grouped_map_normalize",
+    "quality_pii_mask",
+    "quality_validation_split",
 ]
 
 
