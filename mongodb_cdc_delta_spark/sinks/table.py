@@ -85,6 +85,7 @@ class CommitInfo:
     partition_by: list[str] = field(default_factory=list)
     txn: dict[str, Any] | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
+    properties: dict[str, str] | None = None
 
 
 def _commit_path(root: str, version: int) -> str:
@@ -184,6 +185,29 @@ class LakeTable:
 
     def schema(self) -> StructType | None:
         return self._replay().schema
+
+    def properties(self) -> dict[str, str]:
+        """Accumulated table properties (ALTER TABLE SET TBLPROPERTIES
+        equivalent; reference delta_writer.py:284-411 schema-version
+        metadata). Later commits override earlier keys."""
+        props: dict[str, str] = {}
+        for v in self._versions():
+            c = self._read_commit(v)
+            if c.properties:
+                props.update(c.properties)
+        return props
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """Record properties in a metadata-only commit (e.g. schema version
+        descriptions, file-size targets research.md:441-458)."""
+        commit = CommitInfo(
+            version=self.version() + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation="SET_TBLPROPERTIES",
+            properties={str(k): str(v) for k, v in props.items()},
+        )
+        self._publish(commit)
+        return commit.version
 
     def txn_version(self, app_id: str) -> int:
         """Highest committed writer-transaction version for app_id
