@@ -401,18 +401,31 @@ class CDCIngestor:
         clean, dlq = parse_events(raw_df, now=now, stale_days=self.stale_days)
         clean = clean.persist()
         try:
-            collections = [
-                (r["db"], r["collection"])
-                for r in clean.select("db", "collection").distinct().collect()
-            ]
-            for db, coll in sorted(collections):
+            # ONE aggregate job yields every collection in the batch AND its
+            # inferred doc schema (vs. one distinct + one inference job per
+            # collection): at N collections this is 1 pass over the batch,
+            # not N+1.
+            inferred = (
+                clean.groupBy("db", "collection")
+                .agg(
+                    F.schema_of_variant_agg(
+                        F.try_parse_json(F.col("doc"))
+                    ).alias("ddl")
+                )
+                .collect()
+            )
+            schemas: dict[tuple[str, str], StructType] = {}
+            for r in inferred:
+                ddl = r["ddl"]
+                if ddl is not None and ddl.startswith("OBJECT<"):
+                    schemas[(r["db"], r["collection"])] = _decimals_to_double(
+                        StructType.fromDDL(ddl.replace("OBJECT<", "STRUCT<"))
+                    )
+            for (db, coll), doc_schema in sorted(schemas.items()):
                 table_name = f"{db}_{coll}"
                 sub = clean.where(
                     (F.col("db") == db) & (F.col("collection") == coll)
                 ).drop("db", "collection")
-                doc_schema = infer_doc_schema(sub)
-                if doc_schema is None:
-                    continue
                 table = self.table(table_name)
                 live = table.schema()
                 if live is not None:

