@@ -15,8 +15,11 @@ Architecture (Spark-first, not a port):
                    log ("deltalite": time travel, compaction, vacuum, history),
                    plus a DLQ sink (reference: delta-writer/src/writer/).
 - ``streaming``  — Structured Streaming ingestion wrapper (readStream →
-                   foreachBatch → per-collection sink) (reference:
-                   delta-writer/src/consumer/event_consumer.py).
+                   foreachBatch → per-collection sink), stateful operators
+                   (session/tumbling windows, applyInPandasWithState), and
+                   the metrics listener (reference:
+                   delta-writer/src/consumer/event_consumer.py,
+                   shared/metrics/prometheus_metrics.py).
 - ``reconcile``  — source/target reconciliation: count, bucketed-hash,
                    record-level diff, repair (reference spec:
                    specs/001-mongodb-cdc-delta/research.md:659-855).

@@ -258,6 +258,13 @@ def parse_events(
     )
     parsed = parsed.withColumn("_dlq_reason", reason)
 
+    # extended-JSON rewriting costs 6 regex passes over the doc text; docs
+    # without any '"$' wrapper (the overwhelming majority in steady state)
+    # skip it behind one cheap contains() check
+    normalized_doc = F.when(
+        F.col("doc").contains('"$'), normalize_extended_json(F.col("doc"))
+    ).otherwise(F.col("doc"))
+
     clean = (
         parsed.where(
             F.col("_dlq_reason").isNull() & F.col("_cdc_operation").isNotNull()
@@ -265,7 +272,7 @@ def parse_events(
         .select(
             "db",
             "collection",
-            normalize_extended_json(F.col("doc")).alias("doc"),
+            normalized_doc.alias("doc"),
             "_cdc_timestamp",
             "_cdc_operation",
             now_expr.alias("_ingestion_timestamp"),
@@ -398,6 +405,9 @@ class CDCIngestor:
         exactly-once: txn app_id per table + batch_id as txn version).
         """
         stats = IngestStats()
+        # raw is persisted so the DLQ branch (a second consumer of the parse
+        # lineage) replays from memory, not from the source
+        raw_df = raw_df.persist()
         clean, dlq = parse_events(raw_df, now=now, stale_days=self.stale_days)
         clean = clean.persist()
         try:
@@ -456,4 +466,5 @@ class CDCIngestor:
                 )
         finally:
             clean.unpersist()
+            raw_df.unpersist()
         return stats

