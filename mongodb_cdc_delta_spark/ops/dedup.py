@@ -131,12 +131,20 @@ JACCARD_ORACLE = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=3).cache()
+    # join on the 8-byte xxhash64 of each shingle, not the ~20-byte string:
+    # the self-join's shuffle writes shrink ~3x and key comparison is a
+    # single long compare (collision odds at 2^64 are negligible next to
+    # the driver's value-hash tolerance)
+    sh = (
+        shingles(docs, n=3)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))

@@ -724,3 +724,65 @@ def json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (gap-list: reshaping ops)
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_segment_status",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="pivot: order-status counts spread into columns per market "
+    "segment — groupBy().pivot() compiles to one agg with filtered counts",
+    tags=("pivot", "agg"),
+)
+def pivot_segment_status(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    # explicit pivot values: skips the extra distinct-scan Spark otherwise
+    # runs to discover them (and fixes the output schema at any scale)
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("f_orders"),
+            F.coalesce("O", F.lit(0)).alias("o_orders"),
+            F.coalesce("P", F.lit(0)).alias("p_orders"),
+        )
+    )
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    ) WHERE c_custkey <= 500
+    """,
+    description="unpivot/melt: wide columns to (key, metric, value) rows — "
+    "Spark's unpivot is a zero-shuffle generator expression",
+    tags=("unpivot",),
+)
+def unpivot_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+    )
