@@ -92,6 +92,15 @@ def _commit_path(root: str, version: int) -> str:
     return os.path.join(root, _LOG_DIR, f"{version:020d}.json")
 
 
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(root, _LOG_DIR, f"{version:020d}.checkpoint.json")
+
+
+#: every N commits the full replay state is checkpointed (Delta does 10);
+#: replay cost is then O(interval), not O(commits)
+CHECKPOINT_INTERVAL = 10
+
+
 class LakeTable:
     """One CDC target table (reference: one Delta table per collection,
     event_consumer.py:232-247)."""
@@ -123,6 +132,60 @@ class LakeTable:
     def history(self) -> list[CommitInfo]:
         """DESCRIBE HISTORY equivalent (newest first)."""
         return [self._read_commit(v) for v in reversed(self._versions())]
+
+    def _latest_checkpoint(self, max_version: int) -> dict | None:
+        """Most recent replay checkpoint at or before max_version."""
+        log_dir = os.path.join(self.root, _LOG_DIR)
+        if not os.path.isdir(log_dir):
+            return None
+        best = -1
+        for f in os.listdir(log_dir):
+            if f.endswith(".checkpoint.json"):
+                v = int(f.split(".")[0])
+                if best < v <= max_version:
+                    best = v
+        if best < 0:
+            return None
+        with open(_checkpoint_path(self.root, best)) as fh:
+            return json.load(fh)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize full replay state at `version` (idempotent; readers
+        ignore a missing/partial checkpoint and fall back to full replay)."""
+        active: dict[str, int] = {}
+        schemas: list[dict] = []
+        cur_idx = -1
+        partition_by: list[str] = []
+        for v in self._versions():
+            if v > version:
+                break
+            c = self._read_commit(v)
+            if c.schema is not None and (
+                not schemas or c.schema != schemas[cur_idx]
+            ):
+                schemas.append(c.schema)
+                cur_idx = len(schemas) - 1
+            if c.partition_by:
+                partition_by = c.partition_by
+            for a in c.add:
+                active[a["path"]] = cur_idx
+            for r in c.remove:
+                active.pop(r, None)
+        tmp = os.path.join(
+            self.root, _LOG_DIR, f".ckpt-tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "active": active,
+                    "schemas": schemas,
+                    "cur_idx": cur_idx,
+                    "partition_by": partition_by,
+                },
+                fh,
+            )
+        os.replace(tmp, _checkpoint_path(self.root, version))
 
     def _replay(
         self,
@@ -157,10 +220,18 @@ class LakeTable:
                 raise ValueError(f"version {version_as_of} not in table log")
             versions = [v for v in versions if v <= version_as_of]
 
+        target_version = versions[-1]
         active: dict[str, int] = {}
         schemas: list[dict] = []
         cur_idx = -1
         partition_by: list[str] = []
+        ckpt = self._latest_checkpoint(target_version)
+        if ckpt is not None:
+            active = dict(ckpt["active"])
+            schemas = ckpt["schemas"]
+            cur_idx = ckpt["cur_idx"]
+            partition_by = ckpt["partition_by"]
+            versions = [v for v in versions if v > ckpt["version"]]
         for v in versions:
             c = self._read_commit(v)
             if c.schema is not None and (
@@ -176,7 +247,7 @@ class LakeTable:
                 active.pop(r, None)
         schema = StructType.fromJson(schemas[cur_idx]) if schemas else None
         return Snapshot(
-            sorted(active), schema, partition_by, versions[-1], active, schemas
+            sorted(active), schema, partition_by, target_version, active, schemas
         )
 
     def version(self) -> int:
@@ -278,6 +349,8 @@ class LakeTable:
             ) from e
         finally:
             os.unlink(tmp)
+        if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(commit.version)
 
     def create_if_not_exists(
         self, schema: StructType, partition_by: list[str] | None = None
@@ -452,6 +525,123 @@ class LakeTable:
             "files_added": len(add),
             "skipped": False,
         }
+
+    def _affected_files(self, snap: Snapshot, predicate: str) -> list[str]:
+        """Data files containing at least one row matching `predicate` —
+        the scan pushes the predicate down, so parquet row-group stats
+        prune most files before any row is read."""
+        affected: list[str] = []
+        by_schema: dict[int, list[str]] = {}
+        for f in snap.files:
+            by_schema.setdefault(snap.file_schema[f], []).append(f)
+        root_real = os.path.realpath(self.root)
+        for idx, group in sorted(by_schema.items()):
+            write_schema = StructType.fromJson(snap.schemas[idx])
+            paths = [os.path.join(self.root, f) for f in group]
+            try:
+                hits = (
+                    self.spark.read.schema(write_schema)
+                    .option("basePath", self.root)
+                    .parquet(*paths)
+                    .where(predicate)
+                    .select(F.col("_metadata.file_path").alias("__file"))
+                    .distinct()
+                    .collect()
+                )
+            except Exception:
+                # predicate references columns absent from this historical
+                # schema → no row in these files can match
+                continue
+            for r in hits:
+                p = r["__file"]
+                if p.startswith("file:"):
+                    p = p[len("file:") :]
+                affected.append(os.path.relpath(os.path.realpath(p), root_real))
+        return sorted(set(affected))
+
+    def _rewrite(
+        self,
+        predicate: str,
+        transform,
+        operation: str,
+        txn: tuple[str, int] | None = None,
+    ) -> dict[str, Any]:
+        """Copy-on-write rewrite of files containing predicate matches:
+        survivors + transform(matching rows) land in new files; untouched
+        files stay. Shared engine of delete_where/update_where."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return {"version": self.version(), "skipped": True}
+        snap = self._replay()
+        if snap.schema is None or not snap.files:
+            return {"version": snap.version, "files_rewritten": 0, "skipped": False}
+        affected = self._affected_files(snap, predicate)
+        if not affected:
+            return {"version": snap.version, "files_rewritten": 0, "skipped": False}
+        scan = self._read_file_groups(snap, affected, snap.schema)
+        new_df = transform(scan)
+        add = self._stage_write(new_df, snap.partition_by)
+        commit = CommitInfo(
+            version=self.version() + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            add=add,
+            remove=affected,
+            schema=snap.schema.jsonValue(),
+            partition_by=snap.partition_by,
+            txn={"app_id": txn[0], "version": txn[1]} if txn else None,
+            metrics={"files_rewritten": len(affected)},
+        )
+        self._publish(commit)
+        return {
+            "version": commit.version,
+            "files_rewritten": len(affected),
+            "files_added": len(add),
+            "skipped": False,
+        }
+
+    def delete_where(
+        self, predicate: str, txn: tuple[str, int] | None = None
+    ) -> dict[str, Any]:
+        """DELETE FROM ... WHERE predicate (Delta-parity copy-on-write):
+        only files containing matches are rewritten, without their matching
+        rows."""
+        return self._rewrite(
+            predicate,
+            lambda df: df.where(f"NOT ({predicate})"),
+            "DELETE",
+            txn,
+        )
+
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        txn: tuple[str, int] | None = None,
+    ) -> dict[str, Any]:
+        """UPDATE ... SET col=expr WHERE predicate (copy-on-write).
+        ``assignments`` maps column name → SQL expression evaluated on
+        matching rows; non-matching rows in affected files are preserved."""
+
+        def apply(df: DataFrame) -> DataFrame:
+            # one select evaluates every SET expression against the
+            # ORIGINAL row (SQL UPDATE's simultaneous-assignment semantics;
+            # chained withColumn would leak earlier assignments into later
+            # expressions)
+            cond = F.expr(predicate)
+            cols = []
+            for name in df.columns:
+                if name in assignments:
+                    cols.append(
+                        F.when(cond, F.expr(assignments[name]))
+                        .otherwise(F.col(name))
+                        .cast(df.schema[name].dataType)  # no schema drift
+                        .alias(name)
+                    )
+                else:
+                    cols.append(F.col(name))
+            return df.select(*cols)
+
+        return self._rewrite(predicate, apply, "UPDATE", txn)
 
     # --------------------------------------------------------------- read
 
