@@ -691,10 +691,23 @@ class LakeTable:
 
     # -------------------------------------------------------- maintenance
 
-    def optimize(self, target_file_rows: int = 1_000_000) -> dict[str, Any]:
+    def optimize(
+        self,
+        target_file_rows: int = 1_000_000,
+        cluster_by: list[str] | None = None,
+    ) -> dict[str, Any]:
         """Small-file compaction per partition (reference
         delta_writer.py:234-266; 64-256MB file targets research.md:441-458).
-        Rewrites any partition holding more than one active file."""
+        Rewrites any partition holding more than one active file — or, with
+        ``cluster_by``, every partition.
+
+        ``cluster_by`` additionally sorts rows by the given columns before
+        writing (the OPTIMIZE ZORDER role, reference research.md:208):
+        parquet row-group min/max stats on those columns become narrow and
+        disjoint, so pushed-down filters skip most data. Linear multi-column
+        clustering — the right call for one dominant filter column; a
+        bit-interleaved curve can substitute for multi-dimensional filter
+        mixes without changing the commit shape."""
         snap = self._replay()
         files, schema, partition_by = snap.files, snap.schema, snap.partition_by
         if schema is None or not files:
@@ -707,9 +720,11 @@ class LakeTable:
         add: list[dict[str, Any]] = []
         remove: list[str] = []
         for part_rel, part_files in by_part.items():
-            if len(part_files) <= 1:
+            if len(part_files) <= 1 and not cluster_by:
                 continue
             pdf = self._read_file_groups(snap, part_files, schema)
+            if cluster_by:
+                pdf = pdf.orderBy(*cluster_by)
             # partition cols are path-derived; drop before writing data files
             data_cols = [c for c in pdf.columns if c not in partition_by]
             commit_id = uuid.uuid4().hex

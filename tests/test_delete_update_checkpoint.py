@@ -117,3 +117,33 @@ class TestLogCheckpoint:
         assert any(f.endswith(".checkpoint.json") for f in log)
         assert t.read().count() == CHECKPOINT_INTERVAL
         assert t.file_count() == 1
+
+
+class TestClusteredOptimize:
+    def test_cluster_by_tightens_rowgroup_stats(self, spark, lake):
+        import random
+
+        import pyarrow.parquet as pq
+
+        rnd = random.Random(7)
+        t = LakeTable(spark, lake + "/t")
+        # two files with interleaved key ranges → overlapping min/max
+        for _ in range(2):
+            rows = [(rnd.randrange(10_000),) for _ in range(5_000)]
+            t.append(_df(spark, rows, "k long").coalesce(1))
+        res = t.optimize(cluster_by=["k"])
+        assert res["partitions_compacted"] == 1
+        # clustered file: row-group k-ranges must be (nearly) disjoint and
+        # sorted — the property data skipping needs
+        snap = t._replay()
+        assert len(snap.files) == 1
+        pf = pq.ParquetFile(os.path.join(lake, "t", snap.files[0]))
+        mins, maxs = [], []
+        col_idx = pf.schema_arrow.names.index("k")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        assert mins == sorted(mins)
+        # data intact
+        assert t.read().count() == 10_000
