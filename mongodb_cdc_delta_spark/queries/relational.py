@@ -786,3 +786,33 @@ def unpivot_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
         )
         .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation (collect + sort for deterministic cross-engine compare)
+# ---------------------------------------------------------------------------
+@register(
+    "array_agg_user_events",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id < 200
+    GROUP BY user_id
+    """,
+    description="array aggregation: distinct event types per user as a "
+    "sorted array (collect_set + array_sort — deterministic regardless of "
+    "shuffle order)",
+    tags=("agg", "array"),
+)
+def array_agg_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .where(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
