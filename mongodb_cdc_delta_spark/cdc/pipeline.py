@@ -468,3 +468,45 @@ class CDCIngestor:
             clean.unpersist()
             raw_df.unpersist()
         return stats
+
+    def replay_dlq(
+        self,
+        reasons: list[str] | None = None,
+        batch_id: int | None = None,
+        purge: bool = True,
+    ) -> IngestStats:
+        """Reprocess dead-lettered events (the operational recovery loop the
+        reference's DLQ design implies: fix the cause, replay the queue).
+
+        Events matching ``reasons`` (default: all) re-enter ingest_batch
+        with their original Kafka coordinates. Events that fail again are
+        re-appended to the DLQ with a fresh timestamp; with ``purge`` the
+        successfully drained originals are deleted from the DLQ table —
+        guarded by the replay start time so re-failures written during this
+        replay survive."""
+        import datetime
+
+        dlq_table = self.table("_dlq")
+        dlq = dlq_table.read()
+        if reasons:
+            quoted = ", ".join(f"'{r}'" for r in reasons)
+            dlq = dlq.where(f"reason IN ({quoted})")
+        start = datetime.datetime.now(datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+        raw = dlq.select(
+            F.col("original_event").alias("value"),
+            F.col("source_topic").alias("topic"),
+            F.col("partition").cast("int").alias("partition"),
+            F.col("offset"),
+        )
+        stats = self.ingest_batch(raw, batch_id=batch_id)
+        if purge:
+            cond = (
+                "_ingestion_timestamp < "
+                f"TIMESTAMP '{start.isoformat(sep=' ')}'"
+            )
+            if reasons:
+                cond = f"reason IN ({quoted}) AND {cond}"
+            dlq_table.delete_where(cond)
+        return stats

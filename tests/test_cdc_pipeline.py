@@ -234,3 +234,43 @@ class TestCDCIngestor:
         dlq = ing.table("_dlq").read()
         assert dlq.count() == 1
         assert dlq.first()["reason"] == DLQReason.CORRUPTED_DATA.value
+
+
+class TestDLQReplay:
+    def test_replay_recovers_fixed_events(self, spark, tmp_path):
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        # an event that is DLQ'd only because it is oversized under a tiny
+        # cap — replaying under the normal cap succeeds ("fix the cause,
+        # drain the queue")
+        ok_doc = envelope("c", after={"_id": "big", "n": 1}, ts=now_ms)
+        ing.stale_days = 365_000  # isolate the size policy
+        small_cap = CDCIngestor(
+            spark, str(tmp_path / "lake"), stale_days=365_000
+        )
+        clean, dlq = parse_events(
+            raw_df(spark, [ok_doc]), max_doc_bytes=50
+        )
+        small_cap._guarded_append(small_cap.table("_dlq"), dlq, partition_by=[])
+        assert small_cap.table("_dlq").read().count() == 1
+
+        stats = small_cap.replay_dlq(batch_id=99)
+        assert stats.collections["shop_users"]["files"] >= 1
+        assert small_cap.table("shop_users").read().count() == 1
+        # drained originals purged
+        assert small_cap.table("_dlq").read().count() == 0
+
+    def test_replay_refailures_stay_in_dlq(self, spark, tmp_path):
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.ingest_batch(
+            raw_df(spark, ["still broken {{{"]), batch_id=0, now=NOW
+        )
+        assert stats.dlq_rows == 1
+        # replaying a genuinely corrupt event fails again and must remain
+        stats2 = ing.replay_dlq(batch_id=1)
+        assert stats2.dlq_rows == 1
+        dlq = ing.table("_dlq").read()
+        assert dlq.count() == 1
+        assert dlq.first()["reason"] == DLQReason.CORRUPTED_DATA.value
