@@ -163,6 +163,16 @@ def normalize_extended_json(col):
         r'\{\s*"\$binary"\s*:\s*\{\s*"base64"\s*:\s*("[^"]*")\s*,\s*"subType"\s*:\s*"[^"]*"\s*\}\s*\}',
         r"$1",
     )
+    # {"$uuid": "xxxx-..."} → "xxxx-..." (canonical string form)
+    c = F.regexp_replace(c, r'\{\s*"\$uuid"\s*:\s*("[0-9a-fA-F-]{36}")\s*\}', r"$1")
+    # {"$timestamp": {"t": secs, "i": ordinal}} → secs (BSON internal
+    # timestamp; the reference's unknown-type fallback would stringify it —
+    # epoch seconds preserve orderability instead)
+    c = F.regexp_replace(
+        c,
+        r'\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}',
+        r"$1",
+    )
     return c
 
 
@@ -335,6 +345,9 @@ class IngestStats:
     collections: dict[str, dict[str, Any]] = field(default_factory=dict)
     dlq_rows: int = 0
     dropped_unknown_ops: int = 0
+    #: tables whose stored schema widened this batch (reference
+    #: prometheus_metrics.py schema-evolution counter)
+    schema_evolutions: list[str] = field(default_factory=list)
 
 
 class CDCIngestor:
@@ -443,6 +456,8 @@ class CDCIngestor:
                         [f for f in live.fields if f.name not in CDC_META_COLUMNS]
                     )
                     doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
+                    if doc_schema != data_schema:
+                        stats.schema_evolutions.append(table_name)
                 rows = sub.select(
                     F.from_json("doc", doc_schema).alias("d"), *CDC_META_COLUMNS
                 ).select("d.*", *CDC_META_COLUMNS)

@@ -147,3 +147,29 @@ def approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
         ).alias("p50_p95")
     )
+
+
+@register(
+    "frequent_items",
+    oracle=None,  # sketch-based (possible false positives) — rows-only
+    description="heavy hitters via freqItems (count-sketch family): "
+    "single-pass mergeable approximate frequent-value detection — the "
+    "scale path for corpus vocabulary / hot-key discovery",
+    tags=("agg", "approx", "sketch"),
+)
+def frequent_items(spark: SparkSession, sf: str) -> DataFrame:
+    # items appearing in >= 10% of events; exact verification joins the
+    # candidates back against true counts (standard sketch-then-verify)
+    ev = load(spark, sf, "events")
+    cand = ev.freqItems(["event_type"], support=0.1)
+    items = cand.select(
+        F.explode("event_type_freqItems").alias("event_type")
+    )
+    total = ev.count()
+    return (
+        ev.join(F.broadcast(items), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 0.1 * total)
+        .orderBy("event_type")
+    )

@@ -274,3 +274,35 @@ class TestDLQReplay:
         dlq = ing.table("_dlq").read()
         assert dlq.count() == 1
         assert dlq.first()["reason"] == DLQReason.CORRUPTED_DATA.value
+
+
+class TestExtendedJsonExtras:
+    def test_uuid_and_timestamp_wrappers(self, spark):
+        doc = (
+            '{"u": {"$uuid": "3b241101-e2bb-4255-8caf-4136c566a962"},'
+            ' "t": {"$timestamp": {"t": 1706054400, "i": 3}}}'
+        )
+        out = spark.range(1).select(
+            normalize_extended_json(F.lit(doc)).alias("d")
+        ).first()["d"]
+        parsed = json.loads(out)
+        assert parsed["u"] == "3b241101-e2bb-4255-8caf-4136c566a962"
+        assert parsed["t"] == 1706054400
+
+    def test_schema_evolution_counter(self, spark, tmp_path):
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        s1 = ing.ingest_batch(
+            raw_df(spark, [envelope("c", after={"_id": "1", "n": 1})]),
+            batch_id=0, now=NOW,
+        )
+        assert s1.schema_evolutions == []  # first write: no prior schema
+        s2 = ing.ingest_batch(
+            raw_df(spark, [envelope("c", after={"_id": "2", "n": 2})]),
+            batch_id=1, now=NOW,
+        )
+        assert s2.schema_evolutions == []  # same shape: no evolution
+        s3 = ing.ingest_batch(
+            raw_df(spark, [envelope("c", after={"_id": "3", "extra": "x"})]),
+            batch_id=2, now=NOW,
+        )
+        assert s3.schema_evolutions == ["shop_users"]
