@@ -364,6 +364,8 @@ class CDCIngestor:
         partition_by: tuple[str, ...] = ("_ingestion_date",),
         retry_config=None,
         circuit_breaker=None,
+        materialize_current: bool = False,
+        key_col: str = "_id",
     ):
         from ..quality.reliability import RetryConfig
 
@@ -374,6 +376,12 @@ class CDCIngestor:
         self.partition_by = list(partition_by)
         self.retry_config = retry_config or RetryConfig()
         self.circuit_breaker = circuit_breaker
+        #: SURVEY §1.4: the append log is primary; optionally each batch
+        #: also MERGEs the latest row per key into a `<table>__current`
+        #: table (upsert for insert/update, key removal for delete) — the
+        #: standard Spark CDC materialized current-state view.
+        self.materialize_current = materialize_current
+        self.key_col = key_col
 
     def _guarded_append(self, table: LakeTable, rows, **kwargs):
         """Sink write under retry (transient + schema errors, reference
@@ -472,6 +480,8 @@ class CDCIngestor:
                     txn=txn,
                 )
                 stats.collections[table_name] = res
+                if self.materialize_current and not res.get("skipped"):
+                    self._merge_current_state(table_name, rows, batch_id)
             n_dlq = dlq.count()
             stats.dlq_rows = n_dlq
             if n_dlq:
@@ -483,6 +493,39 @@ class CDCIngestor:
             clean.unpersist()
             raw_df.unpersist()
         return stats
+
+    def _merge_current_state(
+        self, table_name: str, rows: DataFrame, batch_id: int | None
+    ) -> None:
+        """Collapse the batch to the latest row per key and MERGE it into
+        `<table>__current`: upsert for insert/update, key removal for
+        delete. Only files containing touched keys rewrite (LakeTable.merge
+        file pruning), so cost scales with the batch, not the table."""
+        if self.key_col not in rows.columns:
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.col("_kafka_offset").desc_nulls_last(),
+            F.col("_cdc_timestamp").desc_nulls_last(),
+        )
+        latest = (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        txn = (
+            (f"cdc-current-{table_name}", batch_id)
+            if batch_id is not None
+            else None
+        )
+        self.table(f"{table_name}__current").merge(
+            latest,
+            self.key_col,
+            delete_expr="_cdc_operation = 'delete'",
+            mode=self.mode,
+            txn=txn,
+        )
 
     def replay_dlq(
         self,

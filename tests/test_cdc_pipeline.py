@@ -306,3 +306,72 @@ class TestExtendedJsonExtras:
             batch_id=2, now=NOW,
         )
         assert s3.schema_evolutions == ["shop_users"]
+
+
+class TestCurrentStateMaterialization:
+    def test_current_table_tracks_live_state(self, spark, tmp_path):
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), materialize_current=True
+        )
+        # batch 0: two inserts
+        ing.ingest_batch(
+            raw_df(
+                spark,
+                [
+                    envelope("c", after={"_id": "u1", "name": "Alice", "n": 1}),
+                    envelope("c", after={"_id": "u2", "name": "Bob", "n": 2}),
+                ],
+            ),
+            batch_id=0,
+            now=NOW,
+        )
+        cur = ing.table("shop_users__current").read()
+        assert cur.count() == 2
+
+        # batch 1: update u1, delete u2, insert u3
+        ing.ingest_batch(
+            raw_df(
+                spark,
+                [
+                    envelope("u", after={"_id": "u1", "name": "Alice2", "n": 10}),
+                    envelope("d", before={"_id": "u2", "name": "Bob", "n": 2}),
+                    envelope("c", after={"_id": "u3", "name": "Cara", "n": 3}),
+                ],
+            ),
+            batch_id=1,
+            now=NOW,
+        )
+        cur = {r["_id"]: r for r in ing.table("shop_users__current").read().collect()}
+        assert set(cur) == {"u1", "u3"}
+        assert cur["u1"]["name"] == "Alice2" and cur["u1"]["n"] == 10
+
+        # append log keeps full history alongside (SURVEY §1.4)
+        assert ing.table("shop_users").read().count() == 5
+
+    def test_same_key_twice_in_batch_latest_wins(self, spark, tmp_path):
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), materialize_current=True
+        )
+        ing.ingest_batch(
+            raw_df(
+                spark,
+                [
+                    envelope("c", after={"_id": "k", "v": "first"}),
+                    envelope("u", after={"_id": "k", "v": "second"}),
+                ],
+            ),
+            batch_id=0,
+            now=NOW,
+        )
+        cur = ing.table("shop_users__current").read().collect()
+        assert len(cur) == 1 and cur[0]["v"] == "second"
+
+    def test_replayed_batch_does_not_double_merge(self, spark, tmp_path):
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), materialize_current=True
+        )
+        events = raw_df(spark, [envelope("c", after={"_id": "x", "n": 1})])
+        ing.ingest_batch(events, batch_id=0, now=NOW)
+        ing.ingest_batch(events, batch_id=0, now=NOW)  # replay
+        assert ing.table("shop_users__current").read().count() == 1
+        assert ing.table("shop_users").read().count() == 1
