@@ -63,6 +63,10 @@ HEADLINE = [
     "grouped_map_normalize",
     "quality_pii_mask",
     "quality_validation_split",
+    "pivot_segment_status",
+    "unpivot_customer_metrics",
+    "array_agg_user_events",
+    "frequent_items",
 ]
 
 

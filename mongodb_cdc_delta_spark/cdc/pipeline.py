@@ -178,14 +178,22 @@ def normalize_extended_json(col):
 
 def _ensure_kafka_columns(raw_df: DataFrame) -> DataFrame:
     """Accept either a Kafka source frame (topic/partition/offset present) or
-    a bare `value` frame (file source in tests); normalize value to string."""
+    a bare `value` frame (file source in tests); normalize value to string.
+
+    Offset-less sources get synthetic per-partition offsets (monotonic in
+    read order) so intra-batch per-key ordering — which Kafka guarantees
+    via offsets — holds for file replay too (current-state materialization
+    and `current_state` order on `_kafka_offset`)."""
     df = raw_df
     if "value" not in df.columns:
         raise ValueError("raw event frame must have a `value` column")
     df = df.withColumn("value", F.col("value").cast("string"))
-    for name, typ in (("topic", "string"), ("partition", "int"), ("offset", "long")):
-        if name not in df.columns:
-            df = df.withColumn(name, F.lit(None).cast(typ))
+    if "topic" not in df.columns:
+        df = df.withColumn("topic", F.lit(None).cast("string"))
+    if "partition" not in df.columns:
+        df = df.withColumn("partition", F.spark_partition_id())
+    if "offset" not in df.columns:
+        df = df.withColumn("offset", F.monotonically_increasing_id())
     return df
 
 

@@ -57,13 +57,17 @@ class CDCStreamPipeline:
         mode: MergeMode = MergeMode.AUTO,
         trigger_seconds: float = DEFAULT_TRIGGER_SECONDS,
         max_events_per_trigger: int = DEFAULT_MAX_EVENTS_PER_TRIGGER,
+        materialize_current: bool = False,
     ):
         self.spark = spark
         self.lake_root = lake_root
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             lake_root, "_checkpoints", "cdc"
         )
-        self.ingestor = CDCIngestor(spark, lake_root, mode=mode)
+        self.ingestor = CDCIngestor(
+            spark, lake_root, mode=mode,
+            materialize_current=materialize_current,
+        )
         self.trigger_seconds = trigger_seconds
         self.max_events_per_trigger = max_events_per_trigger
         self.last_stats: IngestStats | None = None

@@ -130,3 +130,22 @@ def test_metrics_listener_collects_progress(spark, dirs):
         assert m.failures_total == 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_with_current_state_materialization(spark, dirs):
+    src, lake = dirs
+    write_events(
+        src,
+        "b0.json",
+        [
+            envelope("c", "m1", extra={"v": 1}),
+            envelope("u", "m1", extra={"v": 2}),
+            envelope("c", "m2", extra={"v": 9}),
+            envelope("d", "m2", extra={"v": 9}),
+        ],
+    )
+    pipe = CDCStreamPipeline(spark, lake, materialize_current=True)
+    pipe.run_available(pipe.from_files(str(src)))
+    cur = {r["_id"]: r["v"] for r in pipe.read_table("shop_users__current").collect()}
+    assert cur == {"m1": 2}
+    assert pipe.read_table("shop_users").count() == 4
