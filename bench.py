@@ -110,6 +110,46 @@ def main() -> None:
         timings[name] = round(min(warm), 3)
     spark.catalog.clearCache()
 
+    # CDC ingest throughput (reference target: >=10k events/s/collection —
+    # BASELINE.md): synthetic Debezium envelopes through the full parse →
+    # infer → evolve → transactional-append path; steady-state batch timed.
+    import shutil
+    import tempfile
+
+    from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
+
+    n_events = 20_000
+    now_ms = int(time.time() * 1000)
+    events = [
+        json.dumps(
+            {
+                "payload": {
+                    "op": "c",
+                    "ts_ms": now_ms,
+                    "source": {"db": "bench", "collection": "docs"},
+                    "after": json.dumps({"_id": f"d{i}", "n": i, "s": f"x{i}"}),
+                }
+            }
+        )
+        for i in range(n_events)
+    ]
+    raw = (
+        spark.createDataFrame([(e,) for e in events], "value string")
+        .repartition(8)
+        .persist()
+    )
+    raw.count()
+    lake_dir = tempfile.mkdtemp(prefix="bench-lake-")
+    try:
+        ing = CDCIngestor(spark, lake_dir)
+        ing.ingest_batch(raw, batch_id=0)  # cold
+        t0 = time.perf_counter()
+        ing.ingest_batch(raw, batch_id=1)
+        ingest_rate = round(n_events / (time.perf_counter() - t0))
+    finally:
+        raw.unpersist()
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -123,6 +163,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(cold_total, 3),
+                "cdc_ingest_events_per_sec": ingest_rate,
                 "sf": sf_val,
             }
         )
