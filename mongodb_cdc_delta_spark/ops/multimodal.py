@@ -82,6 +82,36 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     return arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
 
 
+def resize_stub(payload: bytes, width: int = 224, height: int = 224) -> bytes:
+    """STUB resize kernel (production: PIL ``Image.open(...).resize((w, h))``
+    re-encoded; PIL absent in this container). The deterministic fake
+    tiles/truncates bytes to exactly width*height so downstream batch
+    shapes are production-real."""
+    target = width * height
+    reps = -(-target // max(len(payload), 1))
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """mapInPandas resize: payload → fixed-size payload + updated metadata
+    (the third multimodal kernel alongside decode and frame-sample)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                resize_stub(p, width, height) for p in pdf["payload"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            out["n_bytes"] = width * height
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

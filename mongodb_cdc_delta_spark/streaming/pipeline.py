@@ -74,25 +74,31 @@ class CDCStreamPipeline:
 
     # ------------------------------------------------------------- sources
 
-    def from_kafka(
+    def kafka_options(
         self,
         bootstrap_servers: str,
         subscribe_pattern: str = "mongodb.*",
         starting_offsets: str = "earliest",
-    ) -> DataFrame:
-        """Kafka source with the reference consumer's semantics
-        (event_consumer.py:58-67: pattern subscribe, read_committed,
-        bounded poll)."""
-        return (
-            self.spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribePattern", subscribe_pattern)
-            .option("startingOffsets", starting_offsets)
-            .option("kafka.isolation.level", "read_committed")
-            .option("maxOffsetsPerTrigger", self.max_events_per_trigger)
-            .option("failOnDataLoss", "false")
-            .load()
-        )
+    ) -> dict[str, str]:
+        """Kafka source options with the reference consumer's semantics
+        (event_consumer.py:58-67: pattern subscribe `mongodb.*`
+        config.py:18, read_committed isolation, bounded poll of 2000)."""
+        return {
+            "kafka.bootstrap.servers": bootstrap_servers,
+            "subscribePattern": subscribe_pattern,
+            "startingOffsets": starting_offsets,
+            "kafka.isolation.level": "read_committed",
+            "maxOffsetsPerTrigger": str(self.max_events_per_trigger),
+            "failOnDataLoss": "false",
+        }
+
+    def from_kafka(self, bootstrap_servers: str, **kwargs: Any) -> DataFrame:
+        """Kafka streaming source (requires spark-sql-kafka on the
+        classpath; options testable separately via ``kafka_options``)."""
+        reader = self.spark.readStream.format("kafka")
+        for k, v in self.kafka_options(bootstrap_servers, **kwargs).items():
+            reader = reader.option(k, v)
+        return reader.load()
 
     def from_files(self, source_dir: str) -> DataFrame:
         """File source for tests/replay: each line one envelope JSON."""
