@@ -687,7 +687,83 @@ class LakeTable:
             raise ValueError(f"table does not exist: {self.root}")
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
+        if version_as_of is not None or timestamp_as_of is not None:
+            # historical snapshots may reference vacuumed files — fail with
+            # a clear retention error, not a mid-query FileNotFound
+            missing = [
+                f
+                for f in snap.files
+                if not os.path.exists(os.path.join(self.root, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"version {snap.version} is no longer reconstructible: "
+                    f"{len(missing)} data file(s) removed by VACUUM "
+                    f"(first: {missing[0]})"
+                )
         return self._read_file_groups(snap, snap.files, snap.schema)
+
+    def restore(self, version: int) -> dict[str, Any]:
+        """RESTORE TABLE TO VERSION equivalent: one commit that resets the
+        active file set (and schema/partitioning) to an older snapshot.
+        Metadata-only — no data files move, history is preserved, and the
+        restore itself is time-travelable."""
+        old = self._replay(version_as_of=version)
+        cur = self._replay()
+        if old.schema is None:
+            raise ValueError(f"version {version} not found")
+        missing = [
+            f
+            for f in old.files
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to {version}: {len(missing)} file(s) "
+                "removed by VACUUM"
+            )
+        # a commit carries ONE schema, so re-added files must physically
+        # match it; files written under older schemas in the target
+        # snapshot are rewritten (cast) — the rest re-attach metadata-only
+        old_schema_json = old.schema.jsonValue()
+        reusable: list[str] = []
+        needs_rewrite: list[str] = []
+        for f in old.files:
+            if old.schemas[old.file_schema[f]] == old_schema_json:
+                reusable.append(f)
+            else:
+                needs_rewrite.append(f)
+        cur_files = set(cur.files)
+        add = [
+            {"path": f, "size": os.path.getsize(os.path.join(self.root, f))}
+            for f in reusable
+            if f not in cur_files
+        ]
+        if needs_rewrite:
+            rewritten = self._read_file_groups(old, needs_rewrite, old.schema)
+            add.extend(self._stage_write(rewritten, old.partition_by))
+        remove = [
+            f
+            for f in cur.files
+            if f not in set(reusable) or f in set(needs_rewrite)
+        ]
+        commit = CommitInfo(
+            version=cur.version + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation="RESTORE",
+            add=add,
+            remove=remove,
+            schema=old_schema_json,
+            partition_by=old.partition_by,
+            metrics={"restored_to": version, "files_rewritten": len(needs_rewrite)},
+        )
+        self._publish(commit)
+        return {
+            "version": commit.version,
+            "restored_to": version,
+            "files_added": len(add),
+            "files_removed": len(remove),
+        }
 
     # -------------------------------------------------------- maintenance
 

@@ -147,3 +147,47 @@ class TestClusteredOptimize:
         assert mins == sorted(mins)
         # data intact
         assert t.read().count() == 10_000
+
+
+class TestRestore:
+    def test_restore_to_old_version(self, spark, lake):
+        t = LakeTable(spark, lake + "/t")
+        t.append(_df(spark, [(1, "a")], "id long, v string"))        # v0
+        t.append(_df(spark, [(2, "b")], "id long, v string"))        # v1
+        t.delete_where("id = 1")                                     # v2
+        assert t.read().count() == 1
+        res = t.restore(1)
+        assert res["restored_to"] == 1
+        assert sorted(r.id for r in t.read().collect()) == [1, 2]
+        # history preserved: the restore itself is a commit, and the
+        # pre-restore state is still reachable
+        assert t.history()[0].operation == "RESTORE"
+        assert t.read(version_as_of=2).count() == 1
+
+    def test_restore_across_schema_evolution_rewrites(self, spark, lake):
+        # v0 writes `n` as int; v1 widens to string; restoring to v1 must
+        # not map the int-typed v0 file to the string schema unreadably
+        t = LakeTable(spark, lake + "/t")
+        t.append(_df(spark, [(1, 10)], "id long, n int"))
+        from mongodb_cdc_delta_spark.schema import MergeMode
+
+        t.append(_df(spark, [(2, "x")], "id long, n string"),
+                 mode=MergeMode.PERMISSIVE)                          # v1
+        t.delete_where("id = 1")                                     # v2
+        res = t.restore(1)
+        assert res["version"] == 3
+        vals = sorted(r.n for r in t.read().collect())
+        assert vals == ["10", "x"]
+
+    def test_read_after_vacuum_gives_clear_error(self, spark, lake):
+        t = LakeTable(spark, lake + "/t")
+        t.append(_df(spark, [(1,)], "id long").coalesce(1))
+        t.append(_df(spark, [(2,)], "id long").coalesce(1))
+        t.optimize()
+        t.vacuum(retention_hours=0.0)
+        with pytest.raises(ValueError, match="VACUUM"):
+            t.read(version_as_of=0).collect()
+        with pytest.raises(ValueError, match="VACUUM"):
+            t.restore(0)
+        # latest snapshot unaffected
+        assert t.read().count() == 2
