@@ -294,16 +294,23 @@ class LakeTable:
 
     def _stage_write(
         self, df: DataFrame, partition_by: list[str]
-    ) -> list[dict[str, Any]]:
+    ) -> tuple[list[dict[str, Any]], int]:
         """Write df's parquet files under a per-commit staging dir, then move
         each part file into its hive partition dir at the table root with a
-        unique name. Returns the commit's add-file entries."""
+        unique name. Returns (add-file entries, rows written) — the row
+        count rides the write via the Observation API, no second scan
+        (reference write_batch returns records_written)."""
+        from pyspark.sql import Observation
+
         commit_id = uuid.uuid4().hex
         stage = os.path.join(self.root, _TMP_DIR, commit_id)
+        obs = Observation(f"stage-{commit_id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
+        rows = int(obs.get["rows"])
 
         add: list[dict[str, Any]] = []
         n = 0
@@ -329,7 +336,7 @@ class LakeTable:
                     }
                 )
         shutil.rmtree(stage, ignore_errors=True)
-        return add
+        return add, rows
 
     def _publish(self, commit: CommitInfo) -> None:
         """Two-phase atomic publish: write tmp, link into place. os.link
@@ -400,7 +407,7 @@ class LakeTable:
             merged = batch_schema
         df = cast_to_schema(df, merged)
 
-        add = self._stage_write(df, partition_by)
+        add, n_rows = self._stage_write(df, partition_by)
 
         commit = CommitInfo(
             version=self.version() + 1,
@@ -410,11 +417,11 @@ class LakeTable:
             schema=merged.jsonValue(),
             partition_by=partition_by,
             txn={"app_id": txn[0], "version": txn[1]} if txn else None,
-            metrics={"files": len(add)},
+            metrics={"files": len(add), "rows": n_rows},
         )
         self._publish(commit)
         return {
-            "rows": None,
+            "rows": n_rows,
             "files": len(add),
             "version": commit.version,
             "skipped": False,
@@ -506,7 +513,7 @@ class LakeTable:
         for p in parts[1:]:
             new_df = new_df.union(p)
 
-        add = self._stage_write(new_df, snap.partition_by)
+        add, _ = self._stage_write(new_df, snap.partition_by)
         commit = CommitInfo(
             version=self.version() + 1,
             timestamp_ms=int(time.time() * 1000),
@@ -579,7 +586,7 @@ class LakeTable:
             return {"version": snap.version, "files_rewritten": 0, "skipped": False}
         scan = self._read_file_groups(snap, affected, snap.schema)
         new_df = transform(scan)
-        add = self._stage_write(new_df, snap.partition_by)
+        add, _ = self._stage_write(new_df, snap.partition_by)
         commit = CommitInfo(
             version=self.version() + 1,
             timestamp_ms=int(time.time() * 1000),
@@ -741,7 +748,7 @@ class LakeTable:
         ]
         if needs_rewrite:
             rewritten = self._read_file_groups(old, needs_rewrite, old.schema)
-            add.extend(self._stage_write(rewritten, old.partition_by))
+            add.extend(self._stage_write(rewritten, old.partition_by)[0])
         remove = [
             f
             for f in cur.files
