@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..schema import MergeMode, merge_schemas
+from ..schema import MergeMode, cast_to_schema, merge_schemas
 from ..sinks.table import LakeTable
 
 MAX_DOCUMENT_BYTES = 16 * 1024 * 1024  # MongoDB's 16 MB document cap
@@ -276,13 +276,9 @@ def parse_events(
     )
     parsed = parsed.withColumn("_dlq_reason", reason)
 
-    # extended-JSON rewriting costs 6 regex passes over the doc text; docs
-    # without any '"$' wrapper (the overwhelming majority in steady state)
-    # skip it behind one cheap contains() check
-    normalized_doc = F.when(
-        F.col("doc").contains('"$'), normalize_extended_json(F.col("doc"))
-    ).otherwise(F.col("doc"))
-
+    # doc stays RAW here: schema inference reads the extended-JSON wrapper
+    # markers ($oid/$date/...) to assign real lake types (timestamp, not
+    # millis-long); normalization happens at parse time in ingest_batch
     clean = (
         parsed.where(
             F.col("_dlq_reason").isNull() & F.col("_cdc_operation").isNotNull()
@@ -290,7 +286,7 @@ def parse_events(
         .select(
             "db",
             "collection",
-            normalized_doc.alias("doc"),
+            F.col("doc"),
             "_cdc_timestamp",
             "_cdc_operation",
             now_expr.alias("_ingestion_timestamp"),
@@ -318,11 +314,13 @@ def parse_events(
 
 def _decimals_to_double(t):
     """JSON fractional numbers are BSON doubles (reference bson_to_delta.py
-    maps double→float64); variant inference yields DECIMAL — normalize."""
+    maps double→float64); variant inference yields DECIMAL — normalize.
+    Scale-0 decimals included: variant only emits DECIMAL when the literal
+    had a decimal point (`-74.0` → decimal(2,0)); pure integers are BIGINT."""
     from pyspark.sql.types import ArrayType, DecimalType, DoubleType
 
     if isinstance(t, DecimalType):
-        return DoubleType() if t.scale > 0 else t
+        return DoubleType()
     if isinstance(t, ArrayType):
         return ArrayType(_decimals_to_double(t.elementType), True)
     if isinstance(t, StructType):
@@ -346,6 +344,61 @@ def infer_doc_schema(docs_df: DataFrame, col: str = "doc") -> StructType | None:
         return None
     schema = StructType.fromDDL(ddl.replace("OBJECT<", "STRUCT<"))
     return _decimals_to_double(schema)
+
+
+def refine_bson_markers(t):
+    """Map extended-JSON wrapper structs in a RAW-doc inferred schema to the
+    reference's BSON→lake types (bson_to_delta.py:42-84: ObjectId→string,
+    datetime→timestamp, Decimal128→numeric, Binary→base64 string).
+
+    Returns (target_type, parse_type): target is the stored type; parse is
+    the physical type `normalize_extended_json` leaves in the JSON text
+    ($date millis → long parsed then cast to timestamp; $date ISO → string
+    that from_json parses into timestamp directly)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DataType,
+        DoubleType,
+    )
+
+    if isinstance(t, StructType):
+        names = {f.name for f in t.fields}
+        inner = {f.name: f.dataType for f in t.fields}
+        if names == {"$oid"} or names == {"$uuid"}:
+            return StringType(), StringType()
+        if names == {"$date"}:
+            v = inner["$date"]
+            if isinstance(v, StructType):  # {"$date": {"$numberLong": "..."}}
+                return TimestampType(), LongType()
+            if isinstance(v, StringType):  # ISO-8601 form
+                return TimestampType(), TimestampType()
+            return TimestampType(), LongType()  # numeric millis
+        if names == {"$numberLong"} or names == {"$numberInt"}:
+            return LongType(), LongType()
+        if names == {"$numberDouble"} or names == {"$numberDecimal"}:
+            return DoubleType(), DoubleType()
+        if names == {"$binary"}:
+            return StringType(), StringType()
+        if names == {"$timestamp"}:
+            return LongType(), LongType()
+        tgt_fields, parse_fields = [], []
+        for f in t.fields:
+            tgt, prs = refine_bson_markers(f.dataType)
+            tgt_fields.append(StructField(f.name, tgt, True))
+            parse_fields.append(StructField(f.name, prs, True))
+        return StructType(tgt_fields), StructType(parse_fields)
+    if isinstance(t, ArrayType):
+        tgt, prs = refine_bson_markers(t.elementType)
+        return ArrayType(tgt, True), ArrayType(prs, True)
+    return t, t
+
+
+def millis_cast_rule(col, src, dst):
+    """Scalar cast override for cast_to_schema: long→timestamp means epoch
+    millis in CDC data (Debezium convention), not Spark CAST's seconds."""
+    if isinstance(src, LongType) and isinstance(dst, TimestampType):
+        return F.timestamp_millis(col)
+    return None
 
 
 @dataclass
@@ -453,14 +506,19 @@ class CDCIngestor:
                 )
                 .collect()
             )
-            schemas: dict[tuple[str, str], StructType] = {}
+            schemas: dict[tuple[str, str], tuple[StructType, StructType]] = {}
             for r in inferred:
                 ddl = r["ddl"]
                 if ddl is not None and ddl.startswith("OBJECT<"):
-                    schemas[(r["db"], r["collection"])] = _decimals_to_double(
+                    raw_schema = _decimals_to_double(
                         StructType.fromDDL(ddl.replace("OBJECT<", "STRUCT<"))
                     )
-            for (db, coll), doc_schema in sorted(schemas.items()):
+                    # wrapper markers → real lake types (target) + the
+                    # physical post-normalization types (parse)
+                    schemas[(r["db"], r["collection"])] = refine_bson_markers(
+                        raw_schema
+                    )
+            for (db, coll), (doc_schema, parse_schema) in sorted(schemas.items()):
                 table_name = f"{db}_{coll}"
                 sub = clean.where(
                     (F.col("db") == db) & (F.col("collection") == coll)
@@ -474,9 +532,22 @@ class CDCIngestor:
                     doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
                     if doc_schema != data_schema:
                         stats.schema_evolutions.append(table_name)
-                rows = sub.select(
-                    F.from_json("doc", doc_schema).alias("d"), *CDC_META_COLUMNS
+                normalized = F.when(
+                    F.col("doc").contains('"$'),
+                    normalize_extended_json(F.col("doc")),
+                ).otherwise(F.col("doc"))
+                parsed_rows = sub.select(
+                    F.from_json(normalized, parse_schema).alias("d"),
+                    *CDC_META_COLUMNS,
                 ).select("d.*", *CDC_META_COLUMNS)
+                # millis-longs → timestamps + align to the merged schema
+                meta_fields = [
+                    parsed_rows.schema[c] for c in CDC_META_COLUMNS
+                ]
+                full_target = StructType(list(doc_schema.fields) + meta_fields)
+                rows = cast_to_schema(
+                    parsed_rows, full_target, scalar_rule=millis_cast_rule
+                )
                 txn = (
                     (f"cdc-{table_name}", batch_id) if batch_id is not None else None
                 )

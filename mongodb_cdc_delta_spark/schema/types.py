@@ -209,9 +209,13 @@ def schema_diff(s1: StructType, s2: StructType) -> dict[str, list[str]]:
     }
 
 
-def _cast_expr(col, src: DataType, dst: DataType):
+def _cast_expr(col, src: DataType, dst: DataType, scalar_rule=None):
     """Column expression casting src-typed col to dst, rebuilding nested
-    structs field-by-field (plain .cast can't add struct fields)."""
+    structs field-by-field (plain .cast can't add struct fields).
+
+    ``scalar_rule(col, src, dst) -> Column | None`` overrides individual
+    scalar casts (e.g. the CDC convention that a long cast to timestamp is
+    epoch *millis*, where Spark's CAST would read seconds)."""
     if src == dst:
         return col
     if isinstance(src, StructType) and isinstance(dst, StructType):
@@ -221,7 +225,10 @@ def _cast_expr(col, src: DataType, dst: DataType):
             if f.name in smap:
                 parts.append(
                     _cast_expr(
-                        col.getField(f.name), smap[f.name].dataType, f.dataType
+                        col.getField(f.name),
+                        smap[f.name].dataType,
+                        f.dataType,
+                        scalar_rule,
                     ).alias(f.name)
                 )
             else:
@@ -233,12 +240,19 @@ def _cast_expr(col, src: DataType, dst: DataType):
         ).cast(dst)
     if isinstance(src, ArrayType) and isinstance(dst, ArrayType):
         return F.transform(
-            col, lambda x: _cast_expr(x, src.elementType, dst.elementType)
+            col,
+            lambda x: _cast_expr(x, src.elementType, dst.elementType, scalar_rule),
         ).cast(dst)
+    if scalar_rule is not None:
+        custom = scalar_rule(col, src, dst)
+        if custom is not None:
+            return custom
     return col.cast(dst)
 
 
-def cast_to_schema(df: DataFrame, target: StructType) -> DataFrame:
+def cast_to_schema(
+    df: DataFrame, target: StructType, scalar_rule=None
+) -> DataFrame:
     """Project df onto `target`: missing columns become NULLs, present ones
     are cast (recursively for structs/arrays). This is the pre-write
     reconciliation the reference does in delta_writer.py:114-129."""
@@ -248,7 +262,10 @@ def cast_to_schema(df: DataFrame, target: StructType) -> DataFrame:
         if f.name in src_map:
             cols.append(
                 _cast_expr(
-                    F.col(f.name), src_map[f.name].dataType, f.dataType
+                    F.col(f.name),
+                    src_map[f.name].dataType,
+                    f.dataType,
+                    scalar_rule,
                 ).alias(f.name)
             )
         else:
