@@ -354,14 +354,24 @@ def refine_bson_markers(t):
     Returns (target_type, parse_type): target is the stored type; parse is
     the physical type `normalize_extended_json` leaves in the JSON text
     ($date millis → long parsed then cast to timestamp; $date ISO → string
-    that from_json parses into timestamp directly)."""
+    that from_json parses into timestamp directly).
+
+    Also resolves the schemaless edge cases (SURVEY §7.3, reference
+    bson_to_delta.py:130-147): all-empty arrays (element VOID) →
+    array<string>; empty structs → string (parquet rejects zero-field
+    structs; the string keeps the '{}' payload); bare VOID → string."""
     from pyspark.sql.types import (
         ArrayType,
         DataType,
         DoubleType,
+        NullType,
     )
 
+    if isinstance(t, NullType):
+        return StringType(), StringType()
     if isinstance(t, StructType):
+        if not t.fields:  # empty struct: parquet can't store it
+            return StringType(), StringType()
         names = {f.name for f in t.fields}
         inner = {f.name: f.dataType for f in t.fields}
         if names == {"$oid"} or names == {"$uuid"}:

@@ -187,3 +187,23 @@ class TestSchemaEvolutionSamples:
         v4 = df.where("_id = 'v4'").first()
         assert v4["roles"] == ["admin", "user"]
         assert v4["address"]["city"] == "c"
+
+
+class TestSchemalessEdges:
+    """SURVEY §7.3 watch list (reference bson_to_delta.py:130-147): empty
+    arrays default to array<string>; empty structs cannot land in parquet
+    and fall back to their JSON string; all-null fields become string."""
+
+    def test_empty_array_empty_struct_all_null(self, spark, tmp_path):
+        docs = [
+            {"_id": "x1", "tags": [], "meta": {}, "nothing": None},
+            {"_id": "x2", "tags": [], "meta": {}, "nothing": None},
+        ]
+        ing = ingest(spark, tmp_path, docs)
+        df = ing.table("app_users").read()
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert types["tags"] == "array<string>"
+        assert types["meta"] == "string"  # '{}' preserved, not dropped
+        assert types["nothing"] == "string"
+        r = df.where("_id = 'x1'").first()
+        assert r["tags"] == [] and r["meta"] == "{}" and r["nothing"] is None
