@@ -213,31 +213,53 @@ def parse_events(
     now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     df = _ensure_kafka_columns(raw_df)
 
-    env = F.from_json(F.col("value"), ENVELOPE_SCHEMA)
-    op_raw = env["payload"]["op"]
+    # ONE JSON parse per event: the envelope lands in a variant column and
+    # every field is a cheap variant extraction (the previous from_json +
+    # 3x get_json_object formulation re-parsed the full event text 4x).
+    df = df.withColumn("__v", F.try_parse_json(F.col("value")))
+    v = F.col("__v")
+
+    def vstr(path):
+        return F.try_variant_get(v, path, "string")
+
+    def vlong(path):
+        return F.try_variant_get(v, path, "long")
+
+    def vdoc(path):
+        """Document body as a JSON string: Debezium-Mongo string-encodes
+        after/before (variant string → cast), fixture shapes inline the
+        object (variant object → to_json); one coalesce covers both."""
+        node = F.try_variant_get(v, path, "variant")
+        return F.coalesce(
+            F.try_variant_get(v, path, "string"),
+            F.when(node.isNotNull(), F.to_json(node)),
+        )
+
+    op_raw = vstr("$.payload.op")
     operation = (
         F.when(op_raw.isin("c", "r"), F.lit("insert"))
         .when(op_raw == "u", F.lit("update"))
         .when(op_raw == "d", F.lit("delete"))
     )
-    after = F.get_json_object("value", "$.payload.after")
-    before = F.get_json_object("value", "$.payload.before")
+    after = vdoc("$.payload.after")
+    before = vdoc("$.payload.before")
+    # key-only delete doc: Debezium string-encodes payload._id (the string
+    # CONTENT is raw JSON, quotes included), so the string cast is used
+    # verbatim; non-string variants (inline numbers/objects) re-serialize
+    key_json = F.coalesce(
+        F.try_variant_get(v, "$.payload._id", "string"),
+        F.to_json(F.try_variant_get(v, "$.payload._id", "variant")),
+    )
     key_doc = F.when(
-        F.get_json_object("value", "$.payload._id").isNotNull(),
-        F.concat(
-            F.lit('{"_id": '),
-            F.coalesce(
-                F.get_json_object("value", "$.payload._id"), F.lit("null")
-            ),
-            F.lit("}"),
-        ),
+        key_json.isNotNull(),
+        F.concat(F.lit('{"_id": '), key_json, F.lit("}")),
     )
     doc = F.when(
         operation.isin("insert", "update"), after
     ).when(operation == "delete", F.coalesce(before, key_doc))
 
     cdc_ts = F.timestamp_millis(
-        F.coalesce(env["payload"]["ts_ms"], env["payload"]["source"]["ts_ms"])
+        F.coalesce(vlong("$.payload.ts_ms"), vlong("$.payload.source.ts_ms"))
     )
 
     parsed = df.select(
@@ -245,8 +267,8 @@ def parse_events(
         "topic",
         "partition",
         "offset",
-        env["payload"]["source"]["db"].alias("db"),
-        env["payload"]["source"]["collection"].alias("collection"),
+        vstr("$.payload.source.db").alias("db"),
+        vstr("$.payload.source.collection").alias("collection"),
         op_raw.alias("op_raw"),
         operation.alias("_cdc_operation"),
         doc.alias("doc"),
