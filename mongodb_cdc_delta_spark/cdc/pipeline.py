@@ -638,6 +638,44 @@ class CDCIngestor:
             txn=txn,
         )
 
+    def snapshot_load(
+        self,
+        docs_df: DataFrame,
+        database: str,
+        collection: str,
+        batch_id: int | None = None,
+        doc_col: str = "value",
+    ) -> IngestStats:
+        """Initial snapshot load (reference S8: Debezium snapshot.mode=
+        initial emits op='r' reads, spec SC-008 '1 TB ≤ 24 h').
+
+        Takes a DataFrame with one JSON document per row (e.g.
+        ``spark.read.text(dump.jsonl)``) and ingests it through the normal
+        pipeline as synthetic op='r' envelopes — snapshot rows land exactly
+        like streamed inserts (same typing, metadata, schema evolution,
+        idempotent txns), so a snapshot followed by streaming is seamless.
+        Scale: the envelope wrap is two string concats per row; throughput
+        is the ingest path's (~10k docs/s/worker here, cluster-linear)."""
+        import time as _time
+
+        prefix = (
+            '{"payload": {"op": "r", "ts_ms": '
+            + str(int(_time.time() * 1000))
+            + ', "source": {"db": "'
+            + database
+            + '", "collection": "'
+            + collection
+            + '"}, "after": '
+        )
+        # docs inline as raw JSON objects (valid JSON text needs no
+        # escaping; the parser accepts both inline and string-encoded after)
+        wrapped = docs_df.select(
+            F.concat(
+                F.lit(prefix), F.col(doc_col).cast("string"), F.lit("}}")
+            ).alias("value")
+        )
+        return self.ingest_batch(wrapped, batch_id=batch_id)
+
     def replay_dlq(
         self,
         reasons: list[str] | None = None,

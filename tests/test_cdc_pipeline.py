@@ -375,3 +375,54 @@ class TestCurrentStateMaterialization:
         ing.ingest_batch(events, batch_id=0, now=NOW)  # replay
         assert ing.table("shop_users__current").read().count() == 1
         assert ing.table("shop_users").read().count() == 1
+
+
+class TestSnapshotLoad:
+    def test_bulk_load_then_stream_seamless(self, spark, tmp_path):
+        # reference S8: initial snapshot (op='r') then streaming changes
+        import json as _json
+
+        dump = tmp_path / "users.jsonl"
+        docs = [{"_id": f"s{i}", "name": f"user-{i}", "n": i} for i in range(100)]
+        dump.write_text("\n".join(_json.dumps(d) for d in docs))
+
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.snapshot_load(
+            spark.read.text(str(dump)), "shop", "users", batch_id=0
+        )
+        assert stats.collections["shop_users"]["rows"] == 100
+        t = ing.table("shop_users").read()
+        assert t.count() == 100
+        # snapshot rows are inserts (op r → insert, reference
+        # event_handler.py:117-118)
+        assert t.where("_cdc_operation = 'insert'").count() == 100
+
+        # subsequent streamed update applies on top (recent event time —
+        # snapshot_load stamps the real clock, so `now` is real too)
+        import time as _t
+
+        ing.ingest_batch(
+            raw_df(
+                spark,
+                [
+                    envelope(
+                        "u",
+                        after={"_id": "s0", "name": "upd", "n": -1},
+                        ts=int(_t.time() * 1000),
+                    )
+                ],
+            ),
+            batch_id=1,
+        )
+        assert ing.table("shop_users").read().count() == 101
+
+    def test_snapshot_idempotent(self, spark, tmp_path):
+        import json as _json
+
+        dump = tmp_path / "d.jsonl"
+        dump.write_text(_json.dumps({"_id": "a", "x": 1}))
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        ing.snapshot_load(spark.read.text(str(dump)), "db", "c", batch_id=7)
+        res = ing.snapshot_load(spark.read.text(str(dump)), "db", "c", batch_id=7)
+        assert res.collections["db_c"]["skipped"]
+        assert ing.table("db_c").read().count() == 1
