@@ -85,31 +85,6 @@ def main() -> None:
         lambda it: it, "x long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice: the first run pays one-time Catalyst analysis +
-    # whole-stage-codegen compilation (cached thereafter); the second run is
-    # the steady-state throughput a long-lived cluster session sees, which
-    # is the number that extrapolates to the 100 TB design point. Both are
-    # reported; `value` is the steady-state total.
-    timings: dict[str, float] = {}
-    cold_total = 0.0
-    for name in HEADLINE:
-        q = registry[name]
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(q.fn(spark, SF_DIR))
-        cold_total += time.perf_counter() - t0
-        # two measured warm runs, min taken: single-JVM timings carry GC/JIT
-        # noise that a min over repeats suppresses. Queries that cache
-        # intermediates keep their cache across the warm runs (that IS their
-        # steady state); the clearCache above stops cross-query leakage.
-        warm = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(q.fn(spark, SF_DIR))
-            warm.append(time.perf_counter() - t0)
-        timings[name] = round(min(warm), 3)
-    spark.catalog.clearCache()
-
     # CDC ingest throughput (reference target: >=10k events/s/collection —
     # BASELINE.md): synthetic Debezium envelopes through the full parse →
     # infer → evolve → transactional-append path; steady-state batch timed.
@@ -142,13 +117,41 @@ def main() -> None:
     lake_dir = tempfile.mkdtemp(prefix="bench-lake-")
     try:
         ing = CDCIngestor(spark, lake_dir)
-        ing.ingest_batch(raw, batch_id=0)  # cold
-        t0 = time.perf_counter()
-        ing.ingest_batch(raw, batch_id=1)
-        ingest_rate = round(n_events / (time.perf_counter() - t0))
+        ing.ingest_batch(raw, batch_id=0)  # cold: pays codegen
+        best = float("inf")
+        for b in (1, 2):
+            t0 = time.perf_counter()
+            ing.ingest_batch(raw, batch_id=b)
+            best = min(best, time.perf_counter() - t0)
+        ingest_rate = round(n_events / best)
     finally:
         raw.unpersist()
         shutil.rmtree(lake_dir, ignore_errors=True)
+
+    # Each query runs twice: the first run pays one-time Catalyst analysis +
+    # whole-stage-codegen compilation (cached thereafter); the second run is
+    # the steady-state throughput a long-lived cluster session sees, which
+    # is the number that extrapolates to the 100 TB design point. Both are
+    # reported; `value` is the steady-state total.
+    timings: dict[str, float] = {}
+    cold_total = 0.0
+    for name in HEADLINE:
+        q = registry[name]
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(q.fn(spark, SF_DIR))
+        cold_total += time.perf_counter() - t0
+        # two measured warm runs, min taken: single-JVM timings carry GC/JIT
+        # noise that a min over repeats suppresses. Queries that cache
+        # intermediates keep their cache across the warm runs (that IS their
+        # steady state); the clearCache above stops cross-query leakage.
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(q.fn(spark, SF_DIR))
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 3)
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
