@@ -816,3 +816,35 @@ def array_agg_user_events(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("event_type").alias("n_types"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelates to a join — SURVEY §4)
+# ---------------------------------------------------------------------------
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    description="correlated scalar subquery: orders above 2x their "
+    "customer's average — Catalyst decorrelates into one aggregate + join "
+    "(no per-row re-execution)",
+    tags=("subquery", "join"),
+)
+def correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    view = "orders_cs_tmp"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM {view} o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                  FROM {view} o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
