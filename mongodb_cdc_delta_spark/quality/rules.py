@@ -168,13 +168,19 @@ def apply_transformations(
     return mask_columns(df, list(mask_rules))
 
 
-def quality_observe(df: DataFrame, name: str = "quality") -> DataFrame:
+def quality_observe(df: DataFrame, name: str = "quality"):
     """FR-058 quality metrics via the observe() API: row count + per-column
-    null counts arrive with the batch's QueryExecution listener events, no
-    extra scan."""
+    null counts ride the next action on this frame — no extra scan.
+
+    Returns (df, Observation); after any action on df, ``observation.get``
+    yields {'rows': n, 'nulls_<col>': n, ...} (reference
+    prometheus_metrics.py events/failure counters)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
     metrics = [F.count(F.lit(1)).alias("rows")]
     for c in df.columns[:20]:  # cap observation width
         metrics.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
         )
-    return df.observe(name, *metrics)
+    return df.observe(obs, *metrics), obs

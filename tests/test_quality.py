@@ -174,3 +174,18 @@ class TestCircuitBreaker:
         assert cb.state == "open"
         with pytest.raises(CircuitOpenError):
             cb.call(lambda: "x")
+
+
+class TestQualityObserve:
+    def test_metrics_ride_the_action(self, spark):
+        from mongodb_cdc_delta_spark.quality.rules import quality_observe
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "id long, v string"
+        )
+        observed, obs = quality_observe(df, name="q1")
+        assert observed.count() == 3  # the action that materializes metrics
+        got = obs.get
+        assert got["rows"] == 3
+        assert got["nulls_id"] == 0
+        assert got["nulls_v"] == 2
