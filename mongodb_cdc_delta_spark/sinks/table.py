@@ -151,11 +151,15 @@ class LakeTable:
 
     def _write_checkpoint(self, version: int) -> None:
         """Materialize full replay state at `version` (idempotent; readers
-        ignore a missing/partial checkpoint and fall back to full replay)."""
+        ignore a missing/partial checkpoint and fall back to full replay).
+        Includes writer-txn high-water marks and table properties so
+        txn_version()/properties() are also O(interval), not O(history)."""
         active: dict[str, int] = {}
         schemas: list[dict] = []
         cur_idx = -1
         partition_by: list[str] = []
+        txns: dict[str, int] = {}
+        props: dict[str, str] = {}
         for v in self._versions():
             if v > version:
                 break
@@ -167,6 +171,11 @@ class LakeTable:
                 cur_idx = len(schemas) - 1
             if c.partition_by:
                 partition_by = c.partition_by
+            if c.txn:
+                app = c.txn["app_id"]
+                txns[app] = max(txns.get(app, -1), int(c.txn["version"]))
+            if c.properties:
+                props.update(c.properties)
             for a in c.add:
                 active[a["path"]] = cur_idx
             for r in c.remove:
@@ -182,6 +191,8 @@ class LakeTable:
                     "schemas": schemas,
                     "cur_idx": cur_idx,
                     "partition_by": partition_by,
+                    "txns": txns,
+                    "properties": props,
                 },
                 fh,
             )
@@ -260,9 +271,16 @@ class LakeTable:
     def properties(self) -> dict[str, str]:
         """Accumulated table properties (ALTER TABLE SET TBLPROPERTIES
         equivalent; reference delta_writer.py:284-411 schema-version
-        metadata). Later commits override earlier keys."""
-        props: dict[str, str] = {}
-        for v in self._versions():
+        metadata). Later commits override earlier keys. Checkpoint + tail."""
+        versions = self._versions()
+        if not versions:
+            return {}
+        ckpt = self._latest_checkpoint(versions[-1])
+        props: dict[str, str] = dict((ckpt or {}).get("properties", {}))
+        start = (ckpt or {}).get("version", -1)
+        for v in versions:
+            if v <= start:
+                continue
             c = self._read_commit(v)
             if c.properties:
                 props.update(c.properties)
@@ -282,9 +300,18 @@ class LakeTable:
 
     def txn_version(self, app_id: str) -> int:
         """Highest committed writer-transaction version for app_id
-        (Delta's txnAppId/txnVersion idempotency contract)."""
-        latest = -1
-        for v in self._versions():
+        (Delta's txnAppId/txnVersion idempotency contract). Checkpoint +
+        tail scan — this runs on EVERY idempotent append, so it must not
+        re-read the whole history."""
+        versions = self._versions()
+        if not versions:
+            return -1
+        ckpt = self._latest_checkpoint(versions[-1])
+        latest = int((ckpt or {}).get("txns", {}).get(app_id, -1))
+        start = (ckpt or {}).get("version", -1)
+        for v in versions:
+            if v <= start:
+                continue
             c = self._read_commit(v)
             if c.txn and c.txn.get("app_id") == app_id:
                 latest = max(latest, int(c.txn["version"]))

@@ -191,3 +191,23 @@ class TestRestore:
             t.restore(0)
         # latest snapshot unaffected
         assert t.read().count() == 2
+
+
+class TestCheckpointTxnProps:
+    def test_txn_and_properties_survive_checkpoint(self, spark, lake):
+        t = LakeTable(spark, lake + "/t")
+        t.set_properties({"k": "early"})
+        for i in range(CHECKPOINT_INTERVAL + 2):
+            t.append(
+                _df(spark, [(i,)], "id long").coalesce(1), txn=("app", i)
+            )
+        # checkpoint exists and the pre-checkpoint txn/property state is
+        # visible through it
+        assert t.txn_version("app") == CHECKPOINT_INTERVAL + 1
+        assert t.txn_version("other") == -1
+        assert t.properties() == {"k": "early"}
+        # idempotency still holds across the checkpoint boundary
+        res = t.append(
+            _df(spark, [(99,)], "id long"), txn=("app", 0)
+        )
+        assert res["skipped"]
