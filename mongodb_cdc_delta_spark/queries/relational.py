@@ -848,3 +848,30 @@ def correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
                                   WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "variant_extract_filter",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY 1
+    """,
+    description="VARIANT-native semi-structured access (Spark 4): "
+    "try_parse_json once, typed try_variant_get extractions — the "
+    "binary-encoded fast path the CDC parser uses, vs per-path "
+    "get_json_object re-parsing in json_extract_agg",
+    tags=("json", "variant", "agg"),
+)
+def variant_extract_filter(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k") > 50)
+        .groupBy((F.col("k") % 5).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
