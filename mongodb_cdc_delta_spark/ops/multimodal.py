@@ -189,16 +189,21 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     oracle="""
     WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents)
     SELECT doc_id, frame_idx,
-           encode(substring(text, CAST(1 + frame_idx * 100 AS INT), 16))
-             AS frame_bytes
+           hex(encode(substring(text, CAST(1 + frame_idx * 100 AS INT), 16)))
+             AS frame_hex
     FROM m, UNNEST(generate_series(0,
                 CAST(floor(n_bytes / 100) AS INT) - 1)) AS t(frame_idx)
     WHERE floor(n_bytes / 100) > 0 AND frame_idx % 2 = 0
     """,
     description="video-style frame sampling: fixed-offset binary windows, "
-    "every 2nd kept — pure JVM substr on BinaryType, no decode",
+    "every 2nd kept — pure JVM substr on BinaryType, no decode; emitted as "
+    "hex so the driver's pandas canonicalizer can hash it (bytearray cells "
+    "are unhashable); frame_sample() keeps the binary-native API",
     tags=("multimodal",),
 )
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     media = as_media_table(load(spark, sf, "documents"))
-    return frame_sample(media, every_n_bytes=100)
+    frames = frame_sample(media, every_n_bytes=100)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )

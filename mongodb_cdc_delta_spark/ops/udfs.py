@@ -24,7 +24,7 @@ from ..queries import load, register
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))
@@ -41,7 +41,7 @@ def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
         f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
@@ -142,10 +142,16 @@ def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 )
 def approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
+    # scalar columns (not the array form): the driver's pandas canonicalizer
+    # cannot hash list cells
     return l.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
-        ).alias("p50_p95")
+        ).alias("p")
+    ).select(
+        "l_returnflag",
+        F.element_at("p", 1).alias("p50"),
+        F.element_at("p", 2).alias("p95"),
     )
 
 

@@ -83,7 +83,7 @@ def range_scan(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
     FROM events
     GROUP BY event_type
@@ -97,11 +97,12 @@ def group_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec(F.col("value"))).alias("sum_value"),
+            # the sum itself is exact decimal arithmetic; only the emitted
+            # column is cast (once) to double so both engines hand the driver
+            # the same pandas dtype (DuckDB's decimal→pandas path is float64)
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
         )
-        .withColumn(
-            "avg_value", F.col("sum_value").cast("double") / F.col("n_events")
-        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
     )
 
 
@@ -139,7 +140,7 @@ def group_topk(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -154,7 +155,7 @@ def fk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec(F.col("o_totalprice"))).alias("revenue"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
         )
     )
 
@@ -165,9 +166,9 @@ def fk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
 PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
@@ -206,12 +207,15 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         return F.round(c * 10000).cast("long")
 
     def unscale(name):
-        return (F.col(name).cast("decimal(34,0)") / 10000).cast("decimal(28,4)")
+        # the scaled sum is an exact integer < 2^53, so double division by
+        # 10000.0 is correctly rounded — identical to exact-decimal/10000
+        # cast to double, and the dtype DuckDB's pandas path emits
+        return F.col(name).cast("double") / 10000.0
 
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(scaled(F.col("l_quantity"))).alias("sq"),
         F.sum(scaled(F.col("l_extendedprice"))).alias("sb"),
-        F.sum(_dec(disc_price)).alias("sum_disc_price"),
+        F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
         (F.sum(charge_scaled).cast("double") / 10000.0).alias("sum_charge"),
         F.sum(scaled(F.col("l_discount"))).alias("sd"),
         F.count("*").alias("count_order"),
@@ -242,7 +246,8 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "revenue_forecast",
     oracle="""
-    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -262,9 +267,9 @@ def revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -276,7 +281,7 @@ def revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
     "star_join_revenue",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -314,9 +319,9 @@ def star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        )
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -327,9 +332,9 @@ def star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT event_id, user_id,
-           sum(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
     FROM events
     """,
     description="running per-user sum; single shuffle on the partition key",
@@ -346,7 +351,7 @@ def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.sum(_dec(F.col("value"))).over(w).alias("run_sum"),
+            F.sum(_dec(F.col("value"))).over(w).cast("double").alias("run_sum"),
         )
     )
 
@@ -409,8 +414,9 @@ def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events
@@ -462,7 +468,8 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "rollup_daily",
     oracle="""
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-           count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
     """,
@@ -475,7 +482,7 @@ def rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
     return e.rollup("event_type", "day").agg(
         F.count("*").alias("n"),
-        F.sum(_dec(F.col("value"))).alias("sum_value"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
     )
 
 
@@ -483,7 +490,7 @@ def rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
     "cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -496,7 +503,7 @@ def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec(F.col("o_totalprice"))).alias("total"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
         )
     )
 
@@ -795,7 +802,8 @@ def unpivot_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
     "array_agg_user_events",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types,
            count(DISTINCT event_type) AS n_types
     FROM events
     WHERE user_id < 200
@@ -803,7 +811,8 @@ def unpivot_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """,
     description="array aggregation: distinct event types per user as a "
     "sorted array (collect_set + array_sort — deterministic regardless of "
-    "shuffle order)",
+    "shuffle order); emitted comma-joined so the driver's pandas "
+    "canonicalizer (which cannot sort list cells) can value-hash it",
     tags=("agg", "array"),
 )
 def array_agg_user_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -812,7 +821,9 @@ def array_agg_user_events(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("user_id") < 200)
         .groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
             F.count_distinct("event_type").alias("n_types"),
         )
     )
@@ -855,7 +866,8 @@ def correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY 1

@@ -108,10 +108,12 @@ def _rowhash_col():
     oracle=f"""
     WITH target AS ({_TARGET_SQL}),
     s AS (SELECT event_id % 16 AS bucket,
-                 sum({_ROWHASH_SQL}) AS src_hash, count(*) AS src_count
+                 CAST(sum({_ROWHASH_SQL}) AS BIGINT) AS src_hash,
+                 count(*) AS src_count
           FROM events GROUP BY 1),
     t AS (SELECT event_id % 16 AS bucket,
-                 sum({_ROWHASH_SQL}) AS tgt_hash, count(*) AS tgt_count
+                 CAST(sum({_ROWHASH_SQL}) AS BIGINT) AS tgt_hash,
+                 count(*) AS tgt_count
           FROM target GROUP BY 1)
     SELECT s.bucket,
            src_hash, tgt_hash,

@@ -1,0 +1,116 @@
+"""Driver-canonicalizer compatibility gate.
+
+The external correctness driver converts both the Spark result and the
+DuckDB oracle result to pandas, sorts columns by name, sorts rows, and
+value-hashes. That path is stricter than value equality:
+
+- cells must be hashable/sortable (no list / bytearray / dict / ndarray);
+- the pandas dtype must agree between engines, because DuckDB's `.df()`
+  converts DECIMAL (any width) and HUGEINT to float64 while Spark's
+  `toPandas()` yields object-dtype `Decimal` / int64 — equal values, different
+  hashes.
+
+So every oracle-checked query must emit driver-safe output types and the
+two engines' pandas frames must line up dtype-for-dtype. Runs at sf0.001:
+dtype alignment is schema-level, so the smallest SF proves it.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from mongodb_cdc_delta_spark.queries import all_queries
+from mongodb_cdc_delta_spark.session import TABLE_NAMES
+
+REGISTRY = all_queries()
+ALL_NAMES = sorted(REGISTRY)
+ORACLE_NAMES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+
+_FORBIDDEN = (list, tuple, dict, set, bytearray, bytes, decimal.Decimal)
+
+
+def _duckdb_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con.execute(sql).df()
+
+
+def _assert_cells_hashable(df: pd.DataFrame, name: str, side: str) -> None:
+    for col in df.columns:
+        if df[col].dtype != object:
+            continue
+        for v in df[col]:
+            if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+                continue
+            assert not isinstance(v, _FORBIDDEN) and not isinstance(
+                v, np.ndarray
+            ), (
+                f"{name} ({side}): column {col!r} holds "
+                f"{type(v).__name__} cells — the driver's pandas "
+                f"canonicalizer cannot sort/hash these"
+            )
+
+
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the classes the driver's hash can confuse."""
+    k = s.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "ts"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_spark_output_driver_safe(spark, sf_smoke, name):
+    """Every registered query (incl. rows-only) must emit hashable cells."""
+    pdf = REGISTRY[name].fn(spark, sf_smoke).toPandas()
+    _assert_cells_hashable(pdf, name, "spark")
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_pandas_dtypes_align(spark, sf_smoke, name):
+    q = REGISTRY[name]
+    spdf = q.fn(spark, sf_smoke).toPandas()
+    dpdf = _duckdb_df(q.oracle, sf_smoke)
+    _assert_cells_hashable(dpdf, name, "duckdb")
+
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column names differ: {sorted(spdf.columns)} vs "
+        f"{sorted(dpdf.columns)}"
+    )
+    mismatches = []
+    for col in sorted(spdf.columns):
+        sk, dk = _dtype_kind(spdf[col]), _dtype_kind(dpdf[col])
+        # a nullable int64 becomes float64 on whichever side holds a NULL;
+        # with equal values both sides hold the same NULLs, so int-vs-float
+        # only diverges when one side is empty of NULLs and the other is not
+        # a possible result set — treat int/float as aligned only if the
+        # non-int side actually contains a NaN (the NULL-widening case).
+        if sk != dk:
+            if {sk, dk} == {"int", "float"}:
+                f = spdf[col] if sk == "float" else dpdf[col]
+                if f.isna().any():
+                    continue
+            mismatches.append(
+                f"{col}: spark={spdf[col].dtype} duckdb={dpdf[col].dtype}"
+            )
+    assert not mismatches, (
+        f"{name}: pandas dtype mismatch (driver hash would differ even with "
+        f"equal values): {mismatches}"
+    )
