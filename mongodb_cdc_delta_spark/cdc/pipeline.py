@@ -147,14 +147,23 @@ def normalize_extended_json(col):
     )
     # {"$date": "ISO8601"} → "ISO8601"
     c = F.regexp_replace(c, r'\{\s*"\$date"\s*:\s*("[^"]*")\s*\}', r"$1")
+    # {"$date": 123} → 123 (legacy bare epoch-millis form; refine_bson_markers
+    # already types it (timestamp, long))
+    c = F.regexp_replace(c, r'\{\s*"\$date"\s*:\s*(-?\d+)\s*\}', r"$1")
     # {"$numberLong|Int": "123"} → 123
     c = F.regexp_replace(
         c, r'\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}', r"$1"
     )
-    # {"$numberDouble|Decimal": "1.5"} → 1.5
+    # {"$numberDouble|Decimal": "1.5"} → 1.5 — the exponent sign group
+    # matters: "1.5e-3" must unwrap too, or from_json sees an object where
+    # the parse schema expects a double and silently nulls the field.
+    # NaN/±Infinity pass through unquoted: from_json's Jackson parser
+    # accepts non-numeric doubles (the inference path never sees them —
+    # it reads the RAW wrapper text, which is valid JSON).
     c = F.regexp_replace(
         c,
-        r'\{\s*"\$number(?:Double|Decimal)"\s*:\s*"(-?[\d.eE+]+)"\s*\}',
+        r'\{\s*"\$number(?:Double|Decimal)"\s*:\s*'
+        r'"(-?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|NaN|-?Infinity)"\s*\}',
         r"$1",
     )
     # {"$binary": {"base64": "...", "subType": "xx"}} → base64 string
@@ -591,7 +600,12 @@ class CDCIngestor:
                     txn=txn,
                 )
                 stats.collections[table_name] = res
-                if self.materialize_current and not res.get("skipped"):
+                # run the __current merge even when the main append was
+                # skipped as a duplicate: a retry that crashed between the
+                # two commits would otherwise never materialize this batch.
+                # The merge's own txn (cdc-current-<table>, batch_id) makes
+                # re-merges no-ops.
+                if self.materialize_current:
                     self._merge_current_state(table_name, rows, batch_id)
             n_dlq = dlq.count()
             stats.dlq_rows = n_dlq

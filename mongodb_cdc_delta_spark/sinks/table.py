@@ -32,6 +32,7 @@ predicate pushdown, and partition pruning all apply unchanged.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -40,6 +41,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -208,16 +210,16 @@ class LakeTable:
         if not versions:
             return Snapshot([], None, [], -1)
         if timestamp_as_of is not None:
-            ts_ms = (
-                int(timestamp_as_of)
-                if isinstance(timestamp_as_of, (int, float))
-                else int(
-                    time.mktime(
-                        time.strptime(str(timestamp_as_of)[:19], "%Y-%m-%d %H:%M:%S")
-                    )
-                    * 1000
-                )
-            )
+            if isinstance(timestamp_as_of, (int, float)):
+                ts_ms = int(timestamp_as_of)
+            else:
+                # commit timestamp_ms is UTC epoch millis, so naive strings
+                # are interpreted as UTC (not host-local) and sub-second
+                # precision is preserved
+                dt = datetime.datetime.fromisoformat(str(timestamp_as_of))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
             eligible = [
                 v for v in versions if self._read_commit(v).timestamp_ms <= ts_ms
             ]
@@ -386,6 +388,21 @@ class LakeTable:
         if commit.version > 0 and commit.version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(commit.version)
 
+    def _publish_staged(self, commit: CommitInfo, staged: list[dict]) -> None:
+        """``_publish`` that deletes just-staged data files when the commit
+        loses the optimistic-concurrency race. Callers retry with a fresh
+        stage, and vacuum only deletes paths named in commit remove-lists —
+        without this, every lost race orphans its data files forever."""
+        try:
+            self._publish(commit)
+        except ConcurrentWriteError:
+            for entry in staged:
+                try:
+                    os.remove(os.path.join(self.root, entry["path"]))
+                except OSError:
+                    pass
+            raise
+
     def create_if_not_exists(
         self, schema: StructType, partition_by: list[str] | None = None
     ) -> bool:
@@ -446,7 +463,7 @@ class LakeTable:
             txn={"app_id": txn[0], "version": txn[1]} if txn else None,
             metrics={"files": len(add), "rows": n_rows},
         )
-        self._publish(commit)
+        self._publish_staged(commit, add)
         return {
             "rows": n_rows,
             "files": len(add),
@@ -552,7 +569,7 @@ class LakeTable:
             txn={"app_id": txn[0], "version": txn[1]} if txn else None,
             metrics={"files_rewritten": len(affected), "files_added": len(add)},
         )
-        self._publish(commit)
+        self._publish_staged(commit, add)
         return {
             "version": commit.version,
             "files_rewritten": len(affected),
@@ -582,10 +599,20 @@ class LakeTable:
                     .distinct()
                     .collect()
                 )
-            except Exception:
+            except AnalysisException as e:
                 # predicate references columns absent from this historical
-                # schema → no row in these files can match
-                continue
+                # schema → no row in these files can match. Anything else
+                # (bad predicate syntax, transient scan failure) must NOT
+                # be swallowed: returning "no matches" would make a DELETE
+                # silently do nothing while reporting success.
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else getattr(e, "getErrorClass", lambda: None)()
+                )
+                if cond and "UNRESOLVED_COLUMN" in cond:
+                    continue
+                raise
             for r in hits:
                 p = r["__file"]
                 if p.startswith("file:"):
@@ -625,7 +652,7 @@ class LakeTable:
             txn={"app_id": txn[0], "version": txn[1]} if txn else None,
             metrics={"files_rewritten": len(affected)},
         )
-        self._publish(commit)
+        self._publish_staged(commit, add)
         return {
             "version": commit.version,
             "files_rewritten": len(affected),
@@ -773,9 +800,11 @@ class LakeTable:
             for f in reusable
             if f not in cur_files
         ]
+        staged_new: list[dict] = []
         if needs_rewrite:
             rewritten = self._read_file_groups(old, needs_rewrite, old.schema)
-            add.extend(self._stage_write(rewritten, old.partition_by)[0])
+            staged_new = self._stage_write(rewritten, old.partition_by)[0]
+            add.extend(staged_new)
         remove = [
             f
             for f in cur.files
@@ -791,7 +820,9 @@ class LakeTable:
             partition_by=old.partition_by,
             metrics={"restored_to": version, "files_rewritten": len(needs_rewrite)},
         )
-        self._publish(commit)
+        # only the just-staged rewrites are safe to delete on a lost race;
+        # `add` also names reused historical files that must survive
+        self._publish_staged(commit, staged_new)
         return {
             "version": commit.version,
             "restored_to": version,
@@ -862,7 +893,7 @@ class LakeTable:
 
         if not remove:
             return {"partitions_compacted": 0, "files_before": len(files)}
-        self._publish(
+        self._publish_staged(
             CommitInfo(
                 version=self.version() + 1,
                 timestamp_ms=int(time.time() * 1000),
@@ -872,7 +903,8 @@ class LakeTable:
                 schema=schema.jsonValue(),
                 partition_by=partition_by,
                 metrics={"files_before": len(files), "files_added": len(add)},
-            )
+            ),
+            add,
         )
         return {
             "partitions_compacted": len({os.path.dirname(f) for f in remove}),

@@ -151,6 +151,45 @@ class TestExtendedJson:
         assert parsed["count"] == 42
         assert parsed["blob"] == "aGVsbG8="
 
+    def test_normalize_scientific_notation_and_bare_date(self, spark):
+        # negative exponents and the legacy bare-millis $date form must
+        # unwrap, or from_json sees an object where the parse schema
+        # expects double/long and silently nulls the field (data loss)
+        doc = (
+            '{"tiny": {"$numberDouble": "1.5e-3"},'
+            ' "huge": {"$numberDecimal": "-2.5E+10"},'
+            ' "nan": {"$numberDouble": "NaN"},'
+            ' "neginf": {"$numberDouble": "-Infinity"},'
+            ' "legacy_when": {"$date": 1706054400000}}'
+        )
+        out = spark.range(1).select(
+            normalize_extended_json(F.lit(doc)).alias("d")
+        ).first()["d"]
+        assert '"tiny": 1.5e-3' in out
+        assert '"huge": -2.5E+10' in out
+        assert '"nan": NaN' in out
+        assert '"neginf": -Infinity' in out
+        assert '"legacy_when": 1706054400000' in out
+        # and the parse path (from_json, which accepts non-numeric doubles)
+        # recovers the typed values
+        parsed = (
+            spark.range(1)
+            .select(
+                F.from_json(
+                    normalize_extended_json(F.lit(doc)),
+                    "tiny double, huge double, nan double, neginf double, "
+                    "legacy_when long",
+                ).alias("p")
+            )
+            .select("p.*")
+            .first()
+        )
+        assert parsed["tiny"] == 1.5e-3
+        assert parsed["huge"] == -2.5e10
+        assert parsed["nan"] != parsed["nan"]  # NaN
+        assert parsed["neginf"] == float("-inf")
+        assert parsed["legacy_when"] == 1706054400000
+
     def test_infer_doc_schema(self, spark):
         docs = spark.createDataFrame(
             [
@@ -375,6 +414,23 @@ class TestCurrentStateMaterialization:
         ing.ingest_batch(events, batch_id=0, now=NOW)  # replay
         assert ing.table("shop_users__current").read().count() == 1
         assert ing.table("shop_users").read().count() == 1
+
+    def test_retry_after_main_commit_still_merges_current(self, spark, tmp_path):
+        # crash window: main append committed, __current merge did not.
+        # Simulate by ingesting WITHOUT materialization (main table commits
+        # under txn cdc-shop_users/0), then retrying the same batch with
+        # materialization on: the skipped main append must NOT skip the
+        # merge, or __current misses the batch forever.
+        events = raw_df(spark, [envelope("c", after={"_id": "x", "n": 1})])
+        CDCIngestor(spark, str(tmp_path / "lake")).ingest_batch(
+            events, batch_id=0, now=NOW
+        )
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), materialize_current=True
+        )
+        stats = ing.ingest_batch(events, batch_id=0, now=NOW)
+        assert stats.collections["shop_users"]["skipped"] is True
+        assert ing.table("shop_users__current").read().count() == 1
 
 
 class TestSnapshotLoad:

@@ -175,3 +175,93 @@ def test_create_if_not_exists(spark, lake):
     assert not t.create_if_not_exists(schema)
     assert t.read().count() == 0
     assert t.schema()["id"].dataType.typeName() == "long"
+
+
+# ---------------------------------------------------------------------------
+# Hardening: UTC timestamp strings, lost-race orphan cleanup, predicate
+# error propagation
+# ---------------------------------------------------------------------------
+def test_timestamp_as_of_string_is_utc_subsecond(spark, lake):
+    import datetime as dt
+
+    t = LakeTable(spark, lake + "/ts")
+    t.append(_df(spark, [(1,)], "id long"))
+    t.append(_df(spark, [(2,)], "id long"))
+    v0_ms = t.history()[-1].timestamp_ms
+    # an ISO string naming v0's exact UTC commit instant (sub-second kept)
+    # must resolve to v0 regardless of the host timezone
+    iso = dt.datetime.fromtimestamp(
+        v0_ms / 1000, tz=dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert t.read(timestamp_as_of=iso).count() == 1
+    # explicit offset strings work too
+    assert (
+        t.read(
+            timestamp_as_of=dt.datetime.fromtimestamp(
+                v0_ms / 1000, tz=dt.timezone.utc
+            ).isoformat()
+        ).count()
+        == 1
+    )
+
+
+def test_lost_race_cleans_up_staged_files(spark, lake, monkeypatch):
+    import os
+
+    from mongodb_cdc_delta_spark.sinks import CommitInfo
+
+    t = LakeTable(spark, lake + "/race")
+    t.append(_df(spark, [(1,)], "id long"))
+
+    def parquet_files():
+        out = []
+        for dirpath, _dirs, names in os.walk(t.root):
+            if "_tmp" in dirpath or "_log" in dirpath:
+                continue
+            out.extend(n for n in names if n.endswith(".parquet"))
+        return sorted(out)
+
+    before = parquet_files()
+    orig_stage = t._stage_write
+    stale_version = t.version()
+
+    def stage_then_lose_race(df, partition_by):
+        add, rows = orig_stage(df, partition_by)
+        # a competing writer publishes the version this append will try
+        # (both writers read the same stale snapshot — the classic race)
+        import time
+
+        t._publish(
+            CommitInfo(
+                version=stale_version + 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation="WRITE",
+            )
+        )
+        monkeypatch.setattr(t, "version", lambda: stale_version)
+        return add, rows
+
+    monkeypatch.setattr(t, "_stage_write", stage_then_lose_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.append(_df(spark, [(2,)], "id long"))
+    monkeypatch.undo()
+    # the abandoned attempt's staged data files were deleted, not orphaned
+    assert parquet_files() == before
+    # and a clean retry converges
+    t.append(_df(spark, [(2,)], "id long"))
+    assert t.read().count() == 2
+
+
+def test_delete_where_bad_predicate_raises(spark, lake):
+    t = LakeTable(spark, lake + "/badpred")
+    t.append(_df(spark, [(1, "a"), (2, "b")], "id long, name string"))
+    # invalid expression (unknown function) must surface, not silently
+    # report "0 files rewritten" success
+    with pytest.raises(Exception):
+        t.delete_where("no_such_function(id) = 1")
+    assert t.read().count() == 2
+    # a column absent from every write schema means no row can match:
+    # that (and only that) is a clean no-op
+    res = t.delete_where("ghost_column = 'x'")
+    assert res["files_rewritten"] == 0
+    assert t.read().count() == 2
