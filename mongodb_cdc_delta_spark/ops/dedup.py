@@ -97,13 +97,15 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
 
 
 JACCARD_ORACLE = """
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(toks) - 2),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
     ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -125,21 +127,51 @@ JACCARD_ORACLE = """
     oracle=JACCARD_ORACLE,
     description="near-dup via word-trigram Jaccard ≥ 0.05: explode shingles, "
     "self-join on shingle, exact set arithmetic. Trigrams keep the shingle "
-    "key space selective (sum of df² bounds the join output — bigrams on a "
-    "small vocab explode ~25x); at extreme scale add a max-df shingle cap",
+    "key space selective (sum of df² bounds the join output), and a max-df "
+    "cap (100) drops stop-phrase shingles before the self-join — one hot "
+    "shingle with df=d otherwise contributes d²/2 pairs, the scale-killer "
+    "on skewed corpora. The oracle applies the identical cap.",
     tags=("dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        load(spark, sf, "documents"), n=3, threshold=0.05, max_shingle_df=100
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs over a document frame.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents from BOTH the intersection join and the per-doc sizes, so the
+    Jaccard is computed over the capped shingle universe on both sides of
+    any cross-engine comparison. This bounds the self-join blowup: a
+    shingle with document frequency d emits d²/2 candidate pairs, so
+    without the cap one boilerplate phrase shared by 1M docs produces
+    5·10¹¹ pairs regardless of corpus size."""
     # join on the 8-byte xxhash64 of each shingle, not the ~20-byte string:
     # the self-join's shuffle writes shrink ~3x and key comparison is a
     # single long compare (collision odds at 2^64 are negligible next to
     # the driver's value-hash tolerance)
-    sh = (
-        shingles(docs, n=3)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
+    sh = shingles(docs, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        # semi-join on the already-shuffled key: one extra exchange on `sh`
+        # in place of an unbounded d² join output
+        sh = sh.join(keep, "sh", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -159,7 +191,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .where(F.col("jaccard") >= 0.05)
+        .where(F.col("jaccard") >= threshold)
     )
     return jac.select("doc_a", "doc_b", "jaccard")
 

@@ -103,13 +103,25 @@ def knn_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    # All-pairs cosine inside a block is a dense matrix product — the one
-    # place where Arrow + BLAS beats JVM expressions by orders of magnitude
-    # (Catalyst higher-order functions don't codegen; a 200-row block is
-    # 20k pairs of interpreted 64-element folds, vs one sgemm call here).
-    # Scale: one task per block; a 100k-row block is a 51 MB float64 matrix
-    # and a 10^10-flop gemm — fine per executor; larger blocks sub-tile.
     emb = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.3, tile: int = 2048
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold within each label block.
+
+    The in-block product is a dense GEMM — the one place where Arrow + BLAS
+    beats JVM expressions by orders of magnitude (Catalyst higher-order
+    functions don't codegen; a 200-row block is 20k pairs of interpreted
+    64-element folds, vs one sgemm call here).
+
+    Scale guard: the similarity matrix is computed in ``tile``×``tile``
+    sub-tiles of the upper triangle, never materialized whole — a 100k-row
+    block would otherwise allocate an 80 GB n² matrix and OOM the executor;
+    tiled, peak extra memory is tile² · 8 bytes (33 MB at 2048) regardless
+    of block size, and each tile is still one BLAS call."""
 
     def block_pairs(pdf):
         import numpy as np
@@ -119,14 +131,33 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         order = np.argsort(ids)
         ids = ids[order]
         E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        S = E @ E.T
-        n = np.sqrt(np.diag(S))
-        S = S / np.outer(n, n)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cs = np.round(S[iu, ju], 6)
-        m = cs >= 0.3
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        n_rows = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n_rows, tile):
+            i1 = min(i0 + tile, n_rows)
+            for j0 in range(i0, n_rows, tile):
+                j1 = min(j0 + tile, n_rows)
+                S = (E[i0:i1] @ E[j0:j1].T) / np.outer(
+                    norms[i0:i1], norms[j0:j1]
+                )
+                if i0 == j0:
+                    ii, jj = np.triu_indices(i1 - i0, k=1, m=j1 - j0)
+                else:
+                    ii, jj = np.indices(S.shape).reshape(2, -1)
+                cs = np.round(S[ii, jj], 6)
+                m = cs >= threshold
+                out_a.append(ids[i0:i1][ii[m]])
+                out_b.append(ids[j0:j1][jj[m]])
+                out_c.append(cs[m])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         return pd.DataFrame(
-            {"vec_a": ids[iu][m], "vec_b": ids[ju][m], "cos_sim": cs[m]}
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
 
     return emb.groupBy("label").applyInPandas(

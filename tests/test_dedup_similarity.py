@@ -156,3 +156,70 @@ class TestIVF:
         assert assignments.select("vec_id").distinct().count() == n
         n_cells = assignments.select("cell").distinct().count()
         assert 1 < n_cells <= 8
+
+
+class TestScaleGuards:
+    def test_hot_shingle_df_cap_bounds_the_join(self, spark):
+        """One boilerplate phrase shared by every doc must not explode the
+        self-join: with the df cap the hot shingles are excluded (and these
+        docs share nothing else), without it every doc pairs with every
+        other."""
+        from mongodb_cdc_delta_spark.ops.dedup import ngram_jaccard_pairs
+
+        n_docs = 150  # > the cap of 100
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "the quick brown fox jumps "
+                    + " ".join(f"u{i}w{j}" for j in range(20)),
+                )
+                for i in range(n_docs)
+            ],
+            "doc_id long, text string",
+        )
+        capped = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=100)
+        assert capped.count() == 0
+        uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=None)
+        assert uncapped.count() == n_docs * (n_docs - 1) // 2
+
+    def test_df_cap_noop_on_benign_corpus(self, spark):
+        """Below the cap, capped and uncapped results are identical."""
+        from mongodb_cdc_delta_spark.ops.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d e f x y"),
+                (3, "p q r s t u v w"),
+            ],
+            "doc_id long, text string",
+        )
+        key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        got = sorted(map(key, ngram_jaccard_pairs(docs, max_shingle_df=100).collect()))
+        ref = sorted(map(key, ngram_jaccard_pairs(docs, max_shingle_df=None).collect()))
+        assert got == ref and len(got) == 1  # docs 1-2 share 4 trigrams
+
+    def test_near_dup_subtiling_matches_whole_block(self, spark):
+        """A tile size smaller than the block must produce exactly the
+        whole-block result (integer-valued vectors → exact dot products)."""
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        rows = [
+            (i, "blk", [float((i + j) % 5 + 1) for j in range(8)])
+            for i in range(11)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        key = lambda r: (r["vec_a"], r["vec_b"], r["cos_sim"])
+        tiled = sorted(
+            map(key, embedding_near_dup_pairs(emb, 0.3, tile=3).collect())
+        )
+        whole = sorted(
+            map(key, embedding_near_dup_pairs(emb, 0.3, tile=1 << 20).collect())
+        )
+        assert tiled == whole
+        assert len(whole) > 0
