@@ -71,6 +71,36 @@ def quality_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "quality_encrypt_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey <= 100
+    """,
+    description="reversible PII masking (FR-059 T4 / reference "
+    "crypto.py:40-100): AES-GCM encrypt then decrypt inside the query — "
+    "the oracle checks the round trip restores the plaintext exactly",
+    tags=("quality", "crypto"),
+)
+def quality_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from .rules import mask_columns, unmask_columns
+
+    rules = [
+        MaskRule("c_name", "encrypt", key="0123456789abcdef"),
+        MaskRule(
+            "c_mktsegment",
+            "encrypt",
+            key="0123456789abcdef0123456789abcdef",
+            iv_hex="000102030405060708090a0b",  # deterministic variant
+        ),
+    ]
+    df = load(spark, sf, "customer").where(F.col("c_custkey") <= 100)
+    masked = mask_columns(df, rules)
+    return unmask_columns(masked, rules).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
     "quality_rename_dateconvert",
     oracle="""
     SELECT event_id,

@@ -80,19 +80,31 @@ class DateConversion:
 
 @dataclass(frozen=True)
 class MaskRule:
-    """FR-059 PII masking. Strategies (reference crypto.py uses Fernet
-    encryption + HMAC hashing; we keep hash/redact/partial JVM-side and
-    note encryption needs a key service):
+    """FR-059 PII masking. Strategies (reference crypto.py:17-179 ships
+    Fernet symmetric encryption + PBKDF2 key derivation + HMAC hashing;
+    every strategy here is a JVM column expression — no Python per row):
 
     - 'hash'    : sha2-256 of the value (deterministic, join-preserving —
                   the HMAC-style pseudonymization of crypto.py:150-179)
     - 'redact'  : constant '***'
     - 'partial' : keep last ``keep_last`` chars, mask the rest
+    - 'encrypt' : reversible AES (crypto.py:40-100 encrypt_data/
+                  decrypt_data equivalent): base64(aes_encrypt(value, key))
+                  with ``unmask_columns`` as the decrypt path. Default GCM
+                  with a random IV per value (semantically secure, like
+                  Fernet); pass ``iv_hex`` (12-byte IV, hex) to get
+                  deterministic output when ciphertext must be
+                  join/compare-stable — the documented tradeoff.
     """
 
     column: str
-    strategy: Literal["hash", "redact", "partial"] = "hash"
+    strategy: Literal["hash", "redact", "partial", "encrypt"] = "hash"
     keep_last: int = 4
+    #: AES key for 'encrypt' (16/24/32-byte string; a deployment derives it
+    #: via PBKDF2 exactly like reference generate_key — key service concern)
+    key: str | None = None
+    aes_mode: str = "GCM"
+    iv_hex: str | None = None
 
 
 def _convert_date(df: DataFrame, rule: DateConversion) -> DataFrame:
@@ -136,6 +148,8 @@ def mask_columns(df: DataFrame, rules: list[MaskRule]) -> DataFrame:
             out = F.when(c.isNotNull(), F.sha2(c, 256))
         elif r.strategy == "redact":
             out = F.when(c.isNotNull(), F.lit("***"))
+        elif r.strategy == "encrypt":
+            out = F.when(c.isNotNull(), _aes_encrypt_col(c, r))
         else:
             n = r.keep_last
             out = F.when(
@@ -148,6 +162,41 @@ def mask_columns(df: DataFrame, rules: list[MaskRule]) -> DataFrame:
                     )
                 ),
             )
+        df = df.withColumn(r.column, out)
+    return df
+
+
+def _require_key(r: MaskRule) -> str:
+    if not r.key or len(r.key) not in (16, 24, 32):
+        raise ValueError(
+            f"MaskRule('{r.column}', 'encrypt') needs a 16/24/32-byte key"
+        )
+    return r.key
+
+
+def _aes_encrypt_col(c: Column, r: MaskRule) -> Column:
+    key = _require_key(r)
+    if r.iv_hex is not None:
+        enc = F.expr(
+            f"aes_encrypt(cast(`{r.column}` as string), '{key}', "
+            f"'{r.aes_mode}', 'DEFAULT', unhex('{r.iv_hex}'))"
+        )
+    else:
+        enc = F.aes_encrypt(c, F.lit(key), F.lit(r.aes_mode))
+    return F.base64(enc)
+
+
+def unmask_columns(df: DataFrame, rules: list[MaskRule]) -> DataFrame:
+    """Decrypt path for 'encrypt' mask rules (reference crypto.py:71-100
+    decrypt_data): base64 → aes_decrypt → original string. Non-encrypt
+    strategies are one-way and are left untouched."""
+    for r in rules:
+        if r.strategy != "encrypt" or r.column not in df.columns:
+            continue
+        key = _require_key(r)
+        out = F.aes_decrypt(
+            F.unbase64(F.col(r.column)), F.lit(key), F.lit(r.aes_mode)
+        ).cast("string")
         df = df.withColumn(r.column, out)
     return df
 

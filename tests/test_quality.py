@@ -189,3 +189,66 @@ class TestQualityObserve:
         assert got["rows"] == 3
         assert got["nulls_id"] == 0
         assert got["nulls_v"] == 2
+
+
+class TestEncryptMask:
+    KEY = "0123456789abcdef"
+
+    def test_roundtrip_restores_plaintext(self, spark):
+        from mongodb_cdc_delta_spark.quality.rules import (
+            MaskRule,
+            mask_columns,
+            unmask_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alice@example.com"), (2, "bob@example.com"), (3, None)],
+            "id long, email string",
+        )
+        rules = [MaskRule("email", "encrypt", key=self.KEY)]
+        masked = mask_columns(df, rules)
+        m = {r["id"]: r["email"] for r in masked.collect()}
+        assert m[1] != "alice@example.com" and m[1] is not None
+        assert m[3] is None  # NULL stays NULL
+        back = {r["id"]: r["email"] for r in unmask_columns(masked, rules).collect()}
+        assert back == {1: "alice@example.com", 2: "bob@example.com", 3: None}
+
+    def test_random_iv_is_semantically_secure(self, spark):
+        from mongodb_cdc_delta_spark.quality.rules import (
+            MaskRule,
+            mask_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same")], "id long, v string"
+        )
+        out = mask_columns(df, [MaskRule("v", "encrypt", key=self.KEY)]).collect()
+        # equal plaintexts yield different ciphertexts under random-IV GCM
+        assert out[0]["v"] != out[1]["v"]
+
+    def test_fixed_iv_is_deterministic(self, spark):
+        from mongodb_cdc_delta_spark.quality.rules import (
+            MaskRule,
+            mask_columns,
+        )
+
+        rule = MaskRule(
+            "v", "encrypt", key=self.KEY, iv_hex="000102030405060708090a0b"
+        )
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same")], "id long, v string"
+        )
+        out = mask_columns(df, [rule]).collect()
+        assert out[0]["v"] == out[1]["v"]
+
+    def test_missing_or_bad_key_raises(self, spark):
+        from mongodb_cdc_delta_spark.quality.rules import (
+            MaskRule,
+            mask_columns,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        with pytest.raises(ValueError):
+            mask_columns(df, [MaskRule("v", "encrypt")]).collect()
+        with pytest.raises(ValueError):
+            mask_columns(df, [MaskRule("v", "encrypt", key="short")]).collect()
