@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -70,6 +71,10 @@ class Snapshot:
     version: int
     file_schema: dict[str, int] = field(default_factory=dict)
     schemas: list[dict] = field(default_factory=list)
+    #: per-file column stats from the add entries ({path: {"numRecords",
+    #: "minValues": {col: v}, "maxValues": {...}, "nullCount": {...}}});
+    #: None for files written before stats collection existed
+    file_stats: dict[str, dict | None] = field(default_factory=dict)
 
 
 class ConcurrentWriteError(Exception):
@@ -88,6 +93,150 @@ class CommitInfo:
     txn: dict[str, Any] | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
     properties: dict[str, str] | None = None
+
+
+#: stats are collected for at most this many leading columns (Delta's
+#: dataSkippingNumIndexedCols default)
+_STATS_MAX_COLS = 32
+#: string min/max longer than this are dropped (a truncated upper bound
+#: would admit the wrong files; Delta solves this with tie-breaking
+#: truncation — skipping the column is the simple safe choice)
+_STATS_MAX_STR = 64
+
+
+def _collect_file_stats(path: str) -> dict | None:
+    """Per-file column min/max/nullCount from the parquet footer.
+
+    One footer read per just-written file (the write path already has the
+    file local); on an object store this is the same ranged GET every
+    reader does. Any failure degrades to no stats — pruning is optional."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        # name -> (lo, hi), or None once any row group lacks usable stats
+        agg: dict[str, tuple | None] = {}
+        nulls: dict[str, int] = {}
+        order: list[str] = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: file-level skip not safe
+                    continue
+                if name not in order:
+                    if len(order) >= _STATS_MAX_COLS:
+                        continue
+                    order.append(name)
+                st = col.statistics
+                lo = hi = None
+                if st is not None and st.has_min_max:
+                    lo, hi = _json_stat(st.min), _json_stat(st.max)
+                if lo is None or hi is None:
+                    agg[name] = None
+                elif name not in agg:
+                    agg[name] = (lo, hi)
+                elif agg[name] is not None:
+                    agg[name] = (min(agg[name][0], lo), max(agg[name][1], hi))
+                if st is not None and st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+        return {
+            "numRecords": md.num_rows,
+            "minValues": {k: v[0] for k, v in agg.items() if v},
+            "maxValues": {k: v[1] for k, v in agg.items() if v},
+            "nullCount": nulls,
+        }
+    except Exception:
+        return None
+
+
+def _json_stat(v):
+    """Footer statistic → JSON-safe comparable scalar, or None to skip."""
+    import datetime as _d
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, (_d.datetime, _d.date)):
+        return None  # timestamp literals are not parsed by the pruner
+    return None
+
+
+_PRUNE_CMP = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
+)
+
+
+def _parse_pruning_conjuncts(predicate: str) -> list[tuple[str, str, Any]]:
+    """Conservative parse of a predicate into (col, op, literal) conjuncts.
+
+    Anything beyond top-level `col op literal [AND ...]` (parens, OR, NOT,
+    functions, unquoted non-numeric literals) disables pruning — the scan
+    still evaluates the full predicate, so pruning is only ever an
+    optimization, never a semantics change."""
+    up = f" {predicate.upper()} "
+    if "(" in predicate or " OR " in up or " NOT " in up:
+        return []
+    out: list[tuple[str, str, Any]] = []
+    for part in re.split(r"\s+[Aa][Nn][Dd]\s+", predicate.strip()):
+        m = _PRUNE_CMP.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        val = _parse_literal(lit)
+        if val is None:
+            continue
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _parse_literal(s: str):
+    s = s.strip()
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d+\.\d*([eE][+-]?\d+)?", s):
+        return float(s)
+    if len(s) >= 2 and s[0] == s[-1] == "'" and "'" not in s[1:-1]:
+        return s[1:-1]
+    return None
+
+
+def _stats_admit(stats: dict | None, col: str, op: str, val) -> bool:
+    """Can a file with these stats contain a row where `col op val`?
+    Missing stats → must admit (no false pruning)."""
+    if not stats:
+        return True
+    mn = (stats.get("minValues") or {}).get(col)
+    mx = (stats.get("maxValues") or {}).get(col)
+    if mn is None or mx is None:
+        return True
+    val_num = isinstance(val, (int, float)) and not isinstance(val, bool)
+    stat_num = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+    if val_num != stat_num:
+        return True
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+    except TypeError:
+        return True
+    return True
 
 
 def _commit_path(root: str, version: int) -> str:
@@ -162,6 +311,7 @@ class LakeTable:
         partition_by: list[str] = []
         txns: dict[str, int] = {}
         props: dict[str, str] = {}
+        stats: dict[str, dict | None] = {}
         for v in self._versions():
             if v > version:
                 break
@@ -180,8 +330,10 @@ class LakeTable:
                 props.update(c.properties)
             for a in c.add:
                 active[a["path"]] = cur_idx
+                stats[a["path"]] = a.get("stats")
             for r in c.remove:
                 active.pop(r, None)
+                stats.pop(r, None)
         tmp = os.path.join(
             self.root, _LOG_DIR, f".ckpt-tmp-{uuid.uuid4().hex}.json"
         )
@@ -195,6 +347,7 @@ class LakeTable:
                     "partition_by": partition_by,
                     "txns": txns,
                     "properties": props,
+                    "stats": stats,
                 },
                 fh,
             )
@@ -238,12 +391,14 @@ class LakeTable:
         schemas: list[dict] = []
         cur_idx = -1
         partition_by: list[str] = []
+        file_stats: dict[str, dict | None] = {}
         ckpt = self._latest_checkpoint(target_version)
         if ckpt is not None:
             active = dict(ckpt["active"])
             schemas = ckpt["schemas"]
             cur_idx = ckpt["cur_idx"]
             partition_by = ckpt["partition_by"]
+            file_stats = dict(ckpt.get("stats", {}))
             versions = [v for v in versions if v > ckpt["version"]]
         for v in versions:
             c = self._read_commit(v)
@@ -256,11 +411,19 @@ class LakeTable:
                 partition_by = c.partition_by
             for a in c.add:
                 active[a["path"]] = cur_idx
+                file_stats[a["path"]] = a.get("stats")
             for r in c.remove:
                 active.pop(r, None)
+                file_stats.pop(r, None)
         schema = StructType.fromJson(schemas[cur_idx]) if schemas else None
         return Snapshot(
-            sorted(active), schema, partition_by, target_version, active, schemas
+            sorted(active),
+            schema,
+            partition_by,
+            target_version,
+            active,
+            schemas,
+            file_stats,
         )
 
     def version(self) -> int:
@@ -362,6 +525,7 @@ class LakeTable:
                     {
                         "path": os.path.relpath(dst, self.root),
                         "size": os.path.getsize(dst),
+                        "stats": _collect_file_stats(dst),
                     }
                 )
         shutil.rmtree(stage, ignore_errors=True)
@@ -583,7 +747,15 @@ class LakeTable:
         prune most files before any row is read."""
         affected: list[str] = []
         by_schema: dict[int, list[str]] = {}
+        # stats pre-filter: files whose min/max preclude the predicate are
+        # never scanned at all (the survivors still get the exact scan)
+        conj = _parse_pruning_conjuncts(predicate)
         for f in snap.files:
+            if conj and not all(
+                _stats_admit(snap.file_stats.get(f), c, o, v)
+                for c, o, v in conj
+            ):
+                continue
             by_schema.setdefault(snap.file_schema[f], []).append(f)
         root_real = os.path.realpath(self.root)
         for idx, group in sorted(by_schema.items()):
@@ -740,20 +912,40 @@ class LakeTable:
         self,
         version_as_of: int | None = None,
         timestamp_as_of: str | int | None = None,
+        predicate: str | None = None,
     ) -> DataFrame:
         """Snapshot read with optional time travel (reference FR-053; DuckDB
-        delta_scan version/timestamp params research.md:604-615)."""
+        delta_scan version/timestamp params research.md:604-615).
+
+        ``predicate`` additionally file-skips via the commit log's per-file
+        min/max stats before Spark ever opens a footer (Delta's data
+        skipping), then applies the same predicate as a normal filter — so
+        it is always exact, and on a 100 TB table a point lookup touches
+        only the files whose range admits the key."""
         snap = self._replay(version_as_of, timestamp_as_of)
         if snap.schema is None:
             raise ValueError(f"table does not exist: {self.root}")
-        if not snap.files:
-            return self.spark.createDataFrame([], snap.schema)
+        files = snap.files
+        if predicate is not None:
+            conj = _parse_pruning_conjuncts(predicate)
+            if conj:
+                files = [
+                    f
+                    for f in files
+                    if all(
+                        _stats_admit(snap.file_stats.get(f), c, o, v)
+                        for c, o, v in conj
+                    )
+                ]
+        if not files:
+            df = self.spark.createDataFrame([], snap.schema)
+            return df.where(predicate) if predicate is not None else df
         if version_as_of is not None or timestamp_as_of is not None:
             # historical snapshots may reference vacuumed files — fail with
             # a clear retention error, not a mid-query FileNotFound
             missing = [
                 f
-                for f in snap.files
+                for f in files
                 if not os.path.exists(os.path.join(self.root, f))
             ]
             if missing:
@@ -762,7 +954,8 @@ class LakeTable:
                     f"{len(missing)} data file(s) removed by VACUUM "
                     f"(first: {missing[0]})"
                 )
-        return self._read_file_groups(snap, snap.files, snap.schema)
+        df = self._read_file_groups(snap, files, snap.schema)
+        return df.where(predicate) if predicate is not None else df
 
     def restore(self, version: int) -> dict[str, Any]:
         """RESTORE TABLE TO VERSION equivalent: one commit that resets the
@@ -885,6 +1078,7 @@ class LakeTable:
                         {
                             "path": os.path.relpath(dst, self.root),
                             "size": os.path.getsize(dst),
+                            "stats": _collect_file_stats(dst),
                         }
                     )
                     n += 1

@@ -265,3 +265,94 @@ def test_delete_where_bad_predicate_raises(spark, lake):
     res = t.delete_where("ghost_column = 'x'")
     assert res["files_rewritten"] == 0
     assert t.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max data skipping
+# ---------------------------------------------------------------------------
+def _four_range_files(spark, lake, name):
+    t = LakeTable(spark, lake + "/" + name)
+    for lo in (0, 100, 200, 300):
+        t.append(
+            _df(
+                spark,
+                [(lo + i, f"name-{lo + i}") for i in range(100)],
+                "id long, name string",
+            ).coalesce(1)
+        )
+    return t
+
+
+def test_stats_recorded_in_commit_log(spark, lake):
+    t = _four_range_files(spark, lake, "stats")
+    snap = t._replay()
+    assert len(snap.files) == 4
+    for f in snap.files:
+        st = snap.file_stats[f]
+        assert st is not None and st["numRecords"] == 100
+        assert "id" in st["minValues"] and "id" in st["maxValues"]
+    ranges = sorted(
+        (snap.file_stats[f]["minValues"]["id"], snap.file_stats[f]["maxValues"]["id"])
+        for f in snap.files
+    )
+    assert ranges == [(0, 99), (100, 199), (200, 299), (300, 399)]
+
+
+def test_point_read_scans_fewer_files(spark, lake):
+    t = _four_range_files(spark, lake, "skip")
+    pruned = t.read(predicate="id = 250")
+    assert len(pruned.inputFiles()) == 1
+    assert [r["id"] for r in pruned.collect()] == [250]
+    # range predicate spanning two files
+    two = t.read(predicate="id >= 150 AND id < 250")
+    assert len(two.inputFiles()) == 2
+    assert two.count() == 100
+    # string stats prune too
+    s = t.read(predicate="name = 'name-42'")
+    assert len(s.inputFiles()) == 1 and s.count() == 1
+    # unprunable predicate still returns exact results over all files
+    full = t.read(predicate="id % 100 = 7")
+    assert full.count() == 4
+
+
+def test_delete_where_skips_files_by_stats(spark, lake):
+    t = _four_range_files(spark, lake, "delskip")
+    res = t.delete_where("id = 250")
+    assert res["files_rewritten"] == 1
+    assert t.read().count() == 399
+    # pruning survives a checkpoint (10+ commits) and OPTIMIZE rewrites
+    for _ in range(8):
+        t.append(_df(spark, [(1000, "z")], "id long, name string").coalesce(1))
+    assert t.version() >= 10
+    snap = t._replay()
+    assert any(snap.file_stats.get(f) for f in snap.files)
+    pruned = t.read(predicate="id = 350")
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 1
+
+
+def test_pruning_is_conservative(spark, lake):
+    from mongodb_cdc_delta_spark.sinks.table import (
+        _parse_pruning_conjuncts,
+        _stats_admit,
+    )
+
+    # OR / parens / functions disable pruning entirely
+    assert _parse_pruning_conjuncts("id = 1 OR id = 2") == []
+    assert _parse_pruning_conjuncts("(id = 1)") == []
+    assert _parse_pruning_conjuncts("abs(id) = 1") == []
+    assert _parse_pruning_conjuncts("id = 1 AND name = 'x'") == [
+        ("id", "=", 1),
+        ("name", "=", "x"),
+    ]
+    # missing stats always admit
+    assert _stats_admit(None, "id", "=", 5)
+    assert _stats_admit({"minValues": {}, "maxValues": {}}, "id", "=", 5)
+    st = {"minValues": {"id": 10}, "maxValues": {"id": 20}}
+    assert not _stats_admit(st, "id", "=", 5)
+    assert _stats_admit(st, "id", "=", 15)
+    assert not _stats_admit(st, "id", "<", 10)
+    assert _stats_admit(st, "id", "<=", 10)
+    assert not _stats_admit(st, "id", ">", 20)
+    assert _stats_admit(st, "id", ">=", 20)
+    # type mismatch (string literal vs numeric stats) admits
+    assert _stats_admit(st, "id", "=", "5")
