@@ -67,6 +67,9 @@ HEADLINE = [
     "unpivot_customer_metrics",
     "array_agg_user_events",
     "frequent_items",
+    "min_cost_supplier",
+    "volume_shipping",
+    "dormant_customers",
 ]
 
 

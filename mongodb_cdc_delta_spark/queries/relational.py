@@ -887,3 +887,162 @@ def variant_extract_filter(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy((F.col("k") % 5).alias("k_bucket"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2-style: multi-level correlated subquery (min-cost supplier per
+# part, bridged through lineitem — this dataset has no partsupp table)
+# ---------------------------------------------------------------------------
+@register(
+    "min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 15
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+    description="TPC-H Q2-style correlated-min lookup: supplier(s) offering "
+    "each size-15 part at its global minimum price. Catalyst decorrelates "
+    "the scalar subquery into one aggregate + join — no per-part rescans "
+    "(SURVEY §4); parquet min/max skipping prunes the p_size filter",
+    tags=("q4", "subquery", "join", "tpch"),
+)
+def min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "part").createOrReplaceTempView("part_q2_tmp")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q2_tmp")
+    load(spark, sf, "supplier").createOrReplaceTempView("supplier_q2_tmp")
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+               l.l_extendedprice AS min_price
+        FROM part_q2_tmp p
+        JOIN lineitem_q2_tmp l ON l.l_partkey = p.p_partkey
+        JOIN supplier_q2_tmp s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size = 15
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM lineitem_q2_tmp l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-style: volume shipping between two nations, bucketed by year
+# ---------------------------------------------------------------------------
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q7-style date-bucketed trade volume between a nation "
+    "pair: fact-fact joins shuffle on orderkey/custkey, the two nation dims "
+    "broadcast; year() bucket is a codegen projection",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier")
+    l = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-style: above-average-balance customers with no orders
+# ---------------------------------------------------------------------------
+@register(
+    "dormant_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    description="TPC-H Q22-style: customers above the positive-balance "
+    "average with no orders since 1999, per nation. The average is an "
+    "exact decimal sum divided once (deterministic threshold across "
+    "engines); NOT EXISTS compiles to a left-anti join",
+    tags=("q4", "subquery", "anti", "agg", "tpch"),
+)
+def dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+    )
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                / F.count("*")
+            ).alias("t")
+        )
+        .first()["t"]
+    )
+    return (
+        c.where(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
+        )
+    )
