@@ -239,6 +239,62 @@ def _stats_admit(stats: dict | None, col: str, op: str, val) -> bool:
     return True
 
 
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 12):
+    """Bit-interleaved (Morton/Z-curve) sort key over up to 4 columns.
+
+    Each column is min/max-scaled to a ``bits``-wide integer (one tiny agg
+    job for the bounds, then a pure codegen projection — no window, no
+    extra shuffle), and the bit planes are interleaved so a sort by the
+    result clusters rows that are close in EVERY dimension. Files cut from
+    contiguous z-ranges then carry tight min/max stats on all clustered
+    columns at once — multi-dimensional data skipping, where a linear
+    ORDER BY only narrows the leading column.
+
+    Numeric / date / timestamp columns only: hashing strings would destroy
+    the locality the curve exists to preserve.
+    """
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    numeric_cols = []
+    for c in cols:
+        t = df.schema[c].dataType
+        if isinstance(t, NumericType):
+            numeric_cols.append(F.col(c).cast("double"))
+        elif isinstance(t, TimestampType):
+            numeric_cols.append(F.unix_micros(F.col(c)).cast("double"))
+        elif isinstance(t, DateType):
+            numeric_cols.append(F.unix_date(F.col(c)).cast("double"))
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has type {t.simpleString()}; "
+                "only numeric/date/timestamp columns preserve curve locality"
+            )
+    bounds = df.agg(
+        *[f for c in numeric_cols for f in (F.min(c), F.max(c))]
+    ).first()
+    max_v = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(numeric_cols):
+        mn, mx = bounds[2 * i], bounds[2 * i + 1]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            frac = (c - F.lit(float(mn))) / F.lit(float(mx - mn))
+            scaled.append(
+                F.least(F.lit(max_v), F.floor(frac * max_v)).cast("long")
+            )
+    k = len(scaled)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + ci
+            )
+    return z
+
+
 def _commit_path(root: str, version: int) -> str:
     return os.path.join(root, _LOG_DIR, f"{version:020d}.json")
 
@@ -1029,19 +1085,26 @@ class LakeTable:
         self,
         target_file_rows: int = 1_000_000,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Small-file compaction per partition (reference
         delta_writer.py:234-266; 64-256MB file targets research.md:441-458).
         Rewrites any partition holding more than one active file — or, with
-        ``cluster_by``, every partition.
+        ``cluster_by``/``zorder_by``, every partition.
 
-        ``cluster_by`` additionally sorts rows by the given columns before
-        writing (the OPTIMIZE ZORDER role, reference research.md:208):
-        parquet row-group min/max stats on those columns become narrow and
-        disjoint, so pushed-down filters skip most data. Linear multi-column
-        clustering — the right call for one dominant filter column; a
-        bit-interleaved curve can substitute for multi-dimensional filter
-        mixes without changing the commit shape."""
+        ``cluster_by`` sorts rows linearly by the given columns before
+        writing: parquet row-group min/max stats on the LEADING column
+        become narrow and disjoint — the right call for one dominant filter
+        column.
+
+        ``zorder_by`` (OPTIMIZE ZORDER, reference research.md:208) sorts by
+        a bit-interleaved Z-curve over up to 4 numeric/date/timestamp
+        columns and range-splits output files on the curve, so every
+        clustered column gets tight per-file min/max at once — the
+        commit-log skip lists then prune point/range queries on ANY of the
+        clustered dimensions, not just the leading one."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         snap = self._replay()
         files, schema, partition_by = snap.files, snap.schema, snap.partition_by
         if schema is None or not files:
@@ -1054,16 +1117,28 @@ class LakeTable:
         add: list[dict[str, Any]] = []
         remove: list[str] = []
         for part_rel, part_files in by_part.items():
-            if len(part_files) <= 1 and not cluster_by:
+            if len(part_files) <= 1 and not (cluster_by or zorder_by):
                 continue
             pdf = self._read_file_groups(snap, part_files, schema)
-            if cluster_by:
-                pdf = pdf.orderBy(*cluster_by)
             # partition cols are path-derived; drop before writing data files
             data_cols = [c for c in pdf.columns if c not in partition_by]
+            if zorder_by:
+                z = _zorder_column(pdf, zorder_by)
+                n_rows = pdf.count()
+                n_out = max(1, -(-n_rows // target_file_rows))
+                pdf = (
+                    pdf.withColumn("__z", z)
+                    .repartitionByRange(n_out, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                )
+                out = pdf.select(*data_cols)  # __z dropped, order kept
+            elif cluster_by:
+                out = pdf.orderBy(*cluster_by).select(*data_cols).coalesce(1)
+            else:
+                out = pdf.select(*data_cols).coalesce(1)
             commit_id = uuid.uuid4().hex
             stage = os.path.join(self.root, _TMP_DIR, commit_id)
-            pdf.select(*data_cols).coalesce(1).write.mode("overwrite").parquet(stage)
+            out.write.mode("overwrite").parquet(stage)
             part_dir = (
                 self.root
                 if part_rel in ("", ".")
