@@ -486,6 +486,7 @@ class CDCIngestor:
         circuit_breaker=None,
         materialize_current: bool = False,
         key_col: str = "_id",
+        control_plane=None,
     ):
         from ..quality.reliability import RetryConfig
 
@@ -496,6 +497,11 @@ class CDCIngestor:
         self.partition_by = list(partition_by)
         self.retry_config = retry_config or RetryConfig()
         self.circuit_breaker = circuit_breaker
+        #: optional ControlPlane: each ingest batch writes ONE audit entry
+        #: (per-collection row/dlq stats as JSON details) — the reference
+        #: audits every management op (api/src/routers/admin.py:148-185);
+        #: here the data plane self-reports its writes the same way
+        self.control_plane = control_plane
         #: SURVEY §1.4: the append log is primary; optionally each batch
         #: also MERGEs the latest row per key into a `<table>__current`
         #: table (upsert for insert/update, key removal for delete) — the
@@ -636,6 +642,26 @@ class CDCIngestor:
                 )
         finally:
             parsed.unpersist()
+        if self.control_plane is not None:
+            import json as _json
+
+            try:
+                self.control_plane.record_audit(
+                    actor="cdc-ingestor",
+                    action="ingest_batch",
+                    resource=self.lake_root,
+                    details=_json.dumps(
+                        {
+                            "batch_id": batch_id,
+                            "collections": stats.collections,
+                            "dlq_rows": stats.dlq_rows,
+                            "schema_evolutions": stats.schema_evolutions,
+                        },
+                        default=str,
+                    ),
+                )
+            except Exception:
+                pass  # audit is best-effort; never fail the data write
         return stats
 
     def _merge_current_state(

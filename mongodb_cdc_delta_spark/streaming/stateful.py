@@ -143,3 +143,31 @@ def running_totals(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(
+    spark, changelog_checkpointing: bool = True
+) -> None:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default HDFS-backed provider keeps every key in executor heap —
+    fine for bounded demo state, an OOM at 100 TB-scale keyed state
+    (hundreds of millions of live sessions). RocksDB spills to local disk
+    with bounded memory, and changelog checkpointing uploads per-batch
+    deltas instead of full snapshots. Applies to queries started AFTER the
+    call (provider is read at query start; bundled with Spark ≥3.2, no
+    extra jar)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled",
+        str(changelog_checkpointing).lower(),
+    )

@@ -482,3 +482,28 @@ class TestSnapshotLoad:
         res = ing.snapshot_load(spark.read.text(str(dump)), "db", "c", batch_id=7)
         assert res.collections["db_c"]["skipped"]
         assert ing.table("db_c").read().count() == 1
+
+
+class TestAuditWriteThrough:
+    def test_ingest_batch_records_audit_entry(self, spark, tmp_path):
+        import json as _json
+
+        from mongodb_cdc_delta_spark.cdc.control import ControlPlane
+
+        control = ControlPlane(spark, str(tmp_path / "lake"))
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), control_plane=control
+        )
+        ing.ingest_batch(
+            raw_df(spark, [envelope("c", after={"_id": "a", "n": 1})]),
+            batch_id=0,
+            now=NOW,
+        )
+        audit = control.audit_log().collect()
+        assert len(audit) == 1
+        row = audit[0]
+        assert row["actor"] == "cdc-ingestor"
+        assert row["action"] == "ingest_batch"
+        details = _json.loads(row["details"])
+        assert details["batch_id"] == 0
+        assert "shop_users" in details["collections"]

@@ -201,3 +201,67 @@ class TestRunningTotalsState:
         r2 = {r.key: (r.total_events, r.batch_events) for r in run()}
         assert r2["1"] == (3, 1)  # 2 from state + 1 new
         assert r2["3"] == (1, 1)
+
+
+class TestRocksDBStateStore:
+    def test_stateful_query_runs_on_rocksdb(self, spark, tmp_path):
+        """The RocksDB provider (bounded-memory state at scale) must run
+        the same watermarked session aggregation end to end."""
+        import shutil
+
+        from mongodb_cdc_delta_spark.streaming.stateful import (
+            ROCKSDB_PROVIDER,
+            session_window_agg,
+            use_rocksdb_state,
+        )
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        use_rocksdb_state(spark)
+        try:
+            assert (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+            src = tmp_path / "src"
+            src.mkdir()
+            (src / "a.json").write_text(
+                "\n".join(
+                    f'{{"user_id": {u}, "ts": "2024-01-01T00:{m:02d}:00"}}'
+                    for u in (1, 2)
+                    for m in (0, 5, 50)
+                )
+            )
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp")
+                .json(str(src))
+            )
+            out = session_window_agg(stream, gap="30 minutes")
+            q = (
+                out.writeStream.format("memory")
+                .queryName("rocksdb_sessions")
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation", str(tmp_path / "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = spark.sql(
+                "SELECT * FROM rocksdb_sessions ORDER BY user_id, session_start"
+            ).collect()
+            # per user: one session for minutes 0-5, one for minute 50
+            assert len(rows) == 4
+            assert [r["n_events"] for r in rows] == [2, 1, 2, 1]
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            shutil.rmtree(tmp_path / "ckpt", ignore_errors=True)
