@@ -393,3 +393,79 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data pipeline: flag training docs
+# sharing n-grams with an eval/benchmark set — the overlap check GPT-3/PaLM
+# style pipelines run before training)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_flags(
+    train: DataFrame, eval_set: DataFrame, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shared): training docs sharing ≥1 word n-gram with any
+    eval document, with the count of distinct shared shingles.
+
+    Scale shape: the eval side is a benchmark (thousands of docs, not
+    billions), so its distinct shingle-hash set broadcasts; the training
+    corpus — the 100 TB side — is touched by exactly one scan + one
+    broadcast semi-join + one aggregate, no all-pairs comparison."""
+    ev_sh = (
+        shingles(eval_set, n=n)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    tr_sh = shingles(train, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "decontaminate_train_set",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ),
+    ev_sh AS (
+      SELECT DISTINCT
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket < 200) t
+    ),
+    tr_sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket >= 200) t
+    )
+    SELECT tr_sh.doc_id, count(*) AS n_shared
+    FROM tr_sh JOIN ev_sh USING (shingle)
+    GROUP BY tr_sh.doc_id
+    """,
+    description="benchmark decontamination: flag training docs sharing any "
+    "word trigram with a held-out eval slice (deterministic 2% bucket). "
+    "Eval shingle hashes broadcast; the training corpus gets one scan",
+    tags=("dedup", "llm-pipeline", "decontamination"),
+)
+def decontaminate_train_set(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    eval_set = docs.where(bucket < 200)
+    train = docs.where(bucket >= 200)
+    return decontaminate_flags(train, eval_set, n=3)

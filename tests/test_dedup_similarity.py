@@ -223,3 +223,34 @@ class TestScaleGuards:
         )
         assert tiled == whole
         assert len(whole) > 0
+
+
+class TestDecontamination:
+    def test_flags_overlapping_train_docs(self, spark):
+        from mongodb_cdc_delta_spark.ops.dedup import decontaminate_flags
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated training text here now"),
+                (3, "another clean document with words of its own"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [(100, "quick brown fox escapes again")],
+            "doc_id long, text string",
+        )
+        flagged = {r["doc_id"]: r["n_shared"] for r in
+                   decontaminate_flags(train, eval_set, n=3).collect()}
+        assert set(flagged) == {1}  # only doc 1 shares a trigram
+        assert flagged[1] == 1  # "quick brown fox"
+
+    def test_eval_side_broadcasts(self, spark):
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        df = all_queries()["decontaminate_train_set"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -110,3 +110,33 @@ class TestCodegen:
         plan = plan_of(spark, name, execute=True)
         # '*(n)' prefixes mark whole-stage-codegen spans
         assert count(r"\*\(\d+\)", plan) >= 1, f"{name} fell out of codegen"
+
+
+class TestTpchBreadthPlans:
+    def test_volume_shipping_broadcasts_dims_no_cartesian(self, spark):
+        plan = plan_of(spark, "volume_shipping", execute=True)
+        assert count(r"BroadcastHashJoin", plan) >= 2  # both nation dims
+        assert "CartesianProduct" not in plan
+        # shipdate window reaches the lineitem scan
+        assert "PushedFilters" in plan and "l_shipdate" in plan
+
+    def test_min_cost_supplier_decorrelates(self, spark):
+        # the correlated min subquery must become one aggregate + join,
+        # not a per-row rescan (no nested loop over lineitem)
+        plan = plan_of(spark, "min_cost_supplier", execute=True)
+        assert "CartesianProduct" not in plan
+        # AQE prints "final +- == Initial Plan ==" — count only the final
+        final = plan.split("== Initial Plan ==")[0]
+        assert count(r"FileScan parquet", final) <= 4  # part, 2x lineitem, supplier
+        # p_size filter pushed down
+        assert "EqualTo(p_size,15)" in plan.replace(" ", "") or "p_size" in plan
+
+    def test_dormant_customers_anti_join(self, spark):
+        plan = plan_of(spark, "dormant_customers", execute=True)
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_sampling_predicates_stay_in_scan_stage(self, spark):
+        # deterministic sampling is a pure filter: no Exchange at all
+        plan = plan_of(spark, "deterministic_sample", execute=True)
+        assert "Exchange" not in plan
