@@ -137,3 +137,72 @@ def training_mix_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .where(sample_bucket(F.col("doc_id")) < 5000)
     )
     return out.select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column,
+    budget: int,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training-shard bin by concatenation
+    offset: documents are laid out in ``order_col`` order and split at
+    ``budget``-token boundaries (the streaming packer used to build
+    fixed-length training sequences), so bin = floor(start_offset/budget).
+
+    Scale shape: a global running sum is inherently sequential, so pass
+    ``shard_col`` (e.g. language or source) to partition the window — each
+    shard packs independently and the cumsum shuffles once on the shard
+    key instead of collapsing to a single partition."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ntok = token_col.alias("__ntok")
+    out = df.select("*", ntok).withColumn(
+        "__start", F.sum("__ntok").over(w) - F.col("__ntok")
+    )
+    return out.withColumn(
+        "bin_id", F.floor(F.col("__start") / budget)
+    ).drop("__start")
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS start_off
+      FROM toks
+    )
+    SELECT lang, CAST(floor(start_off / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM off
+    GROUP BY 1, 2
+    """,
+    description="sequence packing: per-language concatenation-offset "
+    "binning into 2048-token training shards — one partitioned window "
+    "cumsum (shuffles on the shard key, never a single global partition)",
+    tags=("sampling", "llm-pipeline", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    packed = pack_sequences(
+        docs,
+        token_col=F.size(F.split(F.col("text"), " ")),
+        budget=2048,
+        shard_col="lang",
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__ntok").alias("total_tokens"),
+    )

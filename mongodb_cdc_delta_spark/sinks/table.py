@@ -1181,15 +1181,29 @@ class LakeTable:
             "files_after": len(files) - len(remove) + len(add),
         }
 
-    def vacuum(self, retention_hours: float = 168.0) -> dict[str, Any]:
+    def vacuum(
+        self, retention_hours: float = 168.0, sweep_orphans: bool = True
+    ) -> dict[str, Any]:
         """Delete data files no longer referenced by the latest snapshot whose
         removing commit is older than retention (reference
-        delta_writer.py:268-282, default 168h)."""
+        delta_writer.py:268-282, default 168h).
+
+        ``sweep_orphans`` additionally removes parquet files in the table
+        directory that appear in NO commit at all and are older than
+        retention: a writer that dies between staging its files and
+        publishing its commit leaves such orphans (the in-process lost-race
+        path cleans up after itself, but a crash cannot). Retention gates
+        the sweep so a concurrent writer's just-staged-but-not-yet-committed
+        files are never touched — the same uncommitted-file grace Delta's
+        VACUUM applies."""
         cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
         active_set = set(self._replay().files)
         removable: set[str] = set()
+        ever_referenced: set[str] = set(active_set)
         for v in self._versions():
             c = self._read_commit(v)
+            ever_referenced.update(a["path"] for a in c.add)
+            ever_referenced.update(c.remove)
             if c.timestamp_ms <= cutoff_ms:
                 for r in c.remove:
                     if r not in active_set:
@@ -1200,7 +1214,32 @@ class LakeTable:
             if os.path.exists(p):
                 os.unlink(p)
                 deleted += 1
-        return {"files_deleted": deleted}
+        orphans_deleted = 0
+        if sweep_orphans:
+            cutoff_s = time.time() - retention_hours * 3600
+            for dirpath, dirs, names in os.walk(self.root):
+                rel_dir = os.path.relpath(dirpath, self.root)
+                if rel_dir.split(os.sep)[0] in (_LOG_DIR, _TMP_DIR):
+                    dirs[:] = []
+                    continue
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.normpath(os.path.join(rel_dir, name))
+                    if rel.startswith("./"):
+                        rel = rel[2:]
+                    if rel == name and rel_dir == ".":
+                        rel = name
+                    if rel in ever_referenced:
+                        continue
+                    p = os.path.join(dirpath, name)
+                    try:
+                        if os.path.getmtime(p) <= cutoff_s:
+                            os.unlink(p)
+                            orphans_deleted += 1
+                    except OSError:
+                        pass
+        return {"files_deleted": deleted, "orphans_deleted": orphans_deleted}
 
     # ------------------------------------------------------------ helpers
 

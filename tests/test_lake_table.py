@@ -410,3 +410,26 @@ def test_zorder_validation(spark, lake):
     # constant / single-value columns degrade gracefully
     res = t.optimize(zorder_by=["x"])
     assert t.read().count() == 1
+
+
+def test_vacuum_sweeps_crash_orphans(spark, lake):
+    import os
+    import time as _time
+
+    t = LakeTable(spark, lake + "/orph")
+    t.append(_df(spark, [(1,)], "id long"))
+    # simulate a writer that died after staging: a parquet file in the
+    # table dir that no commit references
+    orphan = os.path.join(t.root, "part-deadwriter-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 not really parquet")
+    old = _time.time() - 10 * 3600
+    os.utime(orphan, (old, old))
+    # within retention: untouched (could be a concurrent writer staging)
+    res = t.vacuum(retention_hours=24.0)
+    assert res["orphans_deleted"] == 0 and os.path.exists(orphan)
+    # past retention: swept
+    res = t.vacuum(retention_hours=1.0)
+    assert res["orphans_deleted"] == 1 and not os.path.exists(orphan)
+    # referenced data untouched
+    assert t.read().count() == 1
