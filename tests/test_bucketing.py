@@ -64,3 +64,45 @@ def test_join_correct_and_shuffle_free(spark, bucketed_tables):
         assert "Exchange hashpartitioning(cust_id" not in agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestBucketedReconcile:
+    def test_record_diff_on_bucketed_tables_has_no_join_exchange(self, spark):
+        """Reconciliation's record_diff is a full-outer join on the key —
+        on pre-bucketed source/target tables the join runs with NO Exchange
+        on either side (the write-time bucket shuffle is paid once, every
+        nightly reconcile after that is shuffle-free)."""
+        import re
+
+        from mongodb_cdc_delta_spark.ops.bucketing import write_bucketed
+        from mongodb_cdc_delta_spark.reconcile.engine import record_diff
+
+        src = spark.range(0, 1000).selectExpr(
+            "id AS event_id", "id * 2 AS value"
+        )
+        tgt = spark.range(0, 990).selectExpr(
+            "id AS event_id",
+            "CASE WHEN id % 97 = 0 THEN -1 ELSE id * 2 END AS value",
+        )
+        write_bucketed(src, "rec_src_b", "event_id", n_buckets=8)
+        write_bucketed(tgt, "rec_tgt_b", "event_id", n_buckets=8)
+        try:
+            diff = record_diff(
+                spark.table("rec_src_b"),
+                spark.table("rec_tgt_b"),
+                key="event_id",
+                compare_cols=["value"],
+            )
+            plan = diff._jdf.queryExecution().executedPlan().toString()
+            join_section = plan.split("SortMergeJoin")[-1]
+            # no shuffle feeding the join: bucket specs matched
+            assert "Exchange hashpartitioning" not in plan
+            counts = {
+                r["status"]: 1
+                for r in diff.select("status").distinct().collect()
+            }
+            assert "missing_in_target" in counts  # ids 990-999
+            assert "field_mismatch" in counts  # id % 97 == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS rec_src_b")
+            spark.sql("DROP TABLE IF EXISTS rec_tgt_b")

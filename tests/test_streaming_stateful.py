@@ -265,3 +265,48 @@ class TestRocksDBStateStore:
                     "spark.sql.streaming.stateStore.providerClass"
                 )
             shutil.rmtree(tmp_path / "ckpt", ignore_errors=True)
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_across_microbatches(self, spark, tmp_path):
+        from mongodb_cdc_delta_spark.streaming.stateful import streaming_dedup
+
+        src = tmp_path / "dsrc"
+        src.mkdir()
+        # two files → two micro-batches (maxFilesPerTrigger=1); the second
+        # repeats fingerprint "a" within the watermark and adds "c"
+        (src / "b0.json").write_text(
+            '{"fp": "a", "ts": "2024-01-01T00:00:00"}\n'
+            '{"fp": "b", "ts": "2024-01-01T00:01:00"}\n'
+        )
+        (src / "b1.json").write_text(
+            '{"fp": "a", "ts": "2024-01-01T00:02:00"}\n'
+            '{"fp": "c", "ts": "2024-01-01T00:03:00"}\n'
+        )
+        stream = (
+            spark.readStream.schema("fp string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = streaming_dedup(stream, ("fp",), event_time_col="ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        fps = sorted(
+            r["fp"] for r in spark.sql("SELECT fp FROM dedup_stream").collect()
+        )
+        assert fps == ["a", "b", "c"]  # the replayed "a" was dropped
+
+    def test_batch_fallback(self, spark):
+        from mongodb_cdc_delta_spark.streaming.stateful import streaming_dedup
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "fp string, v long"
+        )
+        assert streaming_dedup(df, ("fp",)).count() == 2
