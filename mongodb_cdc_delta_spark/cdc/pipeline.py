@@ -487,6 +487,7 @@ class CDCIngestor:
         materialize_current: bool = False,
         key_col: str = "_id",
         control_plane=None,
+        collection_parallelism: int = 1,
     ):
         from ..quality.reliability import RetryConfig
 
@@ -497,6 +498,10 @@ class CDCIngestor:
         self.partition_by = list(partition_by)
         self.retry_config = retry_config or RetryConfig()
         self.circuit_breaker = circuit_breaker
+        #: >1 routes collections to driver worker threads — each append is
+        #: an independent Spark job on its own table (the reference's
+        #: per-collection batch_processor threads, B2); 1 = serial
+        self.collection_parallelism = collection_parallelism
         #: optional ControlPlane: each ingest batch writes ONE audit entry
         #: (per-collection row/dlq stats as JSON details) — the reference
         #: audits every management op (api/src/routers/admin.py:148-185);
@@ -585,54 +590,34 @@ class CDCIngestor:
                     schemas[(r["db"], r["collection"])] = refine_bson_markers(
                         raw_schema
                     )
-            for (db, coll), (doc_schema, parse_schema) in sorted(schemas.items()):
-                table_name = f"{db}_{coll}"
-                sub = clean.where(
-                    (F.col("db") == db) & (F.col("collection") == coll)
-                ).drop("db", "collection")
-                table = self.table(table_name)
-                live = table.schema()
-                if live is not None:
-                    data_schema = StructType(
-                        [f for f in live.fields if f.name not in CDC_META_COLUMNS]
+            items = sorted(schemas.items())
+            if self.collection_parallelism > 1 and len(items) > 1:
+                # per-collection worker threads (reference batch_processor's
+                # per-collection threading, B2): each collection's append is
+                # an independent Spark job on its own table, so jobs run
+                # concurrently from driver threads; results merge after.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=self.collection_parallelism
+                ) as pool:
+                    results = list(
+                        pool.map(
+                            lambda kv: self._ingest_collection(
+                                clean, kv[0], kv[1], batch_id
+                            ),
+                            items,
+                        )
                     )
-                    doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
-                    if doc_schema != data_schema:
-                        stats.schema_evolutions.append(table_name)
-                normalized = F.when(
-                    F.col("doc").contains('"$'),
-                    normalize_extended_json(F.col("doc")),
-                ).otherwise(F.col("doc"))
-                parsed_rows = sub.select(
-                    F.from_json(normalized, parse_schema).alias("d"),
-                    *CDC_META_COLUMNS,
-                ).select("d.*", *CDC_META_COLUMNS)
-                # millis-longs → timestamps + align to the merged schema
-                meta_fields = [
-                    parsed_rows.schema[c] for c in CDC_META_COLUMNS
+            else:
+                results = [
+                    self._ingest_collection(clean, key, sch, batch_id)
+                    for key, sch in items
                 ]
-                full_target = StructType(list(doc_schema.fields) + meta_fields)
-                rows = cast_to_schema(
-                    parsed_rows, full_target, scalar_rule=millis_cast_rule
-                )
-                txn = (
-                    (f"cdc-{table_name}", batch_id) if batch_id is not None else None
-                )
-                res = self._guarded_append(
-                    table,
-                    rows,
-                    partition_by=self.partition_by,
-                    mode=self.mode,
-                    txn=txn,
-                )
+            for table_name, res, evolved in results:
                 stats.collections[table_name] = res
-                # run the __current merge even when the main append was
-                # skipped as a duplicate: a retry that crashed between the
-                # two commits would otherwise never materialize this batch.
-                # The merge's own txn (cdc-current-<table>, batch_id) makes
-                # re-merges no-ops.
-                if self.materialize_current:
-                    self._merge_current_state(table_name, rows, batch_id)
+                if evolved:
+                    stats.schema_evolutions.append(table_name)
             n_dlq = dlq.count()
             stats.dlq_rows = n_dlq
             if n_dlq:
@@ -663,6 +648,60 @@ class CDCIngestor:
             except Exception:
                 pass  # audit is best-effort; never fail the data write
         return stats
+
+    def _ingest_collection(
+        self,
+        clean: DataFrame,
+        key: tuple[str, str],
+        schemas: tuple[StructType, StructType],
+        batch_id: int | None,
+    ) -> tuple[str, dict, bool]:
+        """Route + evolve + append one collection's slice of the batch.
+        Returns (table_name, append result, schema_evolved)."""
+        db, coll = key
+        doc_schema, parse_schema = schemas
+        table_name = f"{db}_{coll}"
+        sub = clean.where(
+            (F.col("db") == db) & (F.col("collection") == coll)
+        ).drop("db", "collection")
+        table = self.table(table_name)
+        evolved = False
+        live = table.schema()
+        if live is not None:
+            data_schema = StructType(
+                [f for f in live.fields if f.name not in CDC_META_COLUMNS]
+            )
+            doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
+            evolved = doc_schema != data_schema
+        normalized = F.when(
+            F.col("doc").contains('"$'),
+            normalize_extended_json(F.col("doc")),
+        ).otherwise(F.col("doc"))
+        parsed_rows = sub.select(
+            F.from_json(normalized, parse_schema).alias("d"),
+            *CDC_META_COLUMNS,
+        ).select("d.*", *CDC_META_COLUMNS)
+        # millis-longs → timestamps + align to the merged schema
+        meta_fields = [parsed_rows.schema[c] for c in CDC_META_COLUMNS]
+        full_target = StructType(list(doc_schema.fields) + meta_fields)
+        rows = cast_to_schema(
+            parsed_rows, full_target, scalar_rule=millis_cast_rule
+        )
+        txn = (f"cdc-{table_name}", batch_id) if batch_id is not None else None
+        res = self._guarded_append(
+            table,
+            rows,
+            partition_by=self.partition_by,
+            mode=self.mode,
+            txn=txn,
+        )
+        # run the __current merge even when the main append was skipped as
+        # a duplicate: a retry that crashed between the two commits would
+        # otherwise never materialize this batch. The merge's own txn
+        # (cdc-current-<table>, batch_id) makes re-merges no-ops.
+        if self.materialize_current:
+            self._merge_current_state(table_name, rows, batch_id)
+        return table_name, res, evolved
 
     def _merge_current_state(
         self, table_name: str, rows: DataFrame, batch_id: int | None
