@@ -70,6 +70,11 @@ HEADLINE = [
     "min_cost_supplier",
     "volume_shipping",
     "dormant_customers",
+    "shipping_priority",
+    "returned_item_ranking",
+    "sequence_packing",
+    "decontaminate_train_set",
+    "training_mix_pipeline",
 ]
 
 

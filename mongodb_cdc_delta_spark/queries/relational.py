@@ -1046,3 +1046,102 @@ def dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style: shipping-priority top-10 unshipped orders
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    description="TPC-H Q3-style: top-10 revenue among orders placed before "
+    "but shipped after the cutoff, one market segment. Both date filters "
+    "push to their scans; the ORDER BY+LIMIT is TakeOrderedAndProject "
+    "(no full sort); unique orderkey tiebreak keeps the top-10 total",
+    tags=("q4", "join", "agg", "topk", "tpch"),
+)
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-03-15 00:00:00"))
+    )
+    l = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-03-15 00:00:00"))
+    )
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style: returned-item customer ranking
+# ---------------------------------------------------------------------------
+@register(
+    "returned_item_ranking",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q10-style: top-20 customers by returned-item "
+    "revenue in one quarter. returnflag + date window push down; nation "
+    "broadcasts; TakeOrderedAndProject top-k",
+    tags=("q4", "join", "agg", "topk", "tpch"),
+)
+def returned_item_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-10-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    l = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
