@@ -1243,5 +1243,56 @@ class LakeTable:
 
     # ------------------------------------------------------------ helpers
 
+    def clustering_report(self) -> dict[str, dict[str, Any]]:
+        """Per-column data-skipping effectiveness from the commit log's
+        file stats — no data scan, pure metadata.
+
+        For each column with min/max on ≥2 files, reports
+        ``mean_overlap``: the average number of OTHER files whose [min,max]
+        range intersects a given file's range. 0.0 = perfectly disjoint
+        (a point predicate on this column scans one file); n_files-1 =
+        every file covers every value (skipping never prunes — the column
+        is a clustering candidate). Feed the worst frequently-filtered
+        column(s) to ``optimize(zorder_by=...)`` and re-check."""
+        snap = self._replay()
+        by_col: dict[str, list[tuple[Any, Any]]] = {}
+        for f in snap.files:
+            st = snap.file_stats.get(f)
+            if not st:
+                continue
+            for col, lo in (st.get("minValues") or {}).items():
+                hi = (st.get("maxValues") or {}).get(col)
+                if hi is not None:
+                    by_col.setdefault(col, []).append((lo, hi))
+        report: dict[str, dict[str, Any]] = {}
+        for col, ranges in by_col.items():
+            if len(ranges) < 2:
+                continue
+            try:
+                overlaps = [
+                    sum(
+                        1
+                        for j, (lo2, hi2) in enumerate(ranges)
+                        if i != j and lo1 <= hi2 and lo2 <= hi1
+                    )
+                    for i, (lo1, hi1) in enumerate(ranges)
+                ]
+            except TypeError:  # mixed stat types across historical schemas
+                continue
+            report[col] = {
+                "n_files": len(ranges),
+                "mean_overlap": round(sum(overlaps) / len(ranges), 3),
+            }
+        return report
+
+    def suggest_clustering(self, top_n: int = 2) -> list[str]:
+        """Columns whose file ranges overlap most (worst data skipping) —
+        the default zorder_by candidates when query patterns are unknown."""
+        rep = self.clustering_report()
+        ranked = sorted(
+            rep.items(), key=lambda kv: -kv[1]["mean_overlap"]
+        )
+        return [c for c, m in ranked[:top_n] if m["mean_overlap"] > 0]
+
     def file_count(self) -> int:
         return len(self._replay().files)

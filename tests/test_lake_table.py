@@ -433,3 +433,22 @@ def test_vacuum_sweeps_crash_orphans(spark, lake):
     assert res["orphans_deleted"] == 1 and not os.path.exists(orphan)
     # referenced data untouched
     assert t.read().count() == 1
+
+
+def test_clustering_report_and_advisor(spark, lake):
+    t = LakeTable(spark, lake + "/adv")
+    # id ranges disjoint per file; v spans the full range in every file
+    for lo in (0, 100, 200, 300):
+        rows = [(lo + i, i % 50) for i in range(100)]
+        t.append(_df(spark, rows, "id long, v long").coalesce(1))
+    rep = t.clustering_report()
+    assert rep["id"]["mean_overlap"] == 0.0  # perfectly clustered
+    assert rep["v"]["mean_overlap"] == 3.0  # every file overlaps all others
+    assert t.suggest_clustering(top_n=1) == ["v"]
+    # re-cluster on the advisor's suggestion: v becomes prunable
+    t.optimize(zorder_by=t.suggest_clustering(top_n=1), target_file_rows=100)
+    rep2 = t.clustering_report()
+    assert rep2["v"]["mean_overlap"] < 3.0
+    pruned = t.read(predicate="v = 7")
+    assert len(pruned.inputFiles()) < len(t._replay().files)
+    assert pruned.count() == 8  # 2 per original file
