@@ -72,6 +72,8 @@ HEADLINE = [
     "dormant_customers",
     "shipping_priority",
     "returned_item_ranking",
+    "large_volume_customers",
+    "promo_revenue_share",
     "sequence_packing",
     "decontaminate_train_set",
     "training_mix_pipeline",

@@ -1145,3 +1145,88 @@ def returned_item_ranking(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style: large-volume customers (aggregated IN-subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    description="TPC-H Q18-style: orders whose total quantity exceeds 300 "
+    "with their customers. The IN-subquery is an aggregate + left-semi "
+    "join (no correlated re-execution); HAVING runs map-side-partial first",
+    tags=("q4", "join", "agg", "subquery", "tpch"),
+)
+def large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style: promotion revenue share (conditional-aggregate ratio)
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+               END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE)
+           AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    description="TPC-H Q14-style: share of one month's revenue from promo "
+    "parts — conditional aggregate over a broadcast part join; both sums "
+    "exact decimal, one double division at the end",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01 00:00:00")))
+    )
+    p = load(spark, sf, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
