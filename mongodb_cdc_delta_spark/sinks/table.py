@@ -75,6 +75,9 @@ class Snapshot:
     #: "minValues": {col: v}, "maxValues": {...}, "nullCount": {...}}});
     #: None for files written before stats collection existed
     file_stats: dict[str, dict | None] = field(default_factory=dict)
+    #: merge-on-read deletion vectors: path → sorted deleted row positions
+    #: (absolute within the file); readers subtract these rows
+    file_dvs: dict[str, list[int]] = field(default_factory=dict)
 
 
 class ConcurrentWriteError(Exception):
@@ -93,6 +96,9 @@ class CommitInfo:
     txn: dict[str, Any] | None = None
     metrics: dict[str, Any] = field(default_factory=dict)
     properties: dict[str, str] | None = None
+    #: deletion vectors written by this commit: path → FULL sorted deleted
+    #: position list for that file as of this commit (replace, not delta)
+    dv: dict[str, list[int]] | None = None
 
 
 #: stats are collected for at most this many leading columns (Delta's
@@ -368,6 +374,7 @@ class LakeTable:
         txns: dict[str, int] = {}
         props: dict[str, str] = {}
         stats: dict[str, dict | None] = {}
+        dvs: dict[str, list[int]] = {}
         for v in self._versions():
             if v > version:
                 break
@@ -387,9 +394,15 @@ class LakeTable:
             for a in c.add:
                 active[a["path"]] = cur_idx
                 stats[a["path"]] = a.get("stats")
+                dvs.pop(a["path"], None)
             for r in c.remove:
                 active.pop(r, None)
                 stats.pop(r, None)
+                dvs.pop(r, None)
+            if c.dv:
+                for path, positions in c.dv.items():
+                    if path in active:
+                        dvs[path] = list(positions)
         tmp = os.path.join(
             self.root, _LOG_DIR, f".ckpt-tmp-{uuid.uuid4().hex}.json"
         )
@@ -404,6 +417,7 @@ class LakeTable:
                     "txns": txns,
                     "properties": props,
                     "stats": stats,
+                    "dvs": dvs,
                 },
                 fh,
             )
@@ -448,6 +462,7 @@ class LakeTable:
         cur_idx = -1
         partition_by: list[str] = []
         file_stats: dict[str, dict | None] = {}
+        file_dvs: dict[str, list[int]] = {}
         ckpt = self._latest_checkpoint(target_version)
         if ckpt is not None:
             active = dict(ckpt["active"])
@@ -455,6 +470,7 @@ class LakeTable:
             cur_idx = ckpt["cur_idx"]
             partition_by = ckpt["partition_by"]
             file_stats = dict(ckpt.get("stats", {}))
+            file_dvs = {k: list(v) for k, v in ckpt.get("dvs", {}).items()}
             versions = [v for v in versions if v > ckpt["version"]]
         for v in versions:
             c = self._read_commit(v)
@@ -468,9 +484,15 @@ class LakeTable:
             for a in c.add:
                 active[a["path"]] = cur_idx
                 file_stats[a["path"]] = a.get("stats")
+                file_dvs.pop(a["path"], None)  # fresh file: no deletions
             for r in c.remove:
                 active.pop(r, None)
                 file_stats.pop(r, None)
+                file_dvs.pop(r, None)
+            if c.dv:
+                for path, positions in c.dv.items():
+                    if path in active:
+                        file_dvs[path] = list(positions)
         schema = StructType.fromJson(schemas[cur_idx]) if schemas else None
         return Snapshot(
             sorted(active),
@@ -480,6 +502,7 @@ class LakeTable:
             active,
             schemas,
             file_stats,
+            file_dvs,
         )
 
     def version(self) -> int:
@@ -889,17 +912,112 @@ class LakeTable:
         }
 
     def delete_where(
-        self, predicate: str, txn: tuple[str, int] | None = None
+        self,
+        predicate: str,
+        txn: tuple[str, int] | None = None,
+        deletion_vectors: bool = False,
     ) -> dict[str, Any]:
-        """DELETE FROM ... WHERE predicate (Delta-parity copy-on-write):
-        only files containing matches are rewritten, without their matching
-        rows."""
+        """DELETE FROM ... WHERE predicate.
+
+        Default is Delta-parity copy-on-write: only files containing
+        matches are rewritten, without their matching rows.
+
+        ``deletion_vectors=True`` is merge-on-read (Delta's DV feature): no
+        data file is rewritten; the commit records the deleted row
+        positions per file and every reader subtracts them. A point DELETE
+        on a 100 TB table then costs one pushed-down scan of the admitted
+        files plus a metadata commit — O(deleted rows), not O(file bytes).
+        Use for selective deletes (GDPR erasure, bad-record surgery); mass
+        deletes should stay copy-on-write, and ``optimize()`` rewrites
+        DV-carrying files to reclaim space."""
+        if deletion_vectors:
+            return self._delete_dv(predicate, txn)
         return self._rewrite(
             predicate,
             lambda df: df.where(f"NOT ({predicate})"),
             "DELETE",
             txn,
         )
+
+    def _delete_dv(
+        self, predicate: str, txn: tuple[str, int] | None
+    ) -> dict[str, Any]:
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return {"version": self.version(), "skipped": True}
+        snap = self._replay()
+        if snap.schema is None or not snap.files:
+            return {"version": snap.version, "rows_deleted": 0, "skipped": False}
+        by_schema: dict[int, list[str]] = {}
+        conj = _parse_pruning_conjuncts(predicate)
+        for f in snap.files:
+            if conj and not all(
+                _stats_admit(snap.file_stats.get(f), c, o, v)
+                for c, o, v in conj
+            ):
+                continue
+            by_schema.setdefault(snap.file_schema[f], []).append(f)
+        root_real = os.path.realpath(self.root)
+        new_dv: dict[str, list[int]] = {}
+        rows_deleted = 0
+        for idx, group in sorted(by_schema.items()):
+            write_schema = StructType.fromJson(snap.schemas[idx])
+            paths = [os.path.join(self.root, f) for f in group]
+            try:
+                hits = (
+                    self.spark.read.schema(write_schema)
+                    .option("basePath", self.root)
+                    .parquet(*paths)
+                    .where(predicate)
+                    .select(
+                        F.col("_metadata.file_path").alias("__p"),
+                        F.col("_metadata.row_index").alias("__i"),
+                    )
+                    .collect()
+                )
+            except AnalysisException as e:
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else getattr(e, "getErrorClass", lambda: None)()
+                )
+                if cond and "UNRESOLVED_COLUMN" in cond:
+                    continue
+                raise
+            per_file: dict[str, set[int]] = {}
+            for r in hits:
+                p = r["__p"]
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                rel = os.path.relpath(os.path.realpath(p), root_real)
+                per_file.setdefault(rel, set()).add(int(r["__i"]))
+            for rel, positions in per_file.items():
+                merged = set(snap.file_dvs.get(rel, ())) | positions
+                rows_deleted += len(merged) - len(snap.file_dvs.get(rel, ()))
+                new_dv[rel] = sorted(merged)
+        if not new_dv:
+            return {
+                "version": snap.version,
+                "rows_deleted": 0,
+                "files_with_dv": 0,
+                "skipped": False,
+            }
+        commit = CommitInfo(
+            version=self.version() + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation="DELETE",
+            schema=snap.schema.jsonValue(),
+            partition_by=snap.partition_by,
+            txn={"app_id": txn[0], "version": txn[1]} if txn else None,
+            metrics={"rows_deleted": rows_deleted, "mode": "deletion-vector"},
+            dv=new_dv,
+        )
+        self._publish(commit)
+        return {
+            "version": commit.version,
+            "rows_deleted": rows_deleted,
+            "files_with_dv": len(new_dv),
+            "skipped": False,
+        }
 
     def update_where(
         self,
@@ -953,6 +1071,38 @@ class LakeTable:
                 .option("basePath", self.root)
                 .parquet(*paths)
             )
+            dv_files = [f for f in group if snap.file_dvs.get(f)]
+            if dv_files:
+                # merge-on-read: subtract deletion-vector rows via a
+                # broadcast anti-join on (file uri, row position). DV size
+                # is bounded by deleted rows, so the broadcast is small;
+                # files without a DV in this group pass through untouched.
+                tombstones = [
+                    (os.path.realpath(os.path.join(self.root, f)), int(p))
+                    for f in dv_files
+                    for p in snap.file_dvs[f]
+                ]
+                tdf = self.spark.createDataFrame(
+                    tombstones, "__dv_path string, __dv_idx long"
+                )
+                df = (
+                    # file_path renders as file:/abs or file:///abs
+                    # depending on the Hadoop path layer — strip the scheme
+                    df.withColumn(
+                        "__path",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        ),
+                    )
+                    .withColumn("__idx", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(tdf),
+                        (F.col("__path") == F.col("__dv_path"))
+                        & (F.col("__idx") == F.col("__dv_idx")),
+                        "left_anti",
+                    )
+                    .drop("__path", "__idx")
+                )
             # ALWAYS project onto the target schema, even when the write
             # schema matches: the file relation moves partition columns to
             # the end, so group column ORDER differs from the declared
@@ -1117,7 +1267,15 @@ class LakeTable:
         add: list[dict[str, Any]] = []
         remove: list[str] = []
         for part_rel, part_files in by_part.items():
-            if len(part_files) <= 1 and not (cluster_by or zorder_by):
+            has_dv = any(snap.file_dvs.get(f) for f in part_files)
+            # single-file partitions still rewrite when a deletion vector
+            # is attached: OPTIMIZE is the DV compaction path (applies the
+            # vector, reclaims space, clears the DV)
+            if (
+                len(part_files) <= 1
+                and not (cluster_by or zorder_by)
+                and not has_dv
+            ):
                 continue
             pdf = self._read_file_groups(snap, part_files, schema)
             # partition cols are path-derived; drop before writing data files

@@ -452,3 +452,72 @@ def test_clustering_report_and_advisor(spark, lake):
     pruned = t.read(predicate="v = 7")
     assert len(pruned.inputFiles()) < len(t._replay().files)
     assert pruned.count() == 8  # 2 per original file
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+def test_dv_delete_no_rewrite(spark, lake):
+    t = LakeTable(spark, lake + "/dv")
+    t.append(_df(spark, [(i, f"n{i}") for i in range(100)], "id long, name string").coalesce(1))
+    files_before = t._replay().files
+    res = t.delete_where("id = 7", deletion_vectors=True)
+    assert res["rows_deleted"] == 1 and res["files_with_dv"] == 1
+    # no data file rewritten: same physical files, rows subtracted at read
+    assert t._replay().files == files_before
+    assert t.read().count() == 99
+    assert t.read().where("id = 7").count() == 0
+    # second DV delete merges into the existing vector
+    res2 = t.delete_where("id >= 90", deletion_vectors=True)
+    assert res2["rows_deleted"] == 10
+    assert t.read().count() == 89
+    # deleting already-deleted rows is a no-op
+    res3 = t.delete_where("id = 7", deletion_vectors=True)
+    assert res3["rows_deleted"] == 0
+    assert t.read().count() == 89
+
+
+def test_dv_time_travel_and_txn(spark, lake):
+    t = LakeTable(spark, lake + "/dvtt")
+    t.append(_df(spark, [(i,) for i in range(10)], "id long").coalesce(1))
+    t.delete_where("id < 3", deletion_vectors=True, txn=("del", 1))
+    assert t.read().count() == 7
+    assert t.read(version_as_of=0).count() == 10  # pre-delete snapshot
+    # replayed txn is exactly-once
+    r = t.delete_where("id < 3", deletion_vectors=True, txn=("del", 1))
+    assert r["skipped"] and t.read().count() == 7
+
+
+def test_optimize_compacts_deletion_vectors(spark, lake):
+    t = LakeTable(spark, lake + "/dvopt")
+    t.append(_df(spark, [(i,) for i in range(50)], "id long").coalesce(1))
+    t.delete_where("id % 5 = 0", deletion_vectors=True)
+    assert t.read().count() == 40
+    assert t._replay().file_dvs  # vector present
+    res = t.optimize()
+    snap = t._replay()
+    assert not snap.file_dvs  # applied + cleared
+    assert t.read().count() == 40
+    assert t.read().where("id % 5 = 0").count() == 0
+
+
+def test_dv_survives_checkpoint(spark, lake):
+    t = LakeTable(spark, lake + "/dvckpt")
+    t.append(_df(spark, [(i,) for i in range(20)], "id long").coalesce(1))
+    t.delete_where("id = 1", deletion_vectors=True)
+    for i in range(10):  # cross the checkpoint interval
+        t.append(_df(spark, [(100 + i,)], "id long").coalesce(1))
+    assert t.version() >= 10
+    assert t.read().count() == 29
+    assert t.read().where("id = 1").count() == 0
+
+
+def test_dv_then_cow_delete_consistent(spark, lake):
+    t = LakeTable(spark, lake + "/dvcow")
+    t.append(_df(spark, [(i,) for i in range(30)], "id long").coalesce(1))
+    t.delete_where("id < 5", deletion_vectors=True)
+    # copy-on-write delete reads through the DV, so the rewrite keeps both
+    # deletions and drops the file's vector with the file
+    t.delete_where("id >= 25")
+    assert t.read().count() == 20
+    assert not t._replay().file_dvs
