@@ -1134,6 +1134,7 @@ class LakeTable:
         files = snap.files
         if predicate is not None:
             conj = _parse_pruning_conjuncts(predicate)
+            self._log_predicate_columns(conj)
             if conj:
                 files = [
                     f
@@ -1401,6 +1402,32 @@ class LakeTable:
 
     # ------------------------------------------------------------ helpers
 
+    def _log_predicate_columns(self, conj: list[tuple[str, str, Any]]) -> None:
+        """Append the filtered columns of a predicate read to a lightweight
+        side log (best-effort, outside the txn protocol) — the workload
+        signal ``suggest_clustering`` weights by."""
+        if not conj:
+            return
+        try:
+            log_dir = os.path.join(self.root, _LOG_DIR)
+            os.makedirs(log_dir, exist_ok=True)
+            with open(os.path.join(log_dir, "_predicates.jsonl"), "a") as fh:
+                fh.write(json.dumps(sorted({c for c, _o, _v in conj})) + "\n")
+        except OSError:
+            pass
+
+    def _predicate_frequencies(self) -> dict[str, int]:
+        path = os.path.join(self.root, _LOG_DIR, "_predicates.jsonl")
+        freq: dict[str, int] = {}
+        try:
+            with open(path) as fh:
+                for line in fh:
+                    for col in json.loads(line):
+                        freq[col] = freq.get(col, 0) + 1
+        except (OSError, ValueError):
+            pass
+        return freq
+
     def clustering_report(self) -> dict[str, dict[str, Any]]:
         """Per-column data-skipping effectiveness from the commit log's
         file stats — no data scan, pure metadata.
@@ -1443,13 +1470,23 @@ class LakeTable:
             }
         return report
 
-    def suggest_clustering(self, top_n: int = 2) -> list[str]:
-        """Columns whose file ranges overlap most (worst data skipping) —
-        the default zorder_by candidates when query patterns are unknown."""
+    def suggest_clustering(
+        self, top_n: int = 2, weight_by_queries: bool = True
+    ) -> list[str]:
+        """zorder_by candidates: columns whose file ranges overlap most
+        (worst data skipping), weighted by how often predicate reads
+        actually filtered on them (the `_predicates.jsonl` side log). A
+        badly-clustered column nobody filters on is not worth a rewrite;
+        with no workload history the ranking falls back to overlap alone."""
         rep = self.clustering_report()
-        ranked = sorted(
-            rep.items(), key=lambda kv: -kv[1]["mean_overlap"]
-        )
+        freq = self._predicate_frequencies() if weight_by_queries else {}
+
+        def score(kv):
+            col, m = kv
+            w = 1 + freq.get(col, 0) if freq else 1
+            return -(m["mean_overlap"] * w)
+
+        ranked = sorted(rep.items(), key=score)
         return [c for c, m in ranked[:top_n] if m["mean_overlap"] > 0]
 
     def file_count(self) -> int:

@@ -521,3 +521,19 @@ def test_dv_then_cow_delete_consistent(spark, lake):
     t.delete_where("id >= 25")
     assert t.read().count() == 20
     assert not t._replay().file_dvs
+
+
+def test_advisor_weights_by_observed_predicates(spark, lake):
+    t = LakeTable(spark, lake + "/advw")
+    # two equally-unclustered columns (both span the full range per file)
+    for _ in range(3):
+        rows = [(i % 50, i % 40) for i in range(100)]
+        t.append(_df(spark, rows, "a long, b long").coalesce(1))
+    rep = t.clustering_report()
+    assert rep["a"]["mean_overlap"] == 2.0 and rep["b"]["mean_overlap"] == 2.0
+    # the workload filters on b — the advisor should prefer it
+    for _ in range(5):
+        t.read(predicate="b = 3").count()
+    assert t.suggest_clustering(top_n=1) == ["b"]
+    # without workload weighting, ties resolve by overlap only
+    assert set(t.suggest_clustering(top_n=2, weight_by_queries=False)) == {"a", "b"}
