@@ -537,3 +537,37 @@ def test_advisor_weights_by_observed_predicates(spark, lake):
     assert t.suggest_clustering(top_n=1) == ["b"]
     # without workload weighting, ties resolve by overlap only
     assert set(t.suggest_clustering(top_n=2, weight_by_queries=False)) == {"a", "b"}
+
+
+def test_pruned_read_always_equals_unpruned(spark, lake):
+    """Exhaustive predicate sweep: for every operator and boundary value
+    (file edges, in-range, out-of-range, string literals, AND-combos), a
+    pruned read returns exactly the rows of an unpruned filtered read —
+    data skipping is an optimization, never a semantics change."""
+    t = LakeTable(spark, lake + "/sweep")
+    for lo in (0, 100, 200, 300):
+        rows = [(lo + i, f"s{lo + i:04d}", (lo + i) % 7) for i in range(100)]
+        t.append(
+            _df(spark, rows, "id long, name string, m long").coalesce(1)
+        )
+    base = t.read()
+    preds = []
+    for val in (0, 99, 100, 150, 399, 400, -5, 1000):
+        for op in ("=", "<", "<=", ">", ">="):
+            preds.append(f"id {op} {val}")
+    preds += [
+        "name = 's0150'",
+        "name >= 's0350'",
+        "name < 's0100'",
+        "id >= 150 AND id < 250",
+        "id > 50 AND id <= 120 AND m = 3",
+        "id = 150 AND name = 's0150'",
+        "id = 150 AND name = 'wrong'",
+        "m = 3",           # unclustered column: stats admit everything
+        "id % 100 = 7",    # unparseable for pruning: full scan, exact
+        "id = 10 OR id = 310",  # OR disables pruning
+    ]
+    for pred in preds:
+        expect = base.where(pred).count()
+        got = t.read(predicate=pred).count()
+        assert got == expect, f"{pred!r}: pruned {got} != unpruned {expect}"
