@@ -687,6 +687,16 @@ class LakeTable:
         partition_by = list(
             partition_by if partition_by is not None else snap.partition_by
         )
+        if snap.files and partition_by != snap.partition_by:
+            # mixed hive layouts under one basePath silently DROP files
+            # whose directory depth disagrees with partition discovery —
+            # data loss, not an error. Refuse; layout changes go through
+            # repartition_table (explicit one-commit rewrite).
+            raise ValueError(
+                f"partition layout change {snap.partition_by} -> "
+                f"{partition_by} on a non-empty table: use "
+                f"repartition_table() to rewrite into the new layout"
+            )
         batch_schema = df.schema
         if cur_schema is not None:
             merged = merge_schemas(cur_schema, batch_schema, mode)
@@ -1231,6 +1241,47 @@ class LakeTable:
         }
 
     # -------------------------------------------------------- maintenance
+
+    def repartition_table(
+        self, partition_by: list[str], txn: tuple[str, int] | None = None
+    ) -> dict[str, Any]:
+        """Partition evolution: rewrite the whole table into a new hive
+        layout in one atomic commit (readers never see a mixed layout).
+
+        Scale note: this is a full rewrite by design — the commit-log
+        format ties partition discovery to one directory shape per table.
+        For cheap query-side re-partitioning prefer zorder/cluster_by,
+        which change file contents, not the directory contract."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return {"version": self.version(), "skipped": True}
+        snap = self._replay()
+        if snap.schema is None:
+            raise ValueError(f"table does not exist: {self.root}")
+        missing = [c for c in partition_by if c not in snap.schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        if partition_by == snap.partition_by:
+            return {"version": snap.version, "skipped": True}
+        rows = self._read_file_groups(snap, snap.files, snap.schema)
+        add, n_rows = self._stage_write(rows, list(partition_by))
+        commit = CommitInfo(
+            version=self.version() + 1,
+            timestamp_ms=int(time.time() * 1000),
+            operation="REPARTITION",
+            add=add,
+            remove=list(snap.files),
+            schema=snap.schema.jsonValue(),
+            partition_by=list(partition_by),
+            txn={"app_id": txn[0], "version": txn[1]} if txn else None,
+            metrics={"rows": n_rows, "new_layout": partition_by},
+        )
+        self._publish_staged(commit, add)
+        return {
+            "version": commit.version,
+            "rows": n_rows,
+            "files_added": len(add),
+            "skipped": False,
+        }
 
     def optimize(
         self,

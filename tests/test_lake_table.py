@@ -571,3 +571,47 @@ def test_pruned_read_always_equals_unpruned(spark, lake):
         expect = base.where(pred).count()
         got = t.read(predicate=pred).count()
         assert got == expect, f"{pred!r}: pruned {got} != unpruned {expect}"
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution
+# ---------------------------------------------------------------------------
+def test_layout_change_on_append_refused(spark, lake):
+    t = LakeTable(spark, lake + "/layout")
+    t.append(
+        _df(spark, [(1, "a"), (2, "b")], "id long, d string"),
+        partition_by=["d"],
+    )
+    # silent mixed-layout data loss is refused loudly
+    with pytest.raises(ValueError, match="partition layout change"):
+        t.append(
+            _df(spark, [(3, "c")], "id long, d string"), partition_by=[]
+        )
+    assert t.read().count() == 2
+
+
+def test_repartition_table_atomic_rewrite(spark, lake):
+    t = LakeTable(spark, lake + "/repart")
+    t.append(
+        _df(
+            spark,
+            [(i, f"d{i % 3}") for i in range(30)],
+            "id long, d string",
+        ),
+        partition_by=[],
+    )
+    res = t.repartition_table(["d"])
+    assert res["rows"] == 30 and not res["skipped"]
+    assert t.read().count() == 30
+    # new layout prunes as a real hive partition
+    out = t.read().where(F.col("d") == "d1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and out.count() == 10
+    # appends follow the new layout; the old snapshot is still readable
+    t.append(_df(spark, [(100, "d0")], "id long, d string"))
+    assert t.read().count() == 31
+    assert t.read(version_as_of=0).count() == 30
+    # idempotent via txn; no-op when the layout already matches
+    assert t.repartition_table(["d"])["skipped"]
+    with pytest.raises(ValueError, match="not in schema"):
+        t.repartition_table(["nope"])
