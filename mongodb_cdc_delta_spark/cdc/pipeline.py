@@ -464,6 +464,8 @@ def millis_cast_rule(col, src, dst):
 class IngestStats:
     collections: dict[str, dict[str, Any]] = field(default_factory=dict)
     dlq_rows: int = 0
+    #: rows beyond the per-batch DLQ cap that were counted but not stored
+    dlq_overflow: int = 0
     dropped_unknown_ops: int = 0
     #: tables whose stored schema widened this batch (reference
     #: prometheus_metrics.py schema-evolution counter)
@@ -488,6 +490,7 @@ class CDCIngestor:
         key_col: str = "_id",
         control_plane=None,
         collection_parallelism: int = 1,
+        dlq_max_rows_per_batch: int = 10_000,
     ):
         from ..quality.reliability import RetryConfig
 
@@ -498,6 +501,8 @@ class CDCIngestor:
         self.partition_by = list(partition_by)
         self.retry_config = retry_config or RetryConfig()
         self.circuit_breaker = circuit_breaker
+        #: reference dlq_writer rate limit analogue (10k/min → per-batch)
+        self.dlq_max_rows_per_batch = dlq_max_rows_per_batch
         #: >1 routes collections to driver worker threads — each append is
         #: an independent Spark job on its own table (the reference's
         #: per-collection batch_processor threads, B2); 1 = serial
@@ -621,6 +626,18 @@ class CDCIngestor:
             n_dlq = dlq.count()
             stats.dlq_rows = n_dlq
             if n_dlq:
+                # rate guard (reference dlq_writer.py:121-332 limits DLQ
+                # writes to 10k/min): a poison storm — e.g. a producer
+                # suddenly emitting garbage — must not turn the DLQ table
+                # into the write bottleneck. Keep a deterministic prefix
+                # (by kafka coordinates) and count the overflow; the
+                # storm's shape is diagnosable from the kept sample.
+                if n_dlq > self.dlq_max_rows_per_batch:
+                    stats.dlq_overflow = n_dlq - self.dlq_max_rows_per_batch
+                    dlq = (
+                        dlq.orderBy("source_topic", "partition", "offset")
+                        .limit(self.dlq_max_rows_per_batch)
+                    )
                 txn = ("cdc-_dlq", batch_id) if batch_id is not None else None
                 self._guarded_append(
                     self.table("_dlq"), dlq, partition_by=[], txn=txn

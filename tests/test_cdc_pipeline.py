@@ -536,3 +536,23 @@ class TestParallelCollections:
         # replay is still exactly-once per table under parallelism
         p2 = par.ingest_batch(raw_df(spark, events), batch_id=0, now=NOW)
         assert all(r["skipped"] for r in p2.collections.values())
+
+
+class TestDLQRateGuard:
+    def test_overflow_capped_and_counted(self, spark, tmp_path):
+        # 20 corrupt events against a 5-row cap: 5 stored, 15 counted
+        bad = ["{{{not json %d" % i for i in range(20)]
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), dlq_max_rows_per_batch=5
+        )
+        stats = ing.ingest_batch(raw_df(spark, bad), batch_id=0, now=NOW)
+        assert stats.dlq_rows == 20
+        assert stats.dlq_overflow == 15
+        assert ing.table("_dlq").read().count() == 5
+
+    def test_under_cap_untouched(self, spark, tmp_path):
+        bad = ["{{{not json %d" % i for i in range(3)]
+        ing = CDCIngestor(spark, str(tmp_path / "lake"))
+        stats = ing.ingest_batch(raw_df(spark, bad), batch_id=0, now=NOW)
+        assert stats.dlq_rows == 3 and stats.dlq_overflow == 0
+        assert ing.table("_dlq").read().count() == 3
