@@ -84,6 +84,20 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_calibration() -> float:
+    """Fixed pure-CPU workload (numpy GEMM) timed in seconds. The host
+    shows intermittent throttling windows where every timing inflates
+    uniformly; this constant-work number lets a reader normalize: query
+    seconds scale ~linearly with it. Healthy host ≈ 0.1-0.2 s."""
+    import numpy as np
+
+    a = np.arange(640_000, dtype=np.float64).reshape(800, 800) / 1e6
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = (a @ a.T) % 1.0 + 0.5
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
@@ -177,6 +191,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(cold_total, 3),
                 "cdc_ingest_events_per_sec": ingest_rate,
+                "calib_cpu_sec": cpu_calibration(),
                 "sf": sf_val,
             }
         )
