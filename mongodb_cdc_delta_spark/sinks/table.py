@@ -806,9 +806,13 @@ class LakeTable:
             ).join(F.broadcast(keys), key, "left_anti")
             parts.append(survivors)
         parts.append(cast_to_schema(ups, target_schema))
+        # by NAME, not position: the USING-style anti-join above moves the
+        # key column to the front of survivors, so a positional union would
+        # misalign every column for any key that isn't the table's first
         new_df = parts[0]
         for p in parts[1:]:
-            new_df = new_df.union(p)
+            new_df = new_df.unionByName(p)
+        new_df = new_df.select(*[f.name for f in target_schema.fields])
 
         add, _ = self._stage_write(new_df, snap.partition_by)
         commit = CommitInfo(

@@ -156,3 +156,31 @@ class TestCurrentState:
         state = current_state(log, "id")
         got = {r.id: r.v for r in state.collect()}
         assert got == {1: "v2", 3: "y1"}
+
+
+def test_merge_key_not_first_column(spark, tmp_path):
+    """Regression: the survivors anti-join moves the merge key to the front
+    of its column list; the union with the upsert side must align by NAME,
+    or every column shifts (silent corruption when types happen to line
+    up, ANSI cast errors when they don't)."""
+    from mongodb_cdc_delta_spark.sinks import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "midkey"))
+    t.append(
+        spark.createDataFrame(
+            [("x1", "k1", 1), ("x2", "k2", 2), ("x3", "k3", 3)],
+            "other string, key string, n long",
+        )
+    )
+    src = spark.createDataFrame(
+        [("x2b", "k2", 20), ("x4", "k4", 4)],
+        "other string, key string, n long",
+    )
+    t.merge(src, "key")
+    got = {r["key"]: (r["other"], r["n"]) for r in t.read().collect()}
+    assert got == {
+        "k1": ("x1", 1),
+        "k2": ("x2b", 20),
+        "k3": ("x3", 3),
+        "k4": ("x4", 4),
+    }
