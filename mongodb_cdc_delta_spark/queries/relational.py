@@ -1230,3 +1230,96 @@ def promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-style: disjunctive multi-band predicate join
+# ---------------------------------------------------------------------------
+@register(
+    "banded_discount_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    description="TPC-H Q19-style: OR-of-ANDs band predicate over a "
+    "broadcast part join — Catalyst keeps the disjunction as one join "
+    "filter (no union-of-three-joins rewrite needed) and pushes the "
+    "common p_partkey equi-key",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def banded_discount_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: time-interval moving aggregate (vs ROWS frames above)
+# ---------------------------------------------------------------------------
+@register(
+    "moving_hour_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    description="RANGE-frame window: per-user trailing-hour count and sum "
+    "— a true time-interval frame (all rows within 1h), not a row-count "
+    "frame; one shuffle on the partition key",
+    tags=("window", "range-frame"),
+)
+def moving_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    view = "events_mh_tmp"
+    ev.createOrReplaceTempView(view)
+    # RANGE with interval bounds needs the SQL form (the Python Window API
+    # exposes only numeric range bounds)
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_last_hour
+        FROM {view}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
