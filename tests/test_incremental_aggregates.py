@@ -91,3 +91,31 @@ def test_matches_full_reaggregation(spark, tmp_path):
     }
     got = {r["user"]: (r["n_rows"], r["total"]) for r in agg.read().collect()}
     assert got == expect
+
+
+def test_streaming_foreachbatch_maintenance(spark, tmp_path):
+    """The intended wiring: a streaming query folds every micro-batch into
+    the aggregate table via foreachBatch(apply_batch)."""
+    src = tmp_path / "stream"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        '{"user": "a", "amount": 10.0}\n{"user": "b", "amount": 1.0}\n'
+    )
+    (src / "b1.json").write_text('{"user": "a", "amount": 5.0}\n')
+    agg = _agg(spark, tmp_path)
+    stream = (
+        spark.readStream.schema("user string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: agg.apply_batch(df, batch_id=bid) and None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user"]: (r["n_rows"], r["total"]) for r in agg.read().collect()}
+    assert got == {"a": (2, 15.0), "b": (1, 1.0)}

@@ -615,3 +615,15 @@ def test_repartition_table_atomic_rewrite(spark, lake):
     assert t.repartition_table(["d"])["skipped"]
     with pytest.raises(ValueError, match="not in schema"):
         t.repartition_table(["nope"])
+
+
+def test_dv_read_plan_uses_broadcast_anti_join(spark, lake):
+    t = LakeTable(spark, lake + "/dvplan")
+    t.append(_df(spark, [(i,) for i in range(100)], "id long").coalesce(1))
+    t.delete_where("id = 1", deletion_vectors=True)
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tombstone subtraction must be a broadcast anti-join, never a
+    # sort-merge shuffle of the data side
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -233,3 +233,30 @@ class TestProgressAndChunks:
         # ETA decreases toward zero and elapsed is tracked
         assert float(rows[0]["eta_seconds"]) > float(rows[-1]["eta_seconds"])
         assert float(rows[-1]["eta_seconds"]) == 0.0
+
+
+class TestFailurePath:
+    def test_job_failure_audited_not_swallowed(self, control):
+        clock = FakeClock(dt.datetime(2026, 8, 13, 9, 59).timestamp())
+
+        def broken_job(sched, reporter):
+            raise RuntimeError("boom")
+
+        s = ReconciliationScheduler(
+            control, broken_job, clock=clock, run_in_thread=False
+        )
+        s.add(
+            ReconciliationSchedule(
+                schedule_id="sf", pipeline_id="p", cron="0 * * * *"
+            )
+        )
+        clock.t = dt.datetime(2026, 8, 13, 10, 0, 5).timestamp()
+        acts = s.tick()
+        assert acts[0]["action"] == "started"
+        handle = s._active["sf"][0]
+        assert isinstance(handle.error, RuntimeError)
+        actions = {r["action"] for r in control.audit_log().collect()}
+        assert "reconcile_failed" in actions
+        # the scheduler keeps ticking: next fire starts a fresh run
+        clock.t = dt.datetime(2026, 8, 13, 11, 0, 5).timestamp()
+        assert s.tick()[0]["action"] == "started"
