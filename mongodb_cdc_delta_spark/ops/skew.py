@@ -39,3 +39,38 @@ def salted_join(
     )
     out = f.join(d, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+from ..queries import load, register  # noqa: E402
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(e.value * c.c_nationkey AS DECIMAL(18,4)))
+                AS DOUBLE) AS weighted
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+    description="salted fact⋈dim join under hot-key skew: the fact side "
+    "salts 16 ways and the dim replicates per salt, so the join shuffle "
+    "is uniform even when one user carries 100x median volume. The oracle "
+    "is the PLAIN join — salting must be result-invisible",
+    tags=("join", "skew"),
+)
+def skew_salted_join_agg(spark, sf: str):
+    events = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        events.withColumnRenamed("user_id", "c_custkey"),
+        cust,
+        key="c_custkey",
+        n_salts=16,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") * F.col("c_nationkey")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("weighted"),
+    )

@@ -104,6 +104,6 @@ def all_queries() -> dict[str, Query]:
     from ..quality import queries as quality_queries  # noqa: F401
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
-    from ..ops import sampling  # noqa: F401
+    from ..ops import sampling, skew  # noqa: F401
 
     return REGISTRY

@@ -1323,3 +1323,48 @@ def moving_hour_stats(spark: SparkSession, sf: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12-style: late-shipment priority classification
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           count(*) AS n_late
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    description="TPC-H Q12-style: line items shipped >90 days after order "
+    "placement, classified by order priority — a cross-table date "
+    "comparison as the join filter plus conditional classification",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    l = load(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("high"),
+            )
+            .otherwise(F.lit("low"))
+            .alias("priority_class")
+        )
+        .groupBy("priority_class")
+        .agg(F.count("*").alias("n_late"))
+    )
