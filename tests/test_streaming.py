@@ -149,3 +149,54 @@ def test_stream_with_current_state_materialization(spark, dirs):
     cur = {r["_id"]: r["v"] for r in pipe.read_table("shop_users__current").collect()}
     assert cur == {"m1": 2}
     assert pipe.read_table("shop_users").count() == 4
+
+
+def test_full_stack_stream_integration(spark, dirs):
+    """Pipeline + current-state materialization + control-plane audit +
+    parallel collections, over two micro-batch rounds with a replay: the
+    complete operational wiring in one test."""
+    from mongodb_cdc_delta_spark.cdc.control import ControlPlane
+    from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
+
+    src, lake = dirs
+    control = ControlPlane(spark, lake)
+    pipe = CDCStreamPipeline(spark, lake, materialize_current=True)
+    # swap in a fully-loaded ingestor (audit + parallel collections)
+    pipe.ingestor = CDCIngestor(
+        spark,
+        lake,
+        materialize_current=True,
+        control_plane=control,
+        collection_parallelism=2,
+    )
+    write_events(
+        src,
+        "b0.json",
+        [
+            envelope("c", "u1", extra={"n": 1}),
+            envelope("c", "u2", extra={"n": 2}),
+            envelope("c", "o1", coll="orders", extra={"total": 5.0}),
+        ],
+    )
+    pipe.run_available(pipe.from_files(str(src)))
+    write_events(
+        src,
+        "b1.json",
+        [
+            envelope("u", "u1", extra={"n": 10}),
+            envelope("d", "u2", extra={"n": 2}),
+        ],
+    )
+    pipe.run_available(pipe.from_files(str(src)))
+
+    # append log has full history; __current has live state only
+    assert pipe.read_table("shop_users").count() == 4
+    cur = {
+        r["_id"]: r["n"]
+        for r in pipe.ingestor.table("shop_users__current").read().collect()
+    }
+    assert cur == {"u1": 10}
+    assert pipe.ingestor.table("shop_orders__current").read().count() == 1
+    # every batch audited by the data plane itself
+    audits = control.audit_log().where("action = 'ingest_batch'").count()
+    assert audits >= 2
