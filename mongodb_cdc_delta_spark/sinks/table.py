@@ -1099,24 +1099,18 @@ class LakeTable:
                 tdf = self.spark.createDataFrame(
                     tombstones, "__dv_path string, __dv_idx long"
                 )
-                df = (
-                    # file_path renders as file:/abs or file:///abs
-                    # depending on the Hadoop path layer — strip the scheme
-                    df.withColumn(
-                        "__path",
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:(//)?", ""
-                        ),
+                # join directly on _metadata expressions (no materialized
+                # helper columns — a user column named __path/__idx must
+                # not be clobbered). file_path renders as file:/abs or
+                # file:///abs depending on the Hadoop path layer — strip
+                # the scheme before comparing.
+                cond = (
+                    F.regexp_replace(
+                        df["_metadata.file_path"], "^file:(//)?", ""
                     )
-                    .withColumn("__idx", F.col("_metadata.row_index"))
-                    .join(
-                        F.broadcast(tdf),
-                        (F.col("__path") == F.col("__dv_path"))
-                        & (F.col("__idx") == F.col("__dv_idx")),
-                        "left_anti",
-                    )
-                    .drop("__path", "__idx")
-                )
+                    == tdf["__dv_path"]
+                ) & (df["_metadata.row_index"] == tdf["__dv_idx"])
+                df = df.join(F.broadcast(tdf), cond, "left_anti")
             # ALWAYS project onto the target schema, even when the write
             # schema matches: the file relation moves partition columns to
             # the end, so group column ORDER differs from the declared

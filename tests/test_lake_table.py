@@ -627,3 +627,19 @@ def test_dv_read_plan_uses_broadcast_anti_join(spark, lake):
     # sort-merge shuffle of the data side
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dv_with_conflicting_column_names(spark, lake):
+    """User columns named __path/__idx must survive a DV read untouched."""
+    t = LakeTable(spark, lake + "/dvname")
+    t.append(
+        _df(
+            spark,
+            [(i, f"p{i}", i * 10) for i in range(20)],
+            "id long, __path string, __idx long",
+        ).coalesce(1)
+    )
+    t.delete_where("id = 3", deletion_vectors=True)
+    rows = {r["id"]: (r["__path"], r["__idx"]) for r in t.read().collect()}
+    assert len(rows) == 19 and 3 not in rows
+    assert rows[5] == ("p5", 50)
