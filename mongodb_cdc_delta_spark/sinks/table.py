@@ -1498,24 +1498,29 @@ class LakeTable:
                 hi = (st.get("maxValues") or {}).get(col)
                 if hi is not None:
                     by_col.setdefault(col, []).append((lo, hi))
+        import bisect
+
         report: dict[str, dict[str, Any]] = {}
         for col, ranges in by_col.items():
             if len(ranges) < 2:
                 continue
+            # O(F log F) sweep, not all-pairs: intervals sorted by lo;
+            # each interval overlaps the earlier ones whose hi >= its lo
+            # (count via binary search in the sorted hi list). A 100k-file
+            # table stays milliseconds instead of 10^10 comparisons.
             try:
-                overlaps = [
-                    sum(
-                        1
-                        for j, (lo2, hi2) in enumerate(ranges)
-                        if i != j and lo1 <= hi2 and lo2 <= hi1
-                    )
-                    for i, (lo1, hi1) in enumerate(ranges)
-                ]
+                ranges_sorted = sorted(ranges)
+                his: list = []
+                pairs = 0
+                for lo, hi in ranges_sorted:
+                    pairs += len(his) - bisect.bisect_left(his, lo)
+                    bisect.insort(his, hi)
             except TypeError:  # mixed stat types across historical schemas
                 continue
+            n = len(ranges)
             report[col] = {
-                "n_files": len(ranges),
-                "mean_overlap": round(sum(overlaps) / len(ranges), 3),
+                "n_files": n,
+                "mean_overlap": round(2 * pairs / n, 3),
             }
         return report
 
