@@ -578,6 +578,22 @@ class LakeTable:
         obs = Observation(f"stage-{commit_id}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
+        # table property `bloom.filter.columns`: write parquet bloom
+        # filters for the named columns. min/max stats cannot discriminate
+        # random keys (UUIDs — the CDC _id case); blooms give row-group
+        # skipping for point lookups there at ~1 byte/row cost.
+        bloom_cols = [
+            c.strip()
+            for c in self.properties()
+            .get("bloom.filter.columns", "")
+            .split(",")
+            if c.strip()
+        ]
+        for c in bloom_cols:
+            if c in df.columns:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{c}", "true"
+                )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
