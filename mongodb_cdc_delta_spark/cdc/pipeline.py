@@ -745,7 +745,16 @@ class CDCIngestor:
             if batch_id is not None
             else None
         )
-        self.table(f"{table_name}__current").merge(
+        cur = self.table(f"{table_name}__current")
+        # document ids are random (ObjectId/UUID), so min/max stats cannot
+        # prune the merge's key scan — parquet bloom filters on the key
+        # restore row-group skipping. Set once; every later file gets them.
+        if (
+            cur.exists()
+            and "bloom.filter.columns" not in cur.properties()
+        ):
+            cur.set_properties({"bloom.filter.columns": self.key_col})
+        cur.merge(
             latest,
             self.key_col,
             delete_expr="_cdc_operation = 'delete'",

@@ -556,3 +556,19 @@ class TestDLQRateGuard:
         stats = ing.ingest_batch(raw_df(spark, bad), batch_id=0, now=NOW)
         assert stats.dlq_rows == 3 and stats.dlq_overflow == 0
         assert ing.table("_dlq").read().count() == 3
+
+
+class TestCurrentTableBloom:
+    def test_current_table_gets_key_bloom_property(self, spark, tmp_path):
+        ing = CDCIngestor(
+            spark, str(tmp_path / "lake"), materialize_current=True
+        )
+        events = raw_df(spark, [envelope("c", after={"_id": "k1", "n": 1})])
+        ing.ingest_batch(events, batch_id=0, now=NOW)
+        ing.ingest_batch(
+            raw_df(spark, [envelope("u", after={"_id": "k1", "n": 2})]),
+            batch_id=1,
+            now=NOW,
+        )
+        props = ing.table("shop_users__current").properties()
+        assert props.get("bloom.filter.columns") == "_id"
