@@ -1559,5 +1559,27 @@ class LakeTable:
         ranked = sorted(rep.items(), key=score)
         return [c for c, m in ranked[:top_n] if m["mean_overlap"] > 0]
 
+    def count(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: str | int | None = None,
+    ) -> int:
+        """COUNT(*) from commit-log metadata when possible: sum of per-file
+        numRecords minus deletion-vector rows — no data scan, O(files) in
+        the driver (the same trick Delta's metadata-only count uses). Falls
+        back to a real scan only when some active file predates stats
+        collection."""
+        snap = self._replay(version_as_of, timestamp_as_of)
+        if snap.schema is None:
+            raise ValueError(f"table does not exist: {self.root}")
+        total = 0
+        for f in snap.files:
+            st = snap.file_stats.get(f)
+            if not st or "numRecords" not in st:
+                return self.read(version_as_of, timestamp_as_of).count()
+            total += int(st["numRecords"])
+        total -= sum(len(v) for v in snap.file_dvs.values())
+        return total
+
     def file_count(self) -> int:
         return len(self._replay().files)

@@ -674,3 +674,39 @@ def test_bloom_filter_property_applied(spark, lake):
     # reads (incl. point lookups) unchanged semantically
     got = bloomed.read(predicate="k = '00000abc-feed-beef'").collect()
     assert len(got) == 1 and got[0]["v"] == 0xABC
+
+
+def test_metadata_only_count(spark, lake):
+    t = LakeTable(spark, lake + "/cnt")
+    t.append(_df(spark, [(i,) for i in range(500)], "id long"))
+    t.append(_df(spark, [(i,) for i in range(100)], "id long"))
+    assert t.count() == 600 == t.read().count()
+    # DV rows subtract without a scan
+    t.delete_where("id < 10", deletion_vectors=True)
+    assert t.count() == t.read().count() == 580
+    # time travel counts too
+    assert t.count(version_as_of=0) == 500
+    # copy-on-write delete keeps it consistent
+    t.delete_where("id >= 95 AND id < 100")
+    assert t.count() == t.read().count() == 570
+    # a stats-less ACTIVE file (legacy commit) forces the scan fallback
+    import json as _json
+    import os
+
+    log = sorted(
+        f
+        for f in os.listdir(os.path.join(t.root, "_log"))
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    stripped = False
+    for name in reversed(log):  # newest first: their adds are active
+        p = os.path.join(t.root, "_log", name)
+        c = _json.load(open(p))
+        if c.get("add"):
+            for a in c["add"]:
+                a.pop("stats", None)
+            _json.dump(c, open(p, "w"))
+            stripped = True
+            break
+    assert stripped
+    assert t.count() == t.read().count() == 570
