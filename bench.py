@@ -45,6 +45,7 @@ HEADLINE = [
     "reconcile_record_diff",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_connected_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_topk",

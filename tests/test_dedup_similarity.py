@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mongodb_cdc_delta_spark.ops.dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_estimate,
     minhash_signatures,
@@ -254,3 +255,32 @@ class TestDecontamination:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestConnectedComponents:
+    def test_chain_and_island_collapse_to_min_ids(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+        got = {r["id"]: r["label"]
+               for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 64-node path has diameter 63; plain propagation needs ~63
+        # rounds, pointer jumping must finish well inside 10
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "src long, dst long"
+        )
+        got = {r["id"]: r["label"]
+               for r in connected_components(edges, max_rounds=10).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 64
+
+    def test_edge_direction_is_ignored(self, spark):
+        edges = spark.createDataFrame(
+            [(5, 2), (2, 9)], "src long, dst long"
+        )
+        got = {r["id"]: r["label"]
+               for r in connected_components(edges).collect()}
+        assert got == {2: 2, 5: 2, 9: 2}
