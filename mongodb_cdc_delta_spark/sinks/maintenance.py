@@ -76,6 +76,36 @@ def maintenance_plan(
     }
 
 
+#: re-cluster only when a predicate-logged column's file ranges overlap
+#: this much on average (mean_overlap ≈ files scanned per point query)
+DEFAULT_RECLUSTER_OVERLAP = 2.0
+
+
+def recluster_candidates(
+    table: LakeTable,
+    min_overlap: float = DEFAULT_RECLUSTER_OVERLAP,
+    top_n: int = 2,
+) -> list[str]:
+    """Columns worth a clustering rewrite: frequently filtered (per the
+    predicate side log) AND badly clustered (per commit-log file stats).
+    Both signals are required — a badly-clustered column nobody queries is
+    not worth rewriting the table for, and a well-clustered hot column
+    already prunes. Metadata-only; no data scan."""
+    freq = table._predicate_frequencies()
+    if not freq:
+        return []
+    rep = table.clustering_report()
+    ranked = sorted(
+        (
+            (col, m["mean_overlap"] * (1 + freq[col]))
+            for col, m in rep.items()
+            if col in freq and m["mean_overlap"] >= min_overlap
+        ),
+        key=lambda kv: -kv[1],
+    )
+    return [c for c, _ in ranked[:top_n]]
+
+
 def auto_maintain(
     table: LakeTable,
     small_file_bytes: int = DEFAULT_SMALL_FILE_BYTES,
@@ -83,14 +113,50 @@ def auto_maintain(
     dv_ratio: float = DEFAULT_DV_RATIO,
     retention_hours: float = 168.0,
     run_vacuum: bool = True,
+    auto_recluster: bool = True,
+    recluster_min_overlap: float = DEFAULT_RECLUSTER_OVERLAP,
 ) -> dict[str, Any]:
     """Apply the plan: OPTIMIZE when small files or DV density tripped,
-    then VACUUM (retention-gated). Returns what was done."""
+    then VACUUM (retention-gated). Returns what was done.
+
+    With ``auto_recluster``, the compaction rewrite is upgraded to
+    OPTIMIZE ZORDER on the advisor's candidates whenever the workload's
+    predicate log shows queries filtering on badly-clustered columns —
+    the observe→diagnose→re-cluster loop runs itself, so data skipping
+    keeps tracking the live query mix instead of the layout chosen at
+    table-creation time."""
     plan = maintenance_plan(
         table, small_file_bytes, small_file_count, dv_ratio
     )
     out: dict[str, Any] = {"plan": plan}
-    if plan["optimize"]:
+    cands = (
+        recluster_candidates(table, recluster_min_overlap)
+        if auto_recluster
+        else []
+    )
+    plan["recluster_by"] = cands
+    if cands:
+        # a clustering rewrite subsumes compaction (it rewrites every
+        # partition), so run it whether or not small-file thresholds
+        # tripped. Z-order needs numeric/date/timestamp columns (hashing
+        # strings destroys curve locality); a string candidate gets a
+        # linear cluster_by sort instead, which its leading-column
+        # min/max stats still benefit from.
+        from pyspark.sql.types import DateType, NumericType, TimestampType
+
+        schema = table._replay().schema
+        zorderable = [
+            c
+            for c in cands
+            if isinstance(
+                schema[c].dataType, (NumericType, DateType, TimestampType)
+            )
+        ]
+        if zorderable:
+            out["optimize"] = table.optimize(zorder_by=zorderable)
+        else:
+            out["optimize"] = table.optimize(cluster_by=cands[:1])
+    elif plan["optimize"]:
         out["optimize"] = table.optimize()
     if run_vacuum and plan["vacuum"]:
         out["vacuum"] = table.vacuum(retention_hours=retention_hours)

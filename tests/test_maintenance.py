@@ -42,3 +42,48 @@ def test_dv_density_triggers_rewrite(spark, tmp_path):
     # below threshold: a couple of tombstones don't justify a rewrite
     t.delete_where("id = 50", deletion_vectors=True)
     assert not maintenance_plan(t)["optimize"]
+
+
+def test_auto_recluster_follows_query_predicates(spark, tmp_path):
+    """Interleaved appends make every file's [min,max] on `k` span the whole
+    domain; once predicate reads show the workload filters on k,
+    auto_maintain upgrades compaction to a clustering rewrite and file
+    overlap on k collapses."""
+    from mongodb_cdc_delta_spark.sinks.maintenance import recluster_candidates
+
+    t = LakeTable(spark, str(tmp_path / "rc"))
+    for i in range(4):  # each file holds k in {0..99}: total overlap
+        t.append(
+            _df(spark, [(k, i) for k in range(100)], "k long, fid long")
+            .coalesce(1)
+        )
+    assert t.clustering_report()["k"]["mean_overlap"] == 3.0
+    # no workload history yet → no recluster, even though layout is bad
+    assert recluster_candidates(t) == []
+    for _ in range(3):
+        t.read(predicate="k = 17").count()
+    assert recluster_candidates(t) == ["k"]
+    res = auto_maintain(t, run_vacuum=False)
+    assert res["plan"]["recluster_by"] == ["k"]
+    assert "optimize" in res
+    assert t.read().count() == 400
+    # rewritten layout: k ranges now near-disjoint across files
+    rep = t.clustering_report()
+    assert "k" not in rep or rep["k"]["mean_overlap"] < 1.0
+
+
+def test_auto_recluster_string_column_uses_linear_sort(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "rcs"))
+    keys = [f"k{i:03d}" for i in range(100)]
+    for i in range(4):
+        t.append(
+            _df(spark, [(k, i) for k in keys], "k string, fid long")
+            .coalesce(1)
+        )
+    for _ in range(3):
+        t.read(predicate="k = 'k017'").count()
+    res = auto_maintain(t, run_vacuum=False)
+    assert res["plan"]["recluster_by"] == ["k"]
+    assert t.read().count() == 400
+    rep = t.clustering_report()
+    assert "k" not in rep or rep["k"]["mean_overlap"] < 1.0
