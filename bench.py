@@ -69,6 +69,8 @@ HEADLINE = [
     "array_agg_user_events",
     "frequent_items",
     "min_cost_supplier",
+    "customer_order_distribution",
+    "waiting_suppliers",
     "volume_shipping",
     "dormant_customers",
     "shipping_priority",

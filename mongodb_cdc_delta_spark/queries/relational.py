@@ -1368,3 +1368,226 @@ def late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("priority_class")
         .agg(F.count("*").alias("n_late"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-style: customer order-count distribution (outer join + re-agg)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13-style: histogram of customers by how many "
+    "non-urgent orders they placed. The LEFT JOIN keeps order-less "
+    "customers (count 0 bucket); the filter lives in the join condition, "
+    "not WHERE, so it cannot turn the join inner; two cascading "
+    "aggregations, the second over ≤ a few hundred distinct counts",
+    tags=("q4", "join", "agg", "outer", "tpch"),
+)
+def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style: small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    description="TPC-H Q17-style: revenue lost if sub-20%-of-average-"
+    "quantity orders were dropped, one brand. Catalyst decorrelates the "
+    "per-part avg into one aggregate + join; quantities are integer-valued "
+    "doubles so the avg is exact (integer-sum in double) and the "
+    "threshold compare is engine-independent",
+    tags=("q4", "join", "agg", "subquery", "tpch"),
+)
+def small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q17_tmp")
+    load(spark, sf, "part").createOrReplaceTempView("part_q17_tmp")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                         AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem_q17_tmp l JOIN part_q17_tmp p
+          ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem_q17_tmp l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-style: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >
+                            o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+    description="TPC-H Q21-style: suppliers solely responsible for a late "
+    "multi-supplier finalized order (ship >60d after placement — this "
+    "dataset has no receipt/commit dates). EXISTS → left-semi, NOT EXISTS "
+    "→ left-anti, both correlated on the outer order AND its date: the "
+    "double-correlation decorrelation stress test",
+    tags=("q4", "join", "agg", "subquery", "anti", "tpch"),
+)
+def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "supplier").createOrReplaceTempView("supplier_q21_tmp")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q21_tmp")
+    load(spark, sf, "orders").createOrReplaceTempView("orders_q21_tmp")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier_q21_tmp s
+        JOIN lineitem_q21_tmp l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_q21_tmp o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM lineitem_q21_tmp l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21_tmp l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s.s_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11-style: parts above a global revenue-share threshold
+# ---------------------------------------------------------------------------
+@register(
+    "top_revenue_parts",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) * 0.0006
+            FROM lineitem)
+    """,
+    description="TPC-H Q11-style: parts whose revenue exceeds 0.06% of "
+    "total (no partsupp table in this dataset — lineitem revenue stands "
+    "in for stock value). The HAVING threshold is a scalar subquery: one "
+    "extra full-scan aggregate, broadcast as a literal; both sums exact "
+    "decimal cast once to double so the compare is engine-independent",
+    tags=("q4", "agg", "subquery", "tpch"),
+)
+def top_revenue_parts(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    total = l.agg(
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("t")
+    ).first()["t"]
+    return (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")))
+            .cast("double")
+            .alias("part_value")
+        )
+        .where(F.col("part_value") > total * 0.0006)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20-style: suppliers of heavily-shipped promo-named parts
+# (nested IN-subqueries → chained semi-joins)
+# ---------------------------------------------------------------------------
+@register(
+    "promo_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small %')
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    """,
+    description="TPC-H Q20-style: suppliers who shipped >50 units of any "
+    "'small'-named part in 1996 (no partsupp/availqty in this dataset). "
+    "Nested IN-subqueries compile to chained left-semi joins — the part "
+    "name filter broadcasts into the lineitem scan, no correlated "
+    "re-execution; integer-valued quantities keep the HAVING exact",
+    tags=("q4", "join", "subquery", "agg", "tpch"),
+)
+def promo_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier")
+    p = load(spark, sf, "part").where(F.col("p_name").like("small %"))
+    l = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    heavy = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        heavy.withColumnRenamed("l_suppkey", "s_suppkey"),
+        "s_suppkey",
+        "left_semi",
+    ).select("s_suppkey", "s_name")

@@ -140,3 +140,32 @@ class TestTpchBreadthPlans:
         # deterministic sampling is a pure filter: no Exchange at all
         plan = plan_of(spark, "deterministic_sample", execute=True)
         assert "Exchange" not in plan
+
+    def test_customer_order_distribution_outer_join_survives(self, spark):
+        # the priority filter sits in the join condition; the optimizer
+        # must keep the join LEFT (count-0 bucket) and never cartesian
+        plan = plan_of(spark, "customer_order_distribution", execute=True)
+        assert "LeftOuter" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_small_qty_part_revenue_decorrelates(self, spark):
+        # per-part avg subquery → one aggregate + join, no per-row rescan
+        plan = plan_of(spark, "small_qty_part_revenue", execute=True)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert count(r"FileScan parquet", final) <= 3  # part, 2x lineitem
+        assert "partial_avg" in plan or "avg" in plan
+
+    def test_waiting_suppliers_semi_and_anti(self, spark):
+        # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, no nested-loop blowup
+        plan = plan_of(spark, "waiting_suppliers", execute=True)
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_promo_part_suppliers_chained_semi_joins(self, spark):
+        plan = plan_of(spark, "promo_part_suppliers", execute=True)
+        assert count(r"LeftSemi", plan) >= 2  # part→lineitem, heavy→supplier
+        assert "CartesianProduct" not in plan
+        # the shipdate window reaches the lineitem scan
+        assert "l_shipdate" in plan and "PushedFilters" in plan
