@@ -245,6 +245,48 @@ def _stats_admit(stats: dict | None, col: str, op: str, val) -> bool:
     return True
 
 
+#: operator relaxation for mapping a predicate through a monotonic
+#: non-decreasing generator (date(), year(), date_trunc): src > T implies
+#: f(src) >= f(T) (not >), and likewise for <
+_RELAX_OP = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+
+#: generator expressions read() can invert for partition pruning; both are
+#: monotonic in their source column AND produce partition-path encodings
+#: that compare correctly against derived literals ('YYYY-MM-DD' strings /
+#: year ints). month()/day() alone cycle (not monotonic) and
+#: date_trunc() paths embed timestamp formatting — deliberately absent.
+_GEN_EXPR = re.compile(r"(date|year)\((\w+)\)", re.IGNORECASE)
+
+
+def _partition_values(path: str) -> dict[str, str]:
+    """Hive partition values encoded in a file's relative path."""
+    import urllib.parse
+
+    vals: dict[str, str] = {}
+    for seg in path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = urllib.parse.unquote(v)
+    return vals
+
+
+def _partition_admit(path: str, col: str, op: str, val) -> bool:
+    """Can a file at this hive path hold a row where `col op val`? The
+    partition value acts as min==max stats for its column; files without
+    that partition column admit (no false pruning)."""
+    pv = _partition_values(path).get(col)
+    if pv is None:
+        return True
+    if isinstance(val, (int, float)) and not isinstance(val, bool):
+        try:
+            pv = float(pv) if isinstance(val, float) else int(pv)
+        except ValueError:
+            return True
+    return _stats_admit(
+        {"minValues": {col: pv}, "maxValues": {col: pv}}, col, op, val
+    )
+
+
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 12):
     """Bit-interleaved (Morton/Z-curve) sort key over up to 4 columns.
 
@@ -663,10 +705,21 @@ class LakeTable:
             raise
 
     def create_if_not_exists(
-        self, schema: StructType, partition_by: list[str] | None = None
+        self,
+        schema: StructType,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> bool:
         """Empty table with schema + partitioning (reference
-        schema_manager.py:217-254)."""
+        schema_manager.py:217-254).
+
+        ``generated`` maps a partition column to a generator expression over
+        data columns (e.g. ``{"p_date": "date(ts)"}``, Delta's generated
+        columns): writers never materialize it — ``append`` computes it —
+        and ``read(predicate=...)`` maps source-column predicates through
+        monotonic generators (date/year/date_trunc) onto partition-dir
+        pruning, so ``ts >= X`` skips date partitions without the caller
+        ever mentioning the partition column."""
         if self.exists():
             return False
         self._publish(
@@ -676,9 +729,60 @@ class LakeTable:
                 operation="CREATE",
                 schema=schema.jsonValue(),
                 partition_by=list(partition_by or []),
+                properties=(
+                    {f"generated.{k}": v for k, v in generated.items()}
+                    if generated
+                    else None
+                ),
             )
         )
         return True
+
+    def _generated_columns(self) -> dict[str, str]:
+        """partition column → generator expression, from table properties."""
+        return {
+            k[len("generated.") :]: v
+            for k, v in self.properties().items()
+            if k.startswith("generated.")
+        }
+
+    def _apply_generated(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> DataFrame:
+        """Materialize absent generated partition columns before a write."""
+        gens = self._generated_columns()
+        for pcol in partition_by:
+            if pcol not in df.columns and pcol in gens:
+                df = df.withColumn(pcol, F.expr(gens[pcol]))
+        return df
+
+    def _derived_partition_conjuncts(
+        self, conj: list[tuple[str, str, Any]]
+    ) -> list[tuple[str, str, Any]]:
+        """Map source-column conjuncts through monotonic generators onto
+        their partition columns. Sound because for non-decreasing f,
+        ``src > T`` implies ``f(src) >= f(T)`` — derived conjuncts only
+        ever ADD pruning opportunities, the original predicate still
+        filters rows exactly."""
+        out: list[tuple[str, str, Any]] = []
+        for pcol, expr in self._generated_columns().items():
+            m = _GEN_EXPR.fullmatch(expr.strip())
+            if not m:
+                continue
+            fn, src = m.group(1).lower(), m.group(2)
+            for c, op, val in conj:
+                if c != src or op not in _RELAX_OP:
+                    continue
+                if not (
+                    isinstance(val, str)
+                    and re.match(r"\d{4}-\d{2}-\d{2}", val)
+                ):
+                    continue
+                if fn == "date":
+                    out.append((pcol, _RELAX_OP[op], val[:10]))
+                else:  # year
+                    out.append((pcol, _RELAX_OP[op], int(val[:4])))
+        return out
 
     def append(
         self,
@@ -713,6 +817,7 @@ class LakeTable:
                 f"{partition_by} on a non-empty table: use "
                 f"repartition_table() to rewrite into the new layout"
             )
+        df = self._apply_generated(df, partition_by)
         batch_schema = df.schema
         if cur_schema is not None:
             merged = merge_schemas(cur_schema, batch_schema, mode)
@@ -859,9 +964,12 @@ class LakeTable:
         # stats pre-filter: files whose min/max preclude the predicate are
         # never scanned at all (the survivors still get the exact scan)
         conj = _parse_pruning_conjuncts(predicate)
+        if conj:
+            conj = conj + self._derived_partition_conjuncts(conj)
         for f in snap.files:
             if conj and not all(
                 _stats_admit(snap.file_stats.get(f), c, o, v)
+                and _partition_admit(f, c, o, v)
                 for c, o, v in conj
             ):
                 continue
@@ -979,9 +1087,12 @@ class LakeTable:
             return {"version": snap.version, "rows_deleted": 0, "skipped": False}
         by_schema: dict[int, list[str]] = {}
         conj = _parse_pruning_conjuncts(predicate)
+        if conj:
+            conj = conj + self._derived_partition_conjuncts(conj)
         for f in snap.files:
             if conj and not all(
                 _stats_admit(snap.file_stats.get(f), c, o, v)
+                and _partition_admit(f, c, o, v)
                 for c, o, v in conj
             ):
                 continue
@@ -1160,11 +1271,16 @@ class LakeTable:
             conj = _parse_pruning_conjuncts(predicate)
             self._log_predicate_columns(conj)
             if conj:
+                # partition-dir values prune alongside footer stats, and
+                # source-column predicates additionally prune through any
+                # monotonic generated-column mapping (date(ts) etc.)
+                conj = conj + self._derived_partition_conjuncts(conj)
                 files = [
                     f
                     for f in files
                     if all(
                         _stats_admit(snap.file_stats.get(f), c, o, v)
+                        and _partition_admit(f, c, o, v)
                         for c, o, v in conj
                     )
                 ]

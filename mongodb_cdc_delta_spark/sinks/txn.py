@@ -94,6 +94,7 @@ class MultiTableTxn:
                 f"partition layout change {snap.partition_by} -> "
                 f"{partition_by} inside a multi-table txn"
             )
+        df = table._apply_generated(df, partition_by)
         merged = (
             merge_schemas(snap.schema, df.schema, mode)
             if snap.schema is not None
