@@ -107,10 +107,13 @@ def main() -> None:
 
     # warm-up: JVM JIT, codegen, parquet footer caches, and the Arrow
     # Python-worker pool (first pandas-UDF call pays worker fork+import)
-    force(registry["group_agg"].fn(spark, SF_DIR))
-    spark.createDataFrame([(1,)], "x long").mapInPandas(
-        lambda it: it, "x long"
-    ).write.format("noop").mode("overwrite").save()
+    try:
+        force(registry["group_agg"].fn(spark, SF_DIR))
+        spark.createDataFrame([(1,)], "x long").mapInPandas(
+            lambda it: it, "x long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warm-up is best-effort; per-query timing still proceeds
 
     # CDC ingest throughput (reference target: >=10k events/s/collection —
     # BASELINE.md): synthetic Debezium envelopes through the full parse →
@@ -142,6 +145,7 @@ def main() -> None:
     )
     raw.count()
     lake_dir = tempfile.mkdtemp(prefix="bench-lake-")
+    errors: dict[str, str] = {}
     try:
         ing = CDCIngestor(spark, lake_dir)
         ing.ingest_batch(raw, batch_id=0)  # cold: pays codegen
@@ -151,6 +155,9 @@ def main() -> None:
             ing.ingest_batch(raw, batch_id=b)
             best = min(best, time.perf_counter() - t0)
         ingest_rate = round(n_events / best)
+    except Exception as exc:  # never let one stage zero the whole bench
+        ingest_rate = 0
+        errors["cdc_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         raw.unpersist()
         shutil.rmtree(lake_dir, ignore_errors=True)
@@ -165,19 +172,23 @@ def main() -> None:
     for name in HEADLINE:
         q = registry[name]
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(q.fn(spark, SF_DIR))
-        cold_total += time.perf_counter() - t0
-        # two measured warm runs, min taken: single-JVM timings carry GC/JIT
-        # noise that a min over repeats suppresses. Queries that cache
-        # intermediates keep their cache across the warm runs (that IS their
-        # steady state); the clearCache above stops cross-query leakage.
-        warm = []
-        for _ in range(2):
+        try:
             t0 = time.perf_counter()
             force(q.fn(spark, SF_DIR))
-            warm.append(time.perf_counter() - t0)
-        timings[name] = round(min(warm), 3)
+            cold_total += time.perf_counter() - t0
+            # two measured warm runs, min taken: single-JVM timings carry
+            # GC/JIT noise that a min over repeats suppresses. Queries that
+            # cache intermediates keep their cache across the warm runs
+            # (that IS their steady state); the clearCache above stops
+            # cross-query leakage.
+            warm = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(q.fn(spark, SF_DIR))
+                warm.append(time.perf_counter() - t0)
+            timings[name] = round(min(warm), 3)
+        except Exception as exc:  # record, keep benching the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -195,6 +206,7 @@ def main() -> None:
                 "cold_total_sec": round(cold_total, 3),
                 "cdc_ingest_events_per_sec": ingest_rate,
                 "calib_cpu_sec": cpu_calibration(),
+                "errors": errors,
                 "sf": sf_val,
             }
         )

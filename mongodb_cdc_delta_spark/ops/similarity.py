@@ -165,6 +165,62 @@ def embedding_near_dup_pairs(
     )
 
 
+@register(
+    "semantic_cluster_assign",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), s AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.cv), 6) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), r AS (
+      SELECT vec_id, cid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM s
+    )
+    SELECT vec_id, cid AS centroid_id, sim AS cos_sim FROM r WHERE rn = 1
+    """,
+    description="semantic clustering (SemDeDup stage 1): assign every "
+    "embedding to its nearest of 8 fixed centroids by cosine. Centroids are "
+    "inlined as literal arrays -> per-row argmax, ZERO shuffle, one scan — "
+    "the assignment pass that precedes within-cluster near-dup at 100 TB",
+    tags=("similarity", "clustering", "llm-pipeline"),
+)
+def semantic_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )  # bounded: 8 rows; becomes literals in the plan (broadcast-by-value)
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_col(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in r["embedding"]]),
+                    ),
+                    6,
+                ).alias("sim"),
+                F.lit(-r["vec_id"]).cast("long").alias("neg_cid"),
+            )
+            for r in cents
+        ]
+    )
+    best = F.array_max(scored)
+    return emb.select(
+        "vec_id",
+        (-best["neg_cid"]).cast("long").alias("centroid_id"),
+        best["sim"].alias("cos_sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF approximate search (scale path; rows-only oracle, recall vs brute
 # force asserted in tests/test_similarity.py)

@@ -53,6 +53,47 @@ def register(
     return deco
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Pandas-UDF closures (mapInPandas / applyInPandas kernels) reference
+    module-level helpers, which cloudpickle serializes BY REFERENCE — the
+    worker must be able to ``import mongodb_cdc_delta_spark``. That holds
+    when the driver runs from the repo root (cwd on sys.path) but not for
+    an arbitrary caller cwd, and on a real cluster only if the package is
+    deployed; addPyFile makes both cases work. Idempotent per context."""
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # Connect-style session: rely on deployed package
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mcds_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name in this JVM, or restricted
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver parquet table.
 
@@ -70,6 +111,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Driver testdata stores naive (isAdjustedToUTC=false) timestamps.
+        # Spark 4 infers those as TIMESTAMP_NTZ by default, which breaks
+        # unix_micros()/to_utc_timestamp() call sites and makes UNION type
+        # resolution diverge from the LTZ literals queries produce. Read
+        # them as session-local TIMESTAMP under the pinned UTC zone — the
+        # same wall-clock values DuckDB's naive comparison sees.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.shuffle.partitions", "32"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
@@ -80,13 +128,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable in some deployment: keep going
+    _ship_package(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        from pyspark.sql import functions as F
-
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces: if the NTZ-inference conf was not settable (static
+    # conf in some deployment), normalize NTZ columns to TIMESTAMP here.
+    # Under the UTC session zone this is a pure reinterpretation.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -104,19 +158,83 @@ def all_queries() -> dict[str, Query]:
     from ..quality import queries as quality_queries  # noqa: F401
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
-    from ..ops import sampling, skew  # noqa: F401
+    from ..ops import sampling, skew, chunking  # noqa: F401
 
-    # Under a bounded driver check budget, order the registry so the
-    # strongest-signal checks come first: (1) the SURVEY §2 core and
-    # oracle-checked LLM-pipeline ops (hash-comparable), (2) rows-only
-    # sketch/ANN ops (weaker check), (3) the TPC-H breadth analogues,
-    # which are extensions beyond the reference surface.
-    def tier(q: Query) -> int:
-        if "tpch" in q.tags:
-            return 2
-        return 0 if q.oracle is not None else 1
+    # The driver checks ~50 queries per round in registration order, so the
+    # first 50 are chosen to cover EVERY operator family (relational core,
+    # CDC/reconcile/quality/streaming semantic core, and one of each
+    # LLM-pipeline op family — dedup exact/ngram/minhash/simhash/CC,
+    # decontamination, mix/packing, knn/near-dup/ANN, text stats,
+    # multimodal). Everything after 50 still registers and is covered by
+    # tests/test_oracle_parity.py; order there is oracle-checked queries
+    # first, then rows-only sketches, then the TPC-H breadth analogues.
+    prio = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
 
-    ordered = sorted(REGISTRY.items(), key=lambda kv: tier(kv[1]))
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-    return REGISTRY
+    def key(kv: tuple[str, Query]) -> tuple[int, int]:
+        name, q = kv
+        if name in prio:
+            return (0, prio[name])
+        tier = 2 if "tpch" in q.tags else (0 if q.oracle is not None else 1)
+        return (1, tier)
+
+    ordered = sorted(REGISTRY.items(), key=key)
+    return dict(ordered)
+
+
+# First-50 driver check budget: one representative per operator family, the
+# round-1 verdict's problem queries included so their fixes are driver-proven.
+_DRIVER_PRIORITY = (
+    # relational core (SURVEY §2.7 Q1-Q8 + gap-list)
+    "point_lookup",
+    "range_scan",
+    "group_agg",
+    "group_topk",
+    "fk_join_agg",
+    "pricing_summary",
+    "revenue_forecast",
+    "star_join_revenue",
+    "window_running_sum",
+    "window_topn_per_group",
+    "sessionize",
+    "rollup_daily",
+    "grouping_sets_agg",
+    "semi_join",
+    "asof_join",
+    "range_join",
+    "json_extract_agg",
+    "array_agg_user_events",
+    "correlated_subquery",
+    "variant_extract_filter",
+    # CDC / reconcile / quality / streaming semantic core
+    "reconcile_counts",
+    "reconcile_hash_buckets",
+    "reconcile_record_diff",
+    "cdc_op_classify",
+    "cdc_metadata_projection",
+    "cdc_latest_state",
+    "cdc_stale_split",
+    "quality_validation_split",
+    "quality_pii_mask",
+    "quality_encrypt_roundtrip",
+    "quality_rename_dateconvert",
+    "session_window_native",
+    "tumbling_window_counts",
+    # LLM-data-pipeline ops
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "decontaminate_train_set",
+    "training_mix_pipeline",
+    "sequence_packing",
+    "knn_cosine_topk",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "text_token_stats",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "multimodal_frame_sample",
+)

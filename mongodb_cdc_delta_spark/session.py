@@ -62,6 +62,9 @@ def get_spark(
         # deterministic parquet behavior
         "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
         "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+        # testdata timestamps are naive-UTC; read as session-local TIMESTAMP
+        # (UTC) rather than TIMESTAMP_NTZ so epoch fns and LTZ literals work
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # quieter local runs
         "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
@@ -96,6 +99,10 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     scans with filter pushdown, column pruning, and (on partitioned layouts)
     partition pruning for free.
     """
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

@@ -45,7 +45,7 @@ from typing import Any
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..schema import MergeMode, cast_to_schema, merge_schemas
 
@@ -1369,6 +1369,124 @@ class LakeTable:
             "files_added": len(add),
             "files_removed": len(remove),
         }
+
+    #: operations whose add/remove entries rearrange bytes without changing
+    #: table content (dataChange=false in Delta terms) — CDF skips them
+    _REARRANGE_OPS = frozenset({"OPTIMIZE", "REPARTITION"})
+
+    def read_changes(
+        self,
+        starting_version: int,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Change Data Feed: row-level changes committed in versions
+        ``[starting_version, ending_version]`` (Delta's ``table_changes``;
+        reference consumers tail the Delta log for downstream sync —
+        research.md's incremental-read requirement).
+
+        Output = table schema + ``_change_type`` ('insert'/'delete'),
+        ``_commit_version``, ``_commit_timestamp`` (epoch ms). No change
+        files are stored: appends (the CDC hot path) resolve from add
+        entries alone — O(new data), no diffing; deletion-vector deletes
+        resolve by reading only the tombstoned positions; copy-on-write
+        MERGE/UPDATE/DELETE versions are reconstructed with a multiset
+        EXCEPT between removed and added files, which touches only the
+        files that commit rewrote, never the whole table. An update
+        surfaces as delete(old row) + insert(new row).
+        """
+        versions = self._versions()
+        if not versions:
+            raise ValueError(f"table does not exist: {self.root}")
+        last = versions[-1] if ending_version is None else ending_version
+        span = [v for v in versions if starting_version <= v <= last]
+        parts: list[DataFrame] = []
+        meta = [
+            "_change_type",
+            "_commit_version",
+            "_commit_timestamp",
+        ]
+
+        def tag(df: DataFrame, kind: str, c: CommitInfo) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(c.version).cast("long").alias("_commit_version"),
+                F.lit(c.timestamp_ms).cast("long").alias("_commit_timestamp"),
+            )
+
+        for v in span:
+            c = self._read_commit(v)
+            if c.operation in self._REARRANGE_OPS:
+                continue
+            snap = self._replay(version_as_of=v)
+            if snap.schema is None:
+                continue
+            added = [a["path"] for a in c.add if a["path"] in snap.file_schema]
+            new_rows = (
+                self._read_file_groups(snap, added, snap.schema)
+                if added
+                else None
+            )
+            old_rows = None
+            if c.remove:
+                prev = self._replay(version_as_of=v - 1) if v > 0 else None
+                if prev is not None and prev.schema is not None:
+                    gone = [f for f in c.remove if f in prev.file_schema]
+                    if gone:
+                        # prev's DVs are subtracted inside the group read, so
+                        # already-deleted rows don't resurface as deletes
+                        old_rows = self._read_file_groups(
+                            prev, gone, snap.schema
+                        )
+            if new_rows is not None and old_rows is not None:
+                parts.append(tag(new_rows.exceptAll(old_rows), "insert", c))
+                parts.append(tag(old_rows.exceptAll(new_rows), "delete", c))
+            elif new_rows is not None:
+                parts.append(tag(new_rows, "insert", c))  # append fast path
+            elif old_rows is not None:
+                parts.append(tag(old_rows, "delete", c))
+            if c.dv:
+                prev = self._replay(version_as_of=v - 1) if v > 0 else None
+                prev_dvs = prev.file_dvs if prev is not None else {}
+                for path, positions in sorted(c.dv.items()):
+                    if path not in snap.file_schema:
+                        continue
+                    delta = sorted(
+                        set(positions) - set(prev_dvs.get(path, ()))
+                    )
+                    if not delta:
+                        continue
+                    write_schema = StructType.fromJson(
+                        snap.schemas[snap.file_schema[path]]
+                    )
+                    rows = (
+                        self.spark.read.schema(write_schema)
+                        .option("basePath", self.root)
+                        .parquet(os.path.join(self.root, path))
+                        .where(F.col("_metadata.row_index").isin(delta))
+                    )
+                    parts.append(
+                        tag(cast_to_schema(rows, snap.schema), "delete", c)
+                    )
+        if not parts:
+            snap = self._replay()
+            if snap.schema is None:
+                raise ValueError(f"table does not exist: {self.root}")
+            shell = StructType(
+                snap.schema.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], shell)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            *[f.name for f in out.schema.fields if f.name not in meta], *meta
+        )
 
     # -------------------------------------------------------- maintenance
 
