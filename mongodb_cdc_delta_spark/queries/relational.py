@@ -1591,3 +1591,265 @@ def promo_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey",
         "left_semi",
     ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style: regional revenue where supplier and customer share a nation
+# ---------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5-style local-supplier regional revenue: the "
+    "supplier-nation = customer-nation equi-condition rides the suppkey "
+    "join; nation+region broadcast; one shuffle per fact-fact join",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == l.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-style: one nation's market share inside a region, by year
+# ---------------------------------------------------------------------------
+@register(
+    "market_share",
+    oracle="""
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+    description="TPC-H Q8-style national market share: conditional decimal "
+    "sum over total decimal sum per year — one aggregation computes both "
+    "(no second pass); dims broadcast, facts shuffle on join keys",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def market_share(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    base = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(DEC)
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-style: profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+@register(
+    "product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))
+                    - CAST(p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY 1, 2
+    """,
+    description="TPC-H Q9-style profit (revenue minus cost proxy) by "
+    "supplier nation and year; part filter pushes into the scan, the "
+    "filtered part key set broadcasts into the lineitem join",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(F.col("p_name").like("%green%"))
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    profit = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - _dec(F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-style: suppliers achieving the maximum quarterly revenue
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    description="TPC-H Q15-style top supplier: the quarterly revenue CTE is "
+    "computed once and reused for both the join and the max (Spark reuses "
+    "the exchange; no view DDL needed)",
+    tags=("q4", "join", "agg", "subquery", "tpch"),
+)
+def top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(
+            F.broadcast(top),
+            F.col("total_revenue") == F.col("mx"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16-style: distinct supplier count per part attribute bucket
+# ---------------------------------------------------------------------------
+@register(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (5, 15, 25, 35, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    description="TPC-H Q16-style supplier diversity per (brand, type, "
+    "size): count-distinct compiles to a two-stage partial/final aggregate "
+    "after the broadcast part join — no per-group set materialization",
+    tags=("q4", "join", "agg", "distinct", "tpch"),
+)
+def part_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(5, 15, 25, 35, 45))
+    )
+    l = load(spark, sf, "lineitem")
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

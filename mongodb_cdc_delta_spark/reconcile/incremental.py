@@ -71,3 +71,40 @@ def snapshot_diff(
         old.select(key, *compare_cols), new.select(key, *compare_cols),
         key, compare_cols,
     )
+
+
+def snapshot_diff_incremental(
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """``snapshot_diff`` restricted to keys the commit log says changed —
+    O(changed rows), not O(table).
+
+    The Change Data Feed (``LakeTable.read_changes``) names exactly the
+    rows touched by commits in ``(from_version, to_version]``; any row that
+    differs between the two snapshots must appear there. Both snapshot
+    reads are semi-joined down to those keys before the diff, so on a
+    100 TB table a day's reconcile touches only the files holding changed
+    keys (file-skipped further by min/max stats when clustered on the key).
+    Equivalence with the full ``snapshot_diff`` is asserted in
+    ``tests/test_change_feed.py``.
+    """
+    to_v = to_version if to_version is not None else table.version()
+    changed = (
+        table.read_changes(from_version + 1, to_v).select(key).distinct()
+    )
+    old = table.read(version_as_of=from_version).join(
+        F.broadcast(changed), key, "left_semi"
+    )
+    new = table.read(version_as_of=to_v).join(
+        F.broadcast(changed), key, "left_semi"
+    )
+    common = [c for c in old.columns if c in set(new.columns)]
+    compare_cols = compare_cols or [c for c in common if c != key]
+    return record_diff(
+        old.select(key, *compare_cols), new.select(key, *compare_cols),
+        key, compare_cols,
+    )

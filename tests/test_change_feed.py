@@ -106,3 +106,28 @@ def test_empty_range_has_change_schema(spark, table):
         "_commit_version",
         "_commit_timestamp",
     ]
+
+
+def test_snapshot_diff_incremental_equals_full(spark, table):
+    from mongodb_cdc_delta_spark.reconcile.incremental import (
+        snapshot_diff,
+        snapshot_diff_incremental,
+    )
+
+    table.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        )
+    )
+    v0 = table.version()
+    table.update_where("id % 5 = 0", {"v": "'upd'"})
+    table.delete_where("id = 7", deletion_vectors=True)
+    table.append(spark.createDataFrame([(100, "new")], "id long, v string"))
+
+    full = snapshot_diff(table, v0, key="id")
+    incr = snapshot_diff_incremental(table, v0, key="id")
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(incr) == canon(full)
+    # and it found the three kinds of change
+    statuses = {r["status"] for r in incr.collect()}
+    assert statuses == {"missing_in_target", "extra_in_target", "field_mismatch"}

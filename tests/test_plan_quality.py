@@ -169,3 +169,45 @@ class TestTpchBreadthPlans:
         assert "CartesianProduct" not in plan
         # the shipdate window reaches the lineitem scan
         assert "l_shipdate" in plan and "PushedFilters" in plan
+
+    def test_regional_revenue_broadcasts_nation_region(self, spark):
+        plan = plan_of(spark, "regional_revenue", execute=True)
+        assert count(r"BroadcastHashJoin", plan) >= 2  # nation + region
+        assert "CartesianProduct" not in plan
+        # orderdate window pushes into the orders scan
+        assert "o_orderdate" in plan and "PushedFilters" in plan
+
+    def test_market_share_single_pass_conditional_agg(self, spark):
+        # share = conditional sum / total sum must be ONE aggregation over
+        # the joined base, not two scans of it
+        plan = plan_of(spark, "market_share", execute=True)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        # part, lineitem, supplier, orders, customer, nation x2, region = 8
+        assert count(r"FileScan parquet", final) <= 8
+        assert count(r"BroadcastHashJoin", final) >= 4
+
+    def test_product_profit_part_filter_pushed(self, spark):
+        plan = plan_of(spark, "product_profit", execute=True)
+        assert "CartesianProduct" not in plan
+        # LIKE %green% pushes as a string-contains filter on the part scan
+        assert "p_name" in plan and "PushedFilters" in plan
+
+    def test_top_supplier_revenue_reuses_rev_aggregate(self, spark):
+        # the rev CTE feeds both the join and the max: Spark should reuse
+        # the exchange rather than recompute lineitem twice — accept either
+        # ReusedExchange or <=2 lineitem scans, never a cartesian
+        plan = plan_of(spark, "top_supplier_revenue", execute=True)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert (
+            "ReusedExchange" in final
+            or count(r"FileScan parquet [^\n]*lineitem", final) <= 2
+        )
+
+    def test_part_supplier_counts_two_stage_distinct(self, spark):
+        # count(DISTINCT) compiles to expand + two-stage agg, no
+        # per-group collect_set materialization
+        plan = plan_of(spark, "part_supplier_counts", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "Expand" in plan or "distinct" in plan
