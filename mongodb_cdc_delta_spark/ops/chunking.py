@@ -27,6 +27,84 @@ CHUNK = 64
 STRIDE = 48
 
 
+VOCAB_CAP = 50_000
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts
+    ), vocab AS (
+      SELECT tok, n FROM (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+        FROM counts
+      ) WHERE rk <= {VOCAB_CAP}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(coalesce(v.n, 1) / (SELECT t FROM total)))
+                 / count(*), 6) AS avg_logprob
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+    description="unigram LM quality score: corpus token distribution → "
+    "per-doc mean log-probability (the perplexity-screen shape used for "
+    "corpus filtering). The vocabulary is capped at the top-50k tokens "
+    "(deterministic count-desc/token-asc rank) with a 1-count OOV floor, "
+    "so the broadcast stays bounded on a web-scale corpus whose raw "
+    "distinct-token count is unbounded (typos, ids, urls)",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def unigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
+    return unigram_score(
+        load(spark, sf, "documents"), vocab_cap=VOCAB_CAP
+    )
+
+
+def unigram_score(
+    docs: DataFrame, text_col: str = "text", vocab_cap: int = VOCAB_CAP
+) -> DataFrame:
+    """Mean unigram log-prob per doc over a top-``vocab_cap`` vocabulary;
+    out-of-vocabulary tokens take a 1-count floor probability."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("t"))
+    # rank rows by global frequency; the single-partition window only ever
+    # sees the aggregated vocab (|distinct tokens| rows), and everything
+    # past the cap is dropped immediately after
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    )
+    vocab = (
+        counts.select("tok", "n", rk.alias("rk"))
+        .where(F.col("rk") <= vocab_cap)
+        .drop("rk")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.coalesce(F.col("n"), F.lit(1)) / F.col("t")))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 @register(
     "repetition_signals",
     oracle="""

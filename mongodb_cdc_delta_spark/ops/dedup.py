@@ -233,6 +233,11 @@ def connected_components(
     becomes the bottleneck. Vertices outside any edge are absent (callers
     union them back as singletons if needed).
     """
+    # materialize the edge list ONCE before symmetrizing: the union's two
+    # branches are distinct subtrees, so without this the (expensive)
+    # candidate-generation pipeline upstream would execute twice — a real
+    # 2x at scale, where pair generation dwarfs the per-round label work
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

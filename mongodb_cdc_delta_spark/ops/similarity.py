@@ -165,6 +165,87 @@ def embedding_near_dup_pairs(
     )
 
 
+def _quantize(col):
+    """Symmetric int8 quantization as a JVM expression: q_i = floor(x_i *
+    127 / max|x| + 0.5). floor(v + 0.5) instead of round() because SQL
+    engines disagree on round-half (HALF_UP vs banker's); floor is
+    bit-identical everywhere. Returns (scale, array<int-valued double>)."""
+    xd = F.transform(col, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.transform(xd, lambda x: F.floor(x * 127.0 / scale + 0.5))
+    return scale, q
+
+
+@register(
+    "knn_cosine_topk_int8",
+    oracle="""
+    WITH qe AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 127.0 /
+                                 list_max(list_transform(
+                                   CAST(embedding AS DOUBLE[]),
+                                   y -> abs(y))) + 0.5)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), rows_q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 127.0 /
+                                 list_max(list_transform(
+                                   CAST(embedding AS DOUBLE[]),
+                                   y -> abs(y))) + 0.5)) AS q
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(q, (SELECT qv FROM qe))
+                 / (sqrt(list_dot_product(q, q))
+                    * sqrt((SELECT list_dot_product(qv, qv) FROM qe))), 6)
+             AS cos_sim_q
+    FROM rows_q
+    ORDER BY cos_sim_q DESC, vec_id ASC
+    LIMIT 10
+    """,
+    description="int8-quantized cosine top-10: symmetric per-vector "
+    "quantization (4x smaller vectors at serving time), exact integer dot "
+    "products, deterministic floor(x+0.5) rounding on both engines — the "
+    "memory-footprint scale path for a 100 TB ANN index; recall vs the "
+    "fp32 ranking asserted in tests",
+    tags=("similarity", "topk", "quantization"),
+)
+def knn_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    qscale = max(abs(x) for x in qvec)
+    qq = [float(int((x * 127.0 / qscale + 0.5) // 1)) for x in qvec]
+    import math
+
+    qnorm = math.sqrt(sum(v * v for v in qq))
+    qlit = F.array(*[F.lit(v) for v in qq])
+    _scale, q = _quantize(F.col("embedding"))
+    dot = F.aggregate(
+        F.zip_with(q, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(q, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (qn * F.lit(qnorm)), 6).alias("cos_sim_q"),
+        )
+        .orderBy(F.col("cos_sim_q").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "semantic_cluster_assign",
     oracle="""

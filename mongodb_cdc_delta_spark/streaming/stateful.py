@@ -195,3 +195,39 @@ def streaming_dedup(
     return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(fingerprint_cols)
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches right
+    rows with the same key whose event time falls in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so the state store retains each side only for
+    watermark + within — bounded state, the requirement for an unbounded
+    2-stream correlation (click→conversion attribution, request→error
+    correlation) at production scale. Works identically on batch frames
+    (same condition, no state).
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").select(
+        left[key].alias(key),
+        left[left_ts].alias(left_ts),
+        right[right_ts].alias(right_ts),
+    )

@@ -284,3 +284,45 @@ class TestConnectedComponents:
         got = {r["id"]: r["label"]
                for r in connected_components(edges).collect()}
         assert got == {2: 2, 5: 2, 9: 2}
+
+
+class TestInt8Quantization:
+    def test_int8_topk_recall_vs_fp32(self, spark):
+        """Quantized ranking must recover most of the exact fp32 top-10 —
+        the accuracy contract for serving a 4x-smaller index."""
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        reg = all_queries()
+        sf = "/root/testdata/sf0.01"
+        fp32 = {r["vec_id"] for r in reg["knn_cosine_topk"].fn(spark, sf).collect()}
+        int8 = {
+            r["vec_id"]
+            for r in reg["knn_cosine_topk_int8"].fn(spark, sf).collect()
+        }
+        assert len(fp32 & int8) >= 8
+
+
+class TestUnigramVocabCap:
+    def test_oov_tokens_take_floor_probability(self, spark):
+        """With a tiny cap, rare tokens fall out of vocab and score at the
+        1-count floor — the guardrail that bounds the broadcast at scale."""
+        from mongodb_cdc_delta_spark.ops.chunking import unigram_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b"),       # 'a' x3 dominates, 'b' rare
+                (2, "a b c"),         # 'c' appears once
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in unigram_score(docs, vocab_cap=1).collect()}
+        import math
+
+        total = 7.0  # 4 a's? no: tokens = a,a,a,b,a,b,c = 7
+        # vocab = {a:4}; b and c OOV → ln(1/total)
+        exp1 = (3 * math.log(4 / total) + math.log(1 / total)) / 4
+        exp2 = (
+            math.log(4 / total) + 2 * math.log(1 / total)
+        ) / 3
+        assert abs(out[1]["avg_logprob"] - round(exp1, 6)) < 1e-9
+        assert abs(out[2]["avg_logprob"] - round(exp2, 6)) < 1e-9

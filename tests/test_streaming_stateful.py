@@ -310,3 +310,57 @@ class TestStreamingDedup:
             [("a", 1), ("a", 2), ("b", 3)], "fp string, v long"
         )
         assert streaming_dedup(df, ("fp",)).count() == 2
+
+
+def _iso(epoch: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        epoch, _dt.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Two file streams joined within a 30-minute window produce the
+        same pairs as the equivalent batch join."""
+        from mongodb_cdc_delta_spark.streaming.stateful import (
+            stream_interval_join,
+        )
+
+        base = 1_700_000_000
+        clicks = [
+            {"user_id": u, "ts": _iso(base + off)}
+            for u, off in [(1, 0), (1, 3600), (2, 0), (3, 0)]
+        ]
+        convs = [
+            {"user_id": u, "r_ts": _iso(base + off)}
+            for u, off in [
+                (1, 600),      # within 30 min of click@0 → match
+                (1, 3900),     # within 30 min of click@3600 → match
+                (2, 2400),     # 40 min after click@0 → no match
+                (4, 100),      # no click → no match
+            ]
+        ]
+        ldir, rdir = tmp_path / "clicks", tmp_path / "convs"
+        write_jsonl(ldir, "c.jsonl", clicks)
+        write_jsonl(rdir, "v.jsonl", convs)
+
+        lstream = _stream(spark, ldir, "user_id long, ts timestamp")
+        rstream = _stream(spark, rdir, "user_id long, r_ts timestamp")
+        joined = stream_interval_join(lstream, rstream)
+        got = run_to_memory(spark, joined, "ssj").collect()
+        stream_pairs = sorted(
+            (r["user_id"], r["ts"].isoformat(), r["r_ts"].isoformat())
+            for r in got
+        )
+
+        lbatch = spark.read.schema("user_id long, ts timestamp").json(str(ldir))
+        rbatch = spark.read.schema("user_id long, r_ts timestamp").json(str(rdir))
+        batch = stream_interval_join(lbatch, rbatch)
+        batch_pairs = sorted(
+            (r["user_id"], r["ts"].isoformat(), r["r_ts"].isoformat())
+            for r in batch.collect()
+        )
+        assert stream_pairs == batch_pairs
+        assert len(stream_pairs) == 2
