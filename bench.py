@@ -80,6 +80,19 @@ HEADLINE = [
     "sequence_packing",
     "decontaminate_train_set",
     "training_mix_pipeline",
+    "repetition_signals",
+    "doc_chunking",
+    "unigram_logprob_score",
+    "semantic_cluster_assign",
+    "knn_cosine_topk_int8",
+    "window_rank_family",
+    "forward_fill_timeseries",
+    "rolling_zscore_anomalies",
+    "regional_revenue",
+    "market_share",
+    "product_profit",
+    "top_supplier_revenue",
+    "part_supplier_counts",
 ]
 
 

@@ -1853,3 +1853,141 @@ def part_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking family: ntile / percent_rank / cume_dist in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS bal_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    description="ranking-window family (ntile/percent_rank/cume_dist) "
+    "sharing ONE window spec — a single sort within each partition "
+    "computes all three; total order via the custkey tiebreak keeps "
+    "every engine's quartile assignment identical",
+    tags=("window", "rank"),
+)
+def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: forward fill (last non-null carried forward per entity)
+# ---------------------------------------------------------------------------
+@register(
+    "forward_fill_timeseries",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    WHERE user_id < 100
+    """,
+    description="time-series forward fill: carry each user's last purchase "
+    "value across subsequent events (IGNORE NULLS running last_value) — "
+    "one partition-sort window, the gap-fill shape sensor/market data needs",
+    tags=("window", "timeseries"),
+)
+def forward_fill_timeseries(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        load(spark, sf, "events")
+        .where(F.col("user_id") < 100)
+        .select(
+            "event_id",
+            "user_id",
+            F.last(purchase_val, ignorenulls=True)
+            .over(w)
+            .alias("last_purchase_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: rolling z-score anomaly flags
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             count(*)   OVER win AS n,
+             sum(value) OVER win AS s,
+             sum(value * value) OVER win AS sq
+      FROM events
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           round((value - s / n)
+                 / sqrt((sq - s * s / n) / (n - 1)), 4) AS zscore
+    FROM w
+    WHERE n >= 10
+      AND (sq - s * s / n) / (n - 1) > 1e-12
+      AND abs((value - s / n)
+              / sqrt((sq - s * s / n) / (n - 1))) > 3.0
+    """,
+    description="rolling z-score anomaly detection: mean/std over the "
+    "trailing 20 events per user from explicit windowed sums (identical "
+    "accumulation on both engines — no engine-specific variance kernel), "
+    "flag |z| > 3. The metric-outlier shape for pipeline monitoring",
+    tags=("window", "timeseries", "quality"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, -1)
+    )
+    n = F.count("*").over(win)
+    s = F.sum("value").over(win)
+    sq = F.sum(F.col("value") * F.col("value")).over(win)
+    base = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        s.alias("s"),
+        sq.alias("sq"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        base.where((F.col("n") >= 10) & (var > 1e-12) & (F.abs(z) > 3.0))
+        .select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+    )

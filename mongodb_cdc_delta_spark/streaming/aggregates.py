@@ -64,7 +64,32 @@ class IncrementalAggregate:
         applies on the write side; the read side semi-joins on the batch's
         key set), then MERGEs the combined rows. With ``batch_id`` the
         merge is exactly-once under replays."""
-        delta = self._partial(batch)
+        return self._fold(self._partial(batch), batch_id)
+
+    def apply_changes(
+        self, changes: DataFrame, batch_id: int | None = None
+    ) -> dict:
+        """Fold a change-feed batch (``LakeTable.read_changes`` output)
+        into the aggregate: inserts add, deletes subtract.
+
+        This upgrades the aggregate from "rollup of an append log" to an
+        incrementally-maintained view of a MUTABLE table — updates arrive
+        as delete(pre-image)+insert(post-image) pairs, so the additive
+        fold stays exact under UPDATE/DELETE/MERGE upstream. Still
+        O(changes), still replay-safe via the merge txn."""
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = changes.groupBy(*self.keys).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[
+                F.sum(sign * F.expr(expr)).alias(name)
+                for name, expr in self.measures.items()
+            ],
+        )
+        return self._fold(delta, batch_id)
+
+    def _fold(self, delta: DataFrame, batch_id: int | None = None) -> dict:
         if not self.table.exists() or self.table.schema() is None:
             combined = delta
         else:
@@ -103,3 +128,39 @@ class IncrementalAggregate:
     def read(self) -> DataFrame:
         df = self.table.read()
         return df.drop("__agg_key") if "__agg_key" in df.columns else df
+
+
+class ChangeFeedTail:
+    """Micro-batch tail of a LakeTable's change feed.
+
+    ``poll()`` returns (changes, start_version, end_version) for commits
+    published since the last poll, or None when caught up — the
+    building block for driving downstream incremental views off table
+    mutations without Kafka in the middle (the lakehouse-native CDC relay).
+    ``end_version`` is monotonic, so passing it as the fold's batch_id
+    makes downstream maintenance exactly-once under restarts."""
+
+    def __init__(self, table: LakeTable, from_version: int = -1):
+        self.table = table
+        self.last_seen = from_version
+
+    def poll(self) -> tuple[DataFrame, int, int] | None:
+        cur = self.table.version()
+        if cur <= self.last_seen:
+            return None
+        start = self.last_seen + 1
+        changes = self.table.read_changes(start, cur)
+        self.last_seen = cur
+        return changes, start, cur
+
+
+def maintain_from_changes(
+    tail: ChangeFeedTail, agg: IncrementalAggregate
+) -> int:
+    """Drain the tail into the aggregate; returns versions processed."""
+    n = 0
+    while (batch := tail.poll()) is not None:
+        changes, _start, end = batch
+        agg.apply_changes(changes, batch_id=end)
+        n += 1
+    return n

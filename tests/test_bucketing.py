@@ -106,3 +106,40 @@ class TestBucketedReconcile:
         finally:
             spark.sql("DROP TABLE IF EXISTS rec_src_b")
             spark.sql("DROP TABLE IF EXISTS rec_tgt_b")
+
+
+class TestBucketedDedup:
+    def test_dedup_agg_has_no_exchange(self, spark, tmp_path):
+        from mongodb_cdc_delta_spark.ops.bucketing import (
+            bucketed_exact_dedup,
+            write_dedup_bucketed,
+        )
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        write_dedup_bucketed(docs, "docs_bktd")
+        try:
+            out = bucketed_exact_dedup(spark, "docs_bktd")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # content duplicates collapse to one keeper each
+            rows = out.collect()
+            assert len(rows) > 0
+            assert all(r["n_copies"] >= 1 for r in rows)
+            # equivalent to a plain normalized dedup on the source
+            from pyspark.sql import functions as F
+
+            expected = (
+                docs.withColumn(
+                    "fp",
+                    F.xxhash64(
+                        F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+                    ),
+                )
+                .groupBy("fp")
+                .count()
+                .count()
+            )
+            assert len(rows) == expected
+        finally:
+            spark.sql("DROP TABLE IF EXISTS docs_bktd")

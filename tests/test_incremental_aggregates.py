@@ -119,3 +119,89 @@ def test_streaming_foreachbatch_maintenance(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["user"]: (r["n_rows"], r["total"]) for r in agg.read().collect()}
     assert got == {"a": (2, 15.0), "b": (1, 1.0)}
+
+
+class TestChangeFeedMaintenance:
+    def test_aggregate_tracks_mutable_table(self, spark, tmp_path):
+        """MV maintained from the change feed equals a full recompute after
+        every kind of upstream mutation."""
+        from mongodb_cdc_delta_spark.sinks import LakeTable
+        from mongodb_cdc_delta_spark.streaming.aggregates import (
+            ChangeFeedTail,
+            IncrementalAggregate,
+            maintain_from_changes,
+        )
+        from pyspark.sql import functions as F
+
+        src = LakeTable(spark, str(tmp_path / "src"))
+        mv = IncrementalAggregate(
+            LakeTable(spark, str(tmp_path / "mv")),
+            keys=["grp"],
+            measures={"total": "v"},
+            txn_app_id="cdf-mv",
+        )
+        tail = ChangeFeedTail(src)
+
+        def check():
+            got = sorted(
+                (r["grp"], r["n_rows"], r["total"])
+                for r in mv.read().collect()
+                if r["n_rows"] > 0
+            )
+            want = sorted(
+                (r["grp"], r["cnt"], r["total"])
+                for r in src.read()
+                .groupBy("grp")
+                .agg(
+                    F.count("*").cast("long").alias("cnt"),
+                    F.sum("v").alias("total"),
+                )
+                .collect()
+            )
+            assert got == want
+
+        src.append(
+            spark.createDataFrame(
+                [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)],
+                "grp string, id long, v long",
+            )
+        )
+        assert maintain_from_changes(tail, mv) == 1
+        check()
+
+        src.update_where("id = 2", {"v": "25"})
+        src.delete_where("id = 3", deletion_vectors=True)
+        maintain_from_changes(tail, mv)
+        check()
+
+        src.append(
+            spark.createDataFrame([("b", 4, 40)], "grp string, id long, v long")
+        )
+        maintain_from_changes(tail, mv)
+        check()
+        # caught up: polling again is a no-op
+        assert tail.poll() is None
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        from mongodb_cdc_delta_spark.sinks import LakeTable
+        from mongodb_cdc_delta_spark.streaming.aggregates import (
+            IncrementalAggregate,
+        )
+
+        src = LakeTable(spark, str(tmp_path / "src2"))
+        mv = IncrementalAggregate(
+            LakeTable(spark, str(tmp_path / "mv2")),
+            keys=["grp"],
+            measures={"total": "v"},
+            txn_app_id="cdf-mv2",
+        )
+        src.append(
+            spark.createDataFrame([("a", 1, 10)], "grp string, id long, v long")
+        )
+        ch = src.read_changes(0, src.version())
+        mv.apply_changes(ch, batch_id=src.version())
+        mv.apply_changes(ch, batch_id=src.version())  # replay
+        rows = mv.read().collect()
+        assert [(r["grp"], r["n_rows"], r["total"]) for r in rows] == [
+            ("a", 1, 10)
+        ]

@@ -211,3 +211,35 @@ class TestTpchBreadthPlans:
         plan = plan_of(spark, "part_supplier_counts", execute=True)
         assert "CartesianProduct" not in plan
         assert "Expand" in plan or "distinct" in plan
+
+
+class TestLlmOpsPlans:
+    def test_doc_chunking_zero_shuffle(self, spark):
+        # sequence+explode+slice is partition-local: no Exchange at all
+        plan = plan_of(spark, "doc_chunking", execute=True)
+        assert "Exchange" not in plan
+
+    def test_semantic_cluster_assign_zero_shuffle(self, spark):
+        # centroids are plan literals → per-row argmax, single scan
+        plan = plan_of(spark, "semantic_cluster_assign", execute=True)
+        assert "Exchange" not in plan
+        assert count(r"FileScan parquet", plan.split("== Initial Plan ==")[0]) == 1
+
+    def test_int8_knn_no_shuffle_take_ordered(self, spark):
+        # same shape as fp32 knn: scan + project + TakeOrderedAndProject
+        plan = plan_of(spark, "knn_cosine_topk_int8", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+    def test_unigram_score_broadcasts_vocab(self, spark):
+        # the token→vocab join must broadcast the aggregated vocab, never
+        # shuffle the exploded token stream for a sort-merge join
+        plan = plan_of(spark, "unigram_logprob_score", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_repetition_signals_partial_aggregation(self, spark):
+        # bigram counting must map-side combine before the shuffle
+        plan = plan_of(spark, "repetition_signals", execute=True)
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
