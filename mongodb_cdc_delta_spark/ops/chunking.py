@@ -229,3 +229,49 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, substring(text, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 25
+    """,
+    description="fuzzy near-dup candidates: Levenshtein distance over "
+    "40-char prefixes within (lang, source) blocks — O(block²) bounded by "
+    "the blocking key, exact integer distances on both engines; the "
+    "edit-distance rescoring stage that follows cheap candidate blocking",
+    tags=("text", "dedup", "fuzzy"),
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= 25)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )

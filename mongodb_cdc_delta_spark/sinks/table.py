@@ -1399,6 +1399,12 @@ class LakeTable:
             raise ValueError(f"table does not exist: {self.root}")
         last = versions[-1] if ending_version is None else ending_version
         span = [v for v in versions if starting_version <= v <= last]
+        # every part casts to the schema at the END of the range: a feed
+        # spanning a schema evolution must come out in ONE shape (Delta
+        # CDF's behavior), not per-version shapes a union would misalign
+        final_schema = (
+            self._replay(version_as_of=span[-1]).schema if span else None
+        )
         parts: list[DataFrame] = []
         meta = [
             "_change_type",
@@ -1423,7 +1429,7 @@ class LakeTable:
                 continue
             added = [a["path"] for a in c.add if a["path"] in snap.file_schema]
             new_rows = (
-                self._read_file_groups(snap, added, snap.schema)
+                self._read_file_groups(snap, added, final_schema)
                 if added
                 else None
             )
@@ -1436,7 +1442,7 @@ class LakeTable:
                         # prev's DVs are subtracted inside the group read, so
                         # already-deleted rows don't resurface as deletes
                         old_rows = self._read_file_groups(
-                            prev, gone, snap.schema
+                            prev, gone, final_schema
                         )
             if new_rows is not None and old_rows is not None:
                 parts.append(tag(new_rows.exceptAll(old_rows), "insert", c))
@@ -1466,7 +1472,7 @@ class LakeTable:
                         .where(F.col("_metadata.row_index").isin(delta))
                     )
                     parts.append(
-                        tag(cast_to_schema(rows, snap.schema), "delete", c)
+                        tag(cast_to_schema(rows, final_schema), "delete", c)
                     )
         if not parts:
             snap = self._replay()

@@ -131,3 +131,22 @@ def test_snapshot_diff_incremental_equals_full(spark, table):
     # and it found the three kinds of change
     statuses = {r["status"] for r in incr.collect()}
     assert statuses == {"missing_in_target", "extra_in_target", "field_mismatch"}
+
+
+def test_changes_across_schema_evolution_unify(spark, table):
+    """A feed spanning a schema evolution comes out in the END schema —
+    pre-evolution rows carry null for the later column."""
+    table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    table.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        )
+    )
+    df = table.read_changes(0)
+    assert set(df.columns) == {
+        "id", "v", "score",
+        "_change_type", "_commit_version", "_commit_timestamp",
+    }
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    assert all(r["_change_type"] == "insert" for r in rows.values())

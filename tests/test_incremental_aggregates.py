@@ -171,6 +171,7 @@ class TestChangeFeedMaintenance:
 
         src.update_where("id = 2", {"v": "25"})
         src.delete_where("id = 3", deletion_vectors=True)
+        src.optimize()  # rearrangement-only version: empty change batch
         maintain_from_changes(tail, mv)
         check()
 
