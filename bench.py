@@ -93,6 +93,8 @@ HEADLINE = [
     "product_profit",
     "top_supplier_revenue",
     "part_supplier_counts",
+    "ann_pq_topk",
+    "fuzzy_levenshtein_pairs",
 ]
 
 

@@ -260,7 +260,11 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = d.alias("a")
     b = d.alias("b")
-    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    # thresholded variant: early-exits once distance exceeds the cap
+    # (returns -1), turning the per-pair cost from O(40x40) worst case
+    # into O(40xcap-band) — the difference between hours and minutes on
+    # million-pair blocks
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"), 25)
     return (
         a.join(
             b,
@@ -268,7 +272,7 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(dist <= 25)
+        .where((dist >= 0) & (dist <= 25))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

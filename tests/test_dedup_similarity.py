@@ -326,3 +326,32 @@ class TestUnigramVocabCap:
         ) / 3
         assert abs(out[1]["avg_logprob"] - round(exp1, 6)) < 1e-9
         assert abs(out[2]["avg_logprob"] - round(exp2, 6)) < 1e-9
+
+
+class TestProductQuantization:
+    def test_pq_rerank_recall_vs_fp32(self, spark):
+        """PQ candidate generation + exact re-rank must recover most of
+        the exact top-10 (two-stage serving accuracy contract)."""
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        reg = all_queries()
+        sf = "/root/testdata/sf0.01"
+        fp32 = {r["vec_id"] for r in reg["knn_cosine_topk"].fn(spark, sf).collect()}
+        pq = {r["vec_id"] for r in reg["ann_pq_topk"].fn(spark, sf).collect()}
+        assert len(fp32 & pq) >= 5
+
+    def test_codes_are_compact(self, spark):
+        """The stored index payload is m small codes per vector."""
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            build_pq_codebooks,
+            pq_encode,
+        )
+        from mongodb_cdc_delta_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = build_pq_codebooks(emb, m=8, k=16, iters=1)
+        codes = pq_encode(emb, cb, m=8).collect()
+        assert len(codes) == emb.count()
+        for r in codes[:20]:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
