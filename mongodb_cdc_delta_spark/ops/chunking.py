@@ -72,23 +72,18 @@ def unigram_score(
 ) -> DataFrame:
     """Mean unigram log-prob per doc over a top-``vocab_cap`` vocabulary;
     out-of-vocabulary tokens take a 1-count floor probability."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("t"))
-    # rank rows by global frequency; the single-partition window only ever
-    # sees the aggregated vocab (|distinct tokens| rows), and everything
-    # past the cap is dropped immediately after
-    rk = F.row_number().over(
-        Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    )
+    # top-K via orderBy+limit, which compiles to TakeOrdered — a
+    # tree-reduced DISTRIBUTED top-K. A row_number window would funnel the
+    # whole distinct-token set through one partition, the exact bottleneck
+    # a web-scale vocabulary (billions of distinct tokens) cannot afford.
     vocab = (
-        counts.select("tok", "n", rk.alias("rk"))
-        .where(F.col("rk") <= vocab_cap)
-        .drop("rk")
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_cap)
     )
     return (
         toks.join(F.broadcast(vocab), "tok", "left")
