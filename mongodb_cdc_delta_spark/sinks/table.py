@@ -1821,5 +1821,63 @@ class LakeTable:
         total -= sum(len(v) for v in snap.file_dvs.values())
         return total
 
+    def min_max(
+        self,
+        column: str,
+        version_as_of: int | None = None,
+        timestamp_as_of: str | int | None = None,
+    ) -> tuple[Any, Any]:
+        """MIN/MAX of a column from commit-log stats when possible — no
+        data scan, O(files) in the driver.
+
+        Exactness requires every active file to carry min/max for the
+        column AND no deletion vectors on files whose extreme could be a
+        tombstoned row — DVs make footer stats an over-approximation, so
+        any DV on the table falls back to a real (pushdown-pruned) scan.
+        On a 100 TB table this turns dashboard-grade range probes into a
+        metadata lookup."""
+        snap = self._replay(version_as_of, timestamp_as_of)
+        if snap.schema is None:
+            raise ValueError(f"table does not exist: {self.root}")
+        if column not in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"no such column: {column}")
+        mins, maxs = [], []
+        metadata_ok = not snap.file_dvs
+        if metadata_ok:
+            for f in snap.files:
+                st = snap.file_stats.get(f)
+                if (
+                    not st
+                    or column not in st.get("minValues", {})
+                    or column not in st.get("maxValues", {})
+                    or st.get("nullCount", {}).get(column)
+                    == st.get("numRecords")
+                ):
+                    # missing stats (pre-stats file / truncated string /
+                    # all-null file with no contribution) → fall back
+                    if st and st.get("nullCount", {}).get(column) == st.get(
+                        "numRecords"
+                    ):
+                        continue  # all-null file: contributes nothing
+                    metadata_ok = False
+                    break
+                mins.append(st["minValues"][column])
+                maxs.append(st["maxValues"][column])
+        if metadata_ok and mins:
+            try:
+                # mixed stat types (a file written pre-widening) are not
+                # comparable — that's a scan, not a crash
+                return min(mins), max(maxs)
+            except TypeError:
+                pass
+        elif metadata_ok:
+            return None, None  # empty table or all nulls
+        row = (
+            self.read(version_as_of, timestamp_as_of)
+            .agg(F.min(column), F.max(column))
+            .first()
+        )
+        return row[0], row[1]
+
     def file_count(self) -> int:
         return len(self._replay().files)

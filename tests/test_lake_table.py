@@ -710,3 +710,34 @@ def test_metadata_only_count(spark, lake):
             break
     assert stripped
     assert t.count() == t.read().count() == 570
+
+
+class TestMetadataMinMax:
+    def test_min_max_from_stats_no_scan(self, spark, lake):
+        t = LakeTable(spark, lake + "/mm")
+        t.append(_df(spark, [(5, "e"), (1, "a")], "id long, v string"))
+        t.append(_df(spark, [(9, "z"), (3, "c")], "id long, v string"))
+        assert t.min_max("id") == (1, 9)
+        assert t.min_max("v") == ("a", "z")
+        # agrees with a real scan
+        row = t.read().agg(F.min("id"), F.max("id")).first()
+        assert (row[0], row[1]) == (1, 9)
+
+    def test_min_max_falls_back_under_deletion_vectors(self, spark, lake):
+        t = LakeTable(spark, lake + "/mmdv")
+        t.append(_df(spark, [(i,) for i in range(10)], "id long"))
+        t.delete_where("id = 9", deletion_vectors=True)
+        # footer says max=9 but row 9 is tombstoned: must report 8
+        assert t.min_max("id") == (0, 8)
+
+    def test_min_max_time_travel_and_missing_column(self, spark, lake):
+        t = LakeTable(spark, lake + "/mmtt")
+        t.append(_df(spark, [(1,)], "id long"))
+        v0 = t.version()
+        t.append(_df(spark, [(100,)], "id long"))
+        assert t.min_max("id", version_as_of=v0) == (1, 1)
+        assert t.min_max("id") == (1, 100)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="no such column"):
+            t.min_max("nope")
