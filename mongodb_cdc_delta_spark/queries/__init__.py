@@ -97,10 +97,11 @@ def _ship_package(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver parquet table.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as a long (legacy conf) and convert to a
-    microsecond timestamp with exact integer division — the same floor
-    truncation DuckDB applies when it narrows nanos to its micro timestamps.
+    Timestamp columns are naive in the testdata and their PHYSICAL type has
+    changed between rounds (TIMESTAMP(NANOS) in rounds 1-2 — handled by the
+    nanosAsLong legacy conf + the long→timestamp conversion below;
+    timestamp[us] from round 3 — handled by disabling NTZ inference + the
+    NTZ cast fallback). Keep every path: the data may change shape again.
     """
     # harden against whatever session the caller hands us: timestamps are
     # naive-UTC in the parquet data and the DuckDB oracle compares naive
@@ -221,7 +222,6 @@ _DRIVER_PRIORITY = (
     "tumbling_window_counts",
     # LLM-data-pipeline ops
     "dedup_exact",
-    "dedup_normalized",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -230,10 +230,11 @@ _DRIVER_PRIORITY = (
     "training_mix_pipeline",
     "sequence_packing",
     "knn_cosine_topk",
+    "knn_cosine_topk_int8",
     "embedding_near_dup",
     "ann_ivf_topk",
-    "text_token_stats",
     "text_quality",
+    "unigram_logprob_score",
     "lang_id_heuristic",
     "doc_fingerprint",
     "multimodal_frame_sample",
