@@ -124,3 +124,75 @@ def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return out.select("event_id", "event_epoch", "event_iso")
+
+
+@register(
+    "quality_constraint_suite",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders)
+    SELECT 'completeness' AS constraint, 'o_custkey' AS column,
+           round(CAST(count(o_custkey) AS DOUBLE) / (SELECT n FROM n), 6)
+             AS metric,
+           1.0 AS threshold,
+           CASE WHEN count(o_custkey) = count(*) THEN 'pass' ELSE 'fail'
+             END AS status
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness', 'o_orderkey',
+           round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                 / (SELECT n FROM n), 6),
+           1.0,
+           CASE WHEN count(DISTINCT o_orderkey) = count(*)
+                THEN 'pass' ELSE 'fail' END
+    FROM orders
+    UNION ALL
+    SELECT 'min_value', 'o_totalprice',
+           round(CAST(min(o_totalprice) AS DOUBLE), 6), 0.0,
+           CASE WHEN min(o_totalprice) >= 0 THEN 'pass' ELSE 'fail' END
+    FROM orders
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus',
+           round(CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT n FROM n), 6),
+           1.0,
+           CASE WHEN sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                              THEN 1 ELSE 0 END) = count(*)
+                THEN 'pass' ELSE 'fail' END
+    FROM orders
+    UNION ALL
+    SELECT 'ref_integrity', 'o_custkey',
+           round(1.0 - CAST((SELECT count(*) FROM orders o
+                             WHERE o.o_custkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM customer c
+                                               WHERE c.c_custkey = o.o_custkey))
+                            AS DOUBLE) / (SELECT n FROM n), 6),
+           1.0,
+           CASE WHEN (SELECT count(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) = 0
+                THEN 'pass' ELSE 'fail' END
+    """,
+    description="Deequ-style declarative constraint suite verified in ONE "
+    "aggregation pass (completeness, uniqueness, range, set membership) "
+    "plus one anti-join per referential-integrity check — table-level QA "
+    "that costs one scan at 100 TB, not one scan per constraint",
+    tags=("quality", "constraints"),
+)
+def quality_constraint_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from .expectations import Constraint, verify_suite
+
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer").select("c_custkey")
+    return verify_suite(
+        orders,
+        [
+            Constraint("completeness", "o_custkey"),
+            Constraint("uniqueness", "o_orderkey"),
+            Constraint("min_value", "o_totalprice", value=0.0),
+            Constraint("in_set", "o_orderstatus", value=("O", "F", "P")),
+            Constraint("ref_integrity", "o_custkey"),
+        ],
+        refs={"o_custkey": customer},
+    )

@@ -252,3 +252,51 @@ class TestEncryptMask:
             mask_columns(df, [MaskRule("v", "encrypt")]).collect()
         with pytest.raises(ValueError):
             mask_columns(df, [MaskRule("v", "encrypt", key="short")]).collect()
+
+
+class TestConstraintSuite:
+    def test_failing_constraints_flagged(self, spark):
+        from mongodb_cdc_delta_spark.quality.expectations import (
+            Constraint,
+            verify_suite,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (1, None, -2.0), (3, "zz", 50.0)],
+            "id long, code string, amount double",
+        )
+        dim = spark.createDataFrame([("a",), ("b",)], "code string")
+        report = {
+            (r["constraint"], r["column"]): r
+            for r in verify_suite(
+                df,
+                [
+                    Constraint("uniqueness", "id"),          # dup id=1
+                    Constraint("completeness", "code"),      # one null
+                    Constraint("min_value", "amount", value=0.0),  # -2
+                    Constraint("in_set", "code", value=("a", "b")),  # zz
+                    Constraint("ref_integrity", "code", threshold=0.9),
+                ],
+                refs={"code": dim},
+            ).collect()
+        }
+        assert report[("uniqueness", "id")]["status"] == "fail"
+        assert report[("completeness", "code")]["status"] == "fail"
+        assert abs(report[("completeness", "code")]["metric"] - 2 / 3) < 1e-6
+        assert report[("min_value", "amount")]["status"] == "fail"
+        assert report[("min_value", "amount")]["metric"] == -2.0
+        assert report[("in_set", "code")]["status"] == "fail"
+        # 1 orphan ('zz') of 2 non-null codes → integrity 2/3 of 3 rows?
+        # metric = 1 - orphans/n = 1 - 1/3
+        assert abs(report[("ref_integrity", "code")]["metric"] - 2 / 3) < 1e-6
+        assert report[("ref_integrity", "code")]["status"] == "fail"
+
+    def test_all_pass_on_clean_data(self, spark):
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        reg = all_queries()
+        rows = reg["quality_constraint_suite"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 5
+        assert all(r["status"] == "pass" for r in rows)
