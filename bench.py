@@ -95,6 +95,7 @@ HEADLINE = [
     "part_supplier_counts",
     "ann_pq_topk",
     "fuzzy_levenshtein_pairs",
+    "quality_constraint_suite",
 ]
 
 

@@ -133,7 +133,7 @@ def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 'completeness' AS constraint, 'o_custkey' AS column,
            round(CAST(count(o_custkey) AS DOUBLE) / (SELECT n FROM n), 6)
              AS metric,
-           1.0 AS threshold,
+           CAST(1.0 AS DOUBLE) AS threshold,
            CASE WHEN count(o_custkey) = count(*) THEN 'pass' ELSE 'fail'
              END AS status
     FROM orders
@@ -141,13 +141,14 @@ def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 'uniqueness', 'o_orderkey',
            round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
                  / (SELECT n FROM n), 6),
-           1.0,
+           CAST(1.0 AS DOUBLE),
            CASE WHEN count(DISTINCT o_orderkey) = count(*)
                 THEN 'pass' ELSE 'fail' END
     FROM orders
     UNION ALL
     SELECT 'min_value', 'o_totalprice',
-           round(CAST(min(o_totalprice) AS DOUBLE), 6), 0.0,
+           round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           CAST(0.0 AS DOUBLE),
            CASE WHEN min(o_totalprice) >= 0 THEN 'pass' ELSE 'fail' END
     FROM orders
     UNION ALL
@@ -155,7 +156,7 @@ def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
            round(CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / (SELECT n FROM n), 6),
-           1.0,
+           CAST(1.0 AS DOUBLE),
            CASE WHEN sum(CASE WHEN o_orderstatus IN ('O','F','P')
                               THEN 1 ELSE 0 END) = count(*)
                 THEN 'pass' ELSE 'fail' END
@@ -167,7 +168,7 @@ def quality_rename_dateconvert(spark: SparkSession, sf: str) -> DataFrame:
                                AND NOT EXISTS (SELECT 1 FROM customer c
                                                WHERE c.c_custkey = o.o_custkey))
                             AS DOUBLE) / (SELECT n FROM n), 6),
-           1.0,
+           CAST(1.0 AS DOUBLE),
            CASE WHEN (SELECT count(*) FROM orders o
                       WHERE o.o_custkey IS NOT NULL
                         AND NOT EXISTS (SELECT 1 FROM customer c
