@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_pq_topk",
     "fuzzy_levenshtein_pairs",
     "quality_constraint_suite",
+    "dataset_three_way_split",
 ]
 
 

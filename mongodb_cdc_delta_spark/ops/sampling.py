@@ -206,3 +206,51 @@ def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("__ntok").alias("total_tokens"),
     )
+
+
+def three_way_split(
+    df: DataFrame,
+    key: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the split is
+    a pure projection (reproducible across engines, runs, and cluster
+    sizes; no shuffle, no stored split table). Buckets:
+    [0, val) → val, [val, val+test) → test, rest → train."""
+    b = sample_bucket(F.col(key))
+    v = int(val_fraction * _MOD)
+    t = int((val_fraction + test_fraction) * _MOD)
+    return df.withColumn(
+        "split",
+        F.when(b < v, F.lit("val"))
+        .when(b < t, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+@register(
+    "dataset_three_way_split",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 500 THEN 'val'
+                WHEN {_BUCKET_SQL} < 1000 THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    description="deterministic train/val/test split (90/5/5) by key hash: "
+    "membership is a pure projection — same assignment on every engine, "
+    "run, and cluster size, with no stored split table to drift; "
+    "per-split size accounting for the dataset card",
+    tags=("sampling", "llm-pipeline"),
+)
+def dataset_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = three_way_split(
+        load(spark, sf, "documents"), "doc_id", 0.05, 0.05
+    )
+    return docs.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )

@@ -50,3 +50,21 @@ def test_bucket_range(spark):
     df = spark.range(0, 1000).select(sample_bucket(F.col("id")).alias("b"))
     row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= row["lo"] and row["hi"] < 10000
+
+
+class TestThreeWaySplit:
+    def test_partition_is_exhaustive_and_stable(self, spark):
+        from mongodb_cdc_delta_spark.ops.sampling import three_way_split
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.01", "documents")
+        a = three_way_split(docs, "doc_id").select("doc_id", "split")
+        counts = {r["split"]: r["n"] for r in
+                  a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == docs.count()
+        # ~90/5/5 within tolerance at 500 docs
+        assert counts["train"] > counts["val"] + counts["test"]
+        # stable: identical assignment on recompute
+        b = three_way_split(docs, "doc_id").select("doc_id", "split")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
