@@ -274,3 +274,108 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(toks) + 1),
+                                   i -> toks[i-1] || ' ' || toks[i])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg
+    ), p AS (
+      SELECT doc_id, max(n) AS top_bg, sum(n) AS n_bg FROM c GROUP BY doc_id
+    ), ok AS (
+      SELECT t.doc_id FROM t JOIN p USING (doc_id)
+      WHERE NOT (CAST(top_bg AS DOUBLE) / n_bg > 0.10
+                 OR CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) < 0.30)
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ), base AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN ok USING (doc_id) JOIN keep USING (doc_id)
+    )
+    SELECT CASE WHEN ((((doc_id % 100003) * 2654435761 + 7919)
+                      % 2147483648) % 10000) < 500 THEN 'val'
+                WHEN ((((doc_id % 100003) * 2654435761 + 7919)
+                      % 2147483648) % 10000) < 1000 THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM base GROUP BY 1
+    """,
+    description="the full corpus-prep story as ONE declarative plan: "
+    "repetition screen -> normalized exact dedup -> deterministic "
+    "train/val/test split -> per-split size accounting. Catalyst sees the "
+    "whole pipeline (filters push into scans, the dedup keep-set is a "
+    "semi-join, the split is a projection) — no intermediate "
+    "materialization between stages",
+    tags=("text", "llm-pipeline", "pipeline"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import three_way_split
+
+    docs = load(spark, sf, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bg"), F.sum("n").alias("n_bg"))
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    ok = (
+        stats.join(per_doc, "doc_id")
+        .where(
+            ~(
+                (F.col("top_bg").cast("double") / F.col("n_bg") > 0.10)
+                | (
+                    F.col("n_distinct").cast("double") / F.col("n_tokens")
+                    < 0.30
+                )
+            )
+        )
+        .select("doc_id")
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    keep = (
+        docs.groupBy(F.md5(norm).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = (
+        docs.join(ok, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+    )
+    return (
+        three_way_split(surviving, "doc_id", 0.05, 0.05)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+    )
