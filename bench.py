@@ -104,6 +104,45 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Per-run wall-clock budget. A query exceeding it is cancelled via its job
+# group (interruptOnCancel kills the running tasks), recorded in `errors`,
+# and the bench moves on — one pathological query can cost at most
+# ~3*BUDGET_SEC, never the whole round's numbers.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_SEC", "120"))
+
+
+def run_with_budget(spark, group: str, thunk) -> float:
+    """Run `thunk` in a worker thread under a Spark job group; cancel the
+    group and raise TimeoutError if it exceeds BUDGET_SEC. Returns elapsed
+    seconds. Job groups are thread-local in Spark, so the group is set
+    inside the worker thread that actually submits the jobs."""
+    import concurrent.futures
+
+    def work() -> float:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group, interruptOnCancel=True)
+        try:
+            t0 = time.perf_counter()
+            thunk()
+            return time.perf_counter() - t0
+        finally:
+            sc.setJobGroup("", "")
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(work)
+    try:
+        return fut.result(timeout=BUDGET_SEC)
+    except concurrent.futures.TimeoutError:
+        spark.sparkContext.cancelJobGroup(group)
+        # shutdown(wait=False): never join a possibly-hung worker thread —
+        # cancelJobGroup interrupts Spark tasks so it normally dies fast,
+        # but a wedged thread must not wedge the bench with it
+        pool.shutdown(wait=False)
+        raise TimeoutError(f"query exceeded {BUDGET_SEC:.0f}s budget")
+    finally:
+        pool.shutdown(wait=False)
+
+
 def cpu_calibration() -> float:
     """Fixed pure-CPU workload (numpy GEMM) timed in seconds. The host
     shows intermittent throttling windows where every timing inflates
@@ -165,14 +204,21 @@ def main() -> None:
     errors: dict[str, str] = {}
     try:
         ing = CDCIngestor(spark, lake_dir)
-        ing.ingest_batch(raw, batch_id=0)  # cold: pays codegen
+        run_with_budget(  # cold: pays codegen
+            spark, "bench-ingest-cold", lambda: ing.ingest_batch(raw, batch_id=0)
+        )
         best = float("inf")
         for b in (1, 2):
-            t0 = time.perf_counter()
-            ing.ingest_batch(raw, batch_id=b)
-            best = min(best, time.perf_counter() - t0)
+            best = min(
+                best,
+                run_with_budget(
+                    spark,
+                    f"bench-ingest-{b}",
+                    lambda b=b: ing.ingest_batch(raw, batch_id=b),
+                ),
+            )
         ingest_rate = round(n_events / best)
-    except Exception as exc:  # never let one stage zero the whole bench
+    except (Exception, TimeoutError) as exc:  # never zero the whole bench
         ingest_rate = 0
         errors["cdc_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
@@ -190,21 +236,25 @@ def main() -> None:
         q = registry[name]
         spark.catalog.clearCache()
         try:
-            t0 = time.perf_counter()
-            force(q.fn(spark, SF_DIR))
-            cold_total += time.perf_counter() - t0
+            cold_total += run_with_budget(
+                spark, f"bench-{name}-cold", lambda: force(q.fn(spark, SF_DIR))
+            )
             # two measured warm runs, min taken: single-JVM timings carry
             # GC/JIT noise that a min over repeats suppresses. Queries that
             # cache intermediates keep their cache across the warm runs
             # (that IS their steady state); the clearCache above stops
             # cross-query leakage.
             warm = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                force(q.fn(spark, SF_DIR))
-                warm.append(time.perf_counter() - t0)
+            for i in range(2):
+                warm.append(
+                    run_with_budget(
+                        spark,
+                        f"bench-{name}-warm{i}",
+                        lambda: force(q.fn(spark, SF_DIR)),
+                    )
+                )
             timings[name] = round(min(warm), 3)
-        except Exception as exc:  # record, keep benching the rest
+        except (Exception, TimeoutError) as exc:  # record, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     spark.catalog.clearCache()
 

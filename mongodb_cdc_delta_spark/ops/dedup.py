@@ -598,3 +598,115 @@ def decontaminate_train_set(spark: SparkSession, sf: str) -> DataFrame:
     eval_set = docs.where(bucket < 200)
     train = docs.where(bucket >= 200)
     return decontaminate_flags(train, eval_set, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring decontamination (character-gram positional match)
+# ---------------------------------------------------------------------------
+
+_XL = 20  # gram length (chars)
+_XS = 11  # train-side stride
+
+
+def exact_substring_flags(
+    train: DataFrame, eval_set: DataFrame, gram: int = _XL, stride: int = _XS
+) -> DataFrame:
+    """(doc_id, n_hits, first_pos): training docs sharing an exact character
+    run with any eval document, found by positional gram matching.
+
+    Detection guarantee: the eval side enumerates every ``gram``-char
+    substring (stride 1); the training side samples one gram every
+    ``stride`` chars. Any common substring of length >= gram + stride - 1
+    must fully contain at least one stride-aligned training gram, so it is
+    detected exactly — no shingle/tokenizer approximation. With the
+    defaults that is any shared run of >= 30 characters.
+
+    Scale shape (the suffix-array alternative in "Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2021, is a single-node
+    design): the eval/benchmark side is small, so its distinct gram hashes
+    broadcast; the 100 TB training side emits len(text)/stride 8-byte
+    hashes per doc — one scan, one broadcast semi-join, one aggregate,
+    nothing quadratic and no global sort.
+    """
+    ev = (
+        eval_set.where(F.length("text") >= gram)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {gram - 1}),"
+                    f" i -> substring(text, i, {gram}))"
+                )
+            ).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    tr = (
+        train.where(F.length("text") >= gram)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - F.lit(gram - 1),
+                    F.lit(stride),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(text, pos, {gram})")).alias("gh"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "decontaminate_exact_substring",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT
+             unnest(list_transform(generate_series(1, len(text) - {_XL - 1}),
+                    i -> substring(text, i, {_XL}))) AS g
+      FROM bucketed WHERE bucket < 200 AND len(text) >= {_XL}
+    ),
+    tr AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, len(text) - {_XL - 1}, {_XS})) AS pos
+      FROM bucketed WHERE bucket >= 200 AND len(text) >= {_XL}
+    )
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(tr.pos) AS INT) AS first_pos
+    FROM tr JOIN ev ON substring(tr.text, tr.pos, {_XL}) = ev.g
+    GROUP BY tr.doc_id
+    """,
+    description="exact-substring decontamination: flag training docs that "
+    "share a verbatim >=30-char run with the eval slice via positional "
+    "character-gram match (eval grams stride 1 broadcast; train grams "
+    "stride 11 — one linear scan of the big side, no suffix array needed)",
+    tags=("dedup", "llm-pipeline", "decontamination"),
+)
+def decontaminate_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    eval_set = docs.where(bucket < 200)
+    train = docs.where(bucket >= 200)
+    return exact_substring_flags(train, eval_set)

@@ -243,3 +243,11 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "repetition_signals", execute=True)
         assert "partial" in plan.lower()
         assert "CartesianProduct" not in plan
+
+    def test_exact_substring_decontaminate_broadcasts_eval(self, spark):
+        # the eval gram-hash set must broadcast; the training gram stream
+        # (the 100 TB side) must never be sort-merge shuffled against it
+        plan = plan_of(spark, "decontaminate_exact_substring", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
