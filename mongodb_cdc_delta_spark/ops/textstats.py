@@ -211,3 +211,82 @@ def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
         "n_chars",
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, tok,
+             round(tf * (ln((n_docs + 1)
+                            / (count(*) OVER (PARTITION BY tok) + 1)) + 1),
+                   6) AS score
+      FROM tf, n
+    )
+    SELECT doc_id, tok AS term, CAST(rk AS INT) AS rk, score AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, tok ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    description="TF-IDF top-3 terms per document (smoothed idf "
+    "ln((N+1)/(df+1))+1). Document frequency via a window over the "
+    "already-aggregated (doc,term) counts — one shuffle by term, one by "
+    "doc for the rank; the raw token stream is aggregated map-side first. "
+    "Ranking compares the ROUNDED score so cross-engine float ulps cannot "
+    "flip an order; ties break on term",
+    tags=("llm-pipeline", "textstats"),
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    n_df = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("tok"))
+        )
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("tok").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "rk",
+            F.col("score").alias("tfidf"),
+        )
+    )
