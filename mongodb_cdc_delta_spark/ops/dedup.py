@@ -710,3 +710,141 @@ def decontaminate_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     eval_set = docs.where(bucket < 200)
     train = docs.where(bucket >= 200)
     return exact_substring_flags(train, eval_set)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style exact-substring dedup WITHIN a corpus)
+# ---------------------------------------------------------------------------
+
+_WK = 14  # gram length (chars)
+_WW = 7  # winnowing window (grams)
+_W_MAXDF = 10  # drop fingerprints present in more docs (hot-phrase cap)
+_W_MINSHARE = 5  # report pairs sharing at least this many fingerprints
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = _WK, w: int = _WW, use_xxhash: bool = True
+) -> DataFrame:
+    """(doc_id, fp): winnowed substring fingerprints per document.
+
+    Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash every k-char
+    gram, then keep the minimum hash of each w-gram window. Selection is
+    CONTENT-DEFINED, so two documents sharing any verbatim run of length
+    >= w + k - 1 select at least one identical fingerprint inside it —
+    the property that makes exact-substring dedup distributable: no
+    suffix array, no all-positions join, just a groupBy on ~2/(w+1)
+    fingerprints per character.
+
+    ``use_xxhash`` selects the production hash (JVM xxhash64). The
+    registered oracle query uses a polynomial rolling hash instead so
+    DuckDB computes bit-identical fingerprints; the winnowing algebra is
+    the same either way.
+    """
+    if use_xxhash:
+        gram_hash = (
+            f"transform(sequence(1, length(text) - {k - 1}),"
+            f" i -> xxhash64(substring(text, i, {k})))"
+        )
+        pre = docs.where(F.length("text") >= k + w - 1)
+        hs = pre.select("doc_id", F.expr(gram_hash).alias("h"))
+    else:
+        codes = (
+            "transform(sequence(1, length(text)),"
+            " i -> cast(ascii(substring(text, i, 1)) as bigint))"
+        )
+        poly = (
+            f"transform(sequence(1, size(cs) - {k - 1}),"
+            f" i -> aggregate(slice(cs, i, {k}), 0L,"
+            " (a, c) -> (a * 131 + c) % 2147483647))"
+        )
+        pre = docs.where(F.length("text") >= k + w - 1)
+        hs = pre.select(
+            "doc_id", F.expr(codes).alias("cs")
+        ).select("doc_id", F.expr(poly).alias("h"))
+    fps = (
+        f"array_distinct(transform(sequence(1, size(h) - {w - 1}),"
+        f" j -> array_min(slice(h, j, {w}))))"
+    )
+    return hs.select(
+        "doc_id", F.explode(F.expr(fps)).alias("fp")
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    k: int = _WK,
+    w: int = _WW,
+    max_df: int = _W_MAXDF,
+    min_share: int = _W_MINSHARE,
+    use_xxhash: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >= min_share
+    winnowed fingerprints — i.e. containing substantial verbatim overlap.
+
+    Scale shape: fingerprints present in more than ``max_df`` documents
+    (boilerplate phrases) are dropped BEFORE the self-join — the same
+    guardrail as the n-gram max-df cap, bounding a fingerprint's pair
+    contribution at max_df²/2 instead of corpus²; the join key is one
+    8-byte hash and the aggregate is map-side partial."""
+    fps = winnow_fingerprints(docs, k, w, use_xxhash)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("fp")
+    )
+    kept = fps.join(hot, "fp", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_share)
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text)),
+                            i -> CAST(ascii(text[i]) AS BIGINT)) AS cs
+      FROM documents WHERE len(text) >= {_WK + _WW - 1}
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(cs) - {_WK - 1}),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                             cs[i:i + {_WK - 1}]),
+                                (a, c) -> (a * 131 + c) % 2147483647)) AS h
+      FROM codes
+    ), fps0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(h) - {_WW - 1}),
+               j -> list_min(h[j:j + {_WW - 1}])))) AS fp
+      FROM hs
+    ), hot AS (
+      SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > {_W_MAXDF}
+    ), fps AS (
+      SELECT doc_id, fp FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {_W_MINSHARE}
+    """,
+    description="within-corpus exact-substring duplicate pairs via "
+    "winnowing fingerprints (SIGMOD'03): content-defined window-minimum "
+    "gram hashes guarantee any shared verbatim run >= 20 chars selects an "
+    "identical fingerprint in both docs; hot-phrase max-df cap bounds the "
+    "self-join. Polynomial rolling hash here for cross-engine parity; "
+    "production default is JVM xxhash64",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return winnow_dup_pairs(
+        load(spark, sf, "documents"), use_xxhash=False
+    )

@@ -355,3 +355,51 @@ class TestProductQuantization:
         for r in codes[:20]:
             assert len(r["codes"]) == 8
             assert all(0 <= c < 16 for c in r["codes"])
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        # winnowing guarantee: a verbatim run of >= k + w - 1 = 20 chars
+        # must produce at least one shared fingerprint (production
+        # xxhash64 path)
+        from mongodb_cdc_delta_spark.ops.dedup import winnow_dup_pairs
+
+        shared = "the quick brown fox jumps over it"  # 33 chars
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix one %s suffix alpha padding text here" % shared),
+                (2, "other beginning %s closing words entirely" % shared),
+                (3, "completely unrelated document content with nothing"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = winnow_dup_pairs(docs, min_share=1).collect()
+        got = {(r.doc_a, r.doc_b) for r in pairs}
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+    def test_guarantee_holds_under_both_hashes(self, spark):
+        # the winnowing guarantee is hash-agnostic: both the production
+        # xxhash64 path and the polynomial oracle-parity path must flag a
+        # long verbatim run (near-threshold word-salad pairs MAY differ
+        # between hashes — the guarantee is only about runs >= w + k - 1)
+        from mongodb_cdc_delta_spark.ops.dedup import winnow_dup_pairs
+
+        shared = "shared duplicated passage kept verbatim in both docs"
+        docs = spark.createDataFrame(
+            [
+                (1, "intro %s trailing remainder of first document" % shared),
+                (2, "different head %s and a different ending too" % shared),
+                (3, "nothing in common with the others at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        for xx in (True, False):
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in winnow_dup_pairs(
+                    docs, min_share=1, use_xxhash=xx
+                ).collect()
+            }
+            assert (1, 2) in got, f"use_xxhash={xx}"
+            assert all(3 not in p for p in got), f"use_xxhash={xx}"
