@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -230,4 +231,55 @@ def stream_interval_join(
         left[key].alias(key),
         left[left_ts].alias(left_ts),
         right[right_ts].alias(right_ts),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 arbitrary-state v2 API)
+# ---------------------------------------------------------------------------
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """Per-key cumulative counts on the transformWithState v2 API.
+
+    Equivalent semantics to running_totals() above; the v2 API brings
+    composite typed state (value/list/map), timers decoupled from output,
+    and state schema evolution — the operator model Spark is converging
+    on, so the engine ships both paths with an equivalence test."""
+
+    def init(self, handle) -> None:
+        self._total = handle.getValueState(
+            "total", StructType([StructField("total", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        prev = self._total.get()
+        total = (prev[0] if prev is not None else 0) + n
+        self._total.update((total,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "total_events": [total],
+                "batch_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(grouped_stream):
+    """running_totals on transformWithStateInPandas (same output schema).
+
+    Requires google.protobuf in the Python workers (the v2 state server's
+    wire protocol); in environments without it, use running_totals — the
+    e2e test for this path skips itself when protobuf is absent."""
+    return grouped_stream.transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

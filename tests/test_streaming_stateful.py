@@ -364,3 +364,66 @@ class TestStreamStreamJoin:
         )
         assert stream_pairs == batch_pairs
         assert len(stream_pairs) == 2
+
+
+class TestRunningTotalsTransformWithState:
+    def test_accumulates_across_batches_v2_api(self, spark, tmp_path):
+        """transformWithStateInPandas variant: same semantics as the
+        applyInPandasWithState operator, state survives restarts via the
+        checkpoint.
+
+        The v2 state server speaks protobuf to the Python driver worker;
+        without the google.protobuf package the worker cannot start, so
+        this is environment-gated exactly like the Kafka jar."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState control channel needs protobuf",
+        )
+        from mongodb_cdc_delta_spark.streaming.stateful import (
+            running_totals_tws,
+        )
+
+        src = tmp_path / "rt2_src"
+        ckpt = str(tmp_path / "rt2_ckpt")
+        write_jsonl(
+            src,
+            "b0.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00", "v": 1.0},
+                {"user_id": 1, "ts": "2024-01-01T00:01:00", "v": 1.0},
+                {"user_id": 2, "ts": "2024-01-01T00:02:00", "v": 1.0},
+            ],
+        )
+
+        def run():
+            collected = []
+            stream = _stream(spark, src).withColumn(
+                "key", F.col("user_id").cast("string")
+            )
+            out = running_totals_tws(stream.groupBy("key"))
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _bid: collected.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return collected
+
+        r1 = {r.key: r.total_events for r in run()}
+        assert r1 == {"1": 2, "2": 1}
+
+        write_jsonl(
+            src,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01T00:03:00", "v": 1.0},
+                {"user_id": 3, "ts": "2024-01-01T00:04:00", "v": 1.0},
+            ],
+        )
+        r2 = {r.key: (r.total_events, r.batch_events) for r in run()}
+        assert r2["1"] == (3, 1)
+        assert r2["3"] == (1, 1)
