@@ -185,3 +185,49 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, cnt long"
     ).orderBy("step")
+
+
+def bpe_apply(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: (word, freq, s)
+    with ``s`` the final symbol sequence after applying every merge in
+    learned order.
+
+    Each merge is one pure-JVM fold over the vocabulary-sized word table
+    (the same greedy pass used during training), so applying K merges is K
+    narrow map stages — no shuffle at all after the initial word count."""
+    spark = docs.sparkSession
+    words = word_symbol_table(docs)
+    for lhs, rhs in merges:
+        pair = spark.createDataFrame(
+            [(lhs, rhs, lhs + rhs)], "pa string, pb string, pm string"
+        )
+        words = words.crossJoin(F.broadcast(pair)).select(
+            "word", "freq", F.expr(_MERGE_FOLD).alias("s")
+        )
+    return words
+
+
+@register(
+    "bpe_token_frequencies",
+    oracle=None,  # depends on the iteratively-learned merge table; exact
+    # equivalence with the pure-Python reference pipeline (train + apply +
+    # count) is asserted in tests/test_bpe.py
+    description="train 6 BPE merges, tokenize the corpus with them, and "
+    "return the resulting token vocabulary with corpus frequencies "
+    "(top-30 by count desc, token asc) — the end-to-end learn-then-apply "
+    "tokenizer pipeline",
+    tags=("llm-pipeline", "bpe"),
+)
+def bpe_token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    merges = bpe_train(docs, N_MERGES)
+    toks = bpe_apply(docs, [(m[1], m[2]) for m in merges])
+    return (
+        toks.select("freq", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(30)
+    )

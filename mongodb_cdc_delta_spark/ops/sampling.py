@@ -254,3 +254,48 @@ def dataset_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id,
+             (((doc_id % 100003) * 2654435761 + 7919) % 2147483648) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(m % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY m % {_N_SHARDS}
+                                   ORDER BY m, doc_id) AS INT) AS pos
+    FROM mixed
+    """,
+    description="deterministic global shuffle for training: every doc "
+    "gets a shard (hash-partition) and a pseudorandom-but-reproducible "
+    "position within it (sort by mixed hash). The 100 TB shape of "
+    "'shuffle the corpus before training': one hash exchange + per-shard "
+    "local sort, no global ordering anywhere",
+    tags=("llm-pipeline", "sampling"),
+)
+def corpus_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    mixed = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(100003)) * 2654435761
+        + 7919,
+        F.lit(2147483648),
+    )
+    with_m = docs.select("doc_id", mixed.alias("m"))
+    shard = F.pmod(F.col("m"), F.lit(_N_SHARDS)).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(F.pmod(F.col("m"), F.lit(_N_SHARDS))).orderBy(
+            "m", "doc_id"
+        )
+    )
+    return with_m.select(
+        "doc_id", shard.alias("shard"), pos.alias("pos")
+    )

@@ -290,3 +290,69 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
             F.col("score").alias("tfidf"),
         )
     )
+
+
+_CLF_BUCKETS = 64
+
+
+@register(
+    "quality_linear_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) % {_CLF_BUCKETS} AS b
+      FROM toks
+    ), wi AS (
+      SELECT doc_id, (b * 2654435761 + 7919) % 1000 - 500 AS w FROM hb
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(1 / (1 + exp(-(CAST(sum(w) AS DOUBLE)
+                                / (1000.0 * count(*))))), 6)
+             AS quality_score,
+           CAST(sum(w) > 0 AS INT) AS keep
+    FROM wi GROUP BY doc_id
+    """,
+    description="fastText-shaped linear quality classifier served as pure "
+    "columnar ops: hashing-trick token features (64 buckets, polynomial "
+    "hash), fixed integer milli-weights, mean-pooled logit -> sigmoid. "
+    "Weights stay INTEGER until the final sigmoid so the keep/drop "
+    "decision is exact on every engine (no float-sum order sensitivity) — "
+    "the pattern for serving any linear/logistic filter over 100 TB with "
+    "zero Python and zero shuffle beyond the per-doc aggregate",
+    tags=("llm-pipeline", "textstats", "quality"),
+)
+def quality_linear_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = F.expr(
+        "aggregate(transform(sequence(1, length(tok)),"
+        " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
+        " 0L, (a, c) -> (a * 131 + c) % 2147483647)"
+        f" % {_CLF_BUCKETS}"
+    )
+    w = (bucket * F.lit(2654435761) + F.lit(7919)) % 1000 - 500
+    per_doc = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("w").alias("sw")
+    )
+    logit = F.col("sw").cast("double") / (
+        F.lit(1000.0) * F.col("n_tokens")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_score"
+        ),
+        (F.col("sw") > 0).cast("int").alias("keep"),
+    )

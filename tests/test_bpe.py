@@ -101,3 +101,46 @@ def test_symbol_table_tags_eow(spark):
     }
     assert rows["ab"] == (1, ["a", "b" + EOW])
     assert rows["a"] == (1, ["a" + EOW])
+
+
+def ref_tokenize(word_freqs, merges):
+    """Apply merges in order; returns token → corpus frequency."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for w, f in word_freqs.items():
+        syms = list(w[:-1]) + [w[-1] + EOW]
+        for _step, a, b, _cnt in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for s in syms:
+            counts[s] += f
+    return dict(counts)
+
+
+def test_apply_matches_reference_token_frequencies(spark, sf_smoke):
+    from mongodb_cdc_delta_spark.ops.bpe import bpe_apply
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    texts = [r.text for r in docs.select("text").collect()]
+    freqs = corpus_freqs(texts)
+    merges = ref_bpe(freqs, 6)
+    expected = ref_tokenize(freqs, merges)
+    got = (
+        bpe_apply(docs, [(m[1], m[2]) for m in merges])
+        .select("freq", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    assert {r.token: r.cnt for r in got} == expected
