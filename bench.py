@@ -97,6 +97,13 @@ HEADLINE = [
     "fuzzy_levenshtein_pairs",
     "quality_constraint_suite",
     "dataset_three_way_split",
+    "decontaminate_exact_substring",
+    "dedup_winnowing_pairs",
+    "tfidf_top_terms",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "quality_linear_classifier",
+    "corpus_shard_shuffle",
 ]
 
 

@@ -785,8 +785,16 @@ def winnow_dup_pairs(
     (boilerplate phrases) are dropped BEFORE the self-join — the same
     guardrail as the n-gram max-df cap, bounding a fingerprint's pair
     contribution at max_df²/2 instead of corpus²; the join key is one
-    8-byte hash and the aggregate is map-side partial."""
-    fps = winnow_fingerprints(docs, k, w, use_xxhash)
+    8-byte hash and the aggregate is map-side partial.
+
+    The fingerprint extraction (the O(n·w) winnowing pass over every
+    document) feeds three plan branches — the hot-fp filter and both
+    sides of the self-join — so it is checkpointed once instead of
+    recomputed per branch (same fix as connected_components; at 100 TB
+    this stage dominates, and 3× it is a real regression)."""
+    fps = winnow_fingerprints(docs, k, w, use_xxhash).localCheckpoint(
+        eager=False
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

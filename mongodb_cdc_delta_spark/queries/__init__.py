@@ -164,9 +164,10 @@ def all_queries() -> dict[str, Query]:
     # The driver checks ~50 queries per round in registration order, so the
     # first 50 are chosen to cover EVERY operator family (relational core,
     # CDC/reconcile/quality/streaming semantic core, and one of each
-    # LLM-pipeline op family — dedup exact/ngram/minhash/simhash/CC,
-    # decontamination, mix/packing, knn/near-dup/ANN, text stats,
-    # multimodal). Everything after 50 still registers and is covered by
+    # LLM-pipeline op family — dedup exact/ngram/minhash/winnowing/CC,
+    # decontamination (shingle + exact-substring), mix/packing,
+    # knn/near-dup, text stats, classifier scoring, BPE, multimodal).
+    # Everything after 50 still registers and is covered by
     # tests/test_oracle_parity.py; order there is oracle-checked queries
     # first, then rows-only sketches, then the TPC-H breadth analogues.
     prio = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
@@ -224,18 +225,18 @@ _DRIVER_PRIORITY = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_winnowing_pairs",
     "dedup_connected_components",
     "decontaminate_train_set",
+    "decontaminate_exact_substring",
     "training_mix_pipeline",
     "sequence_packing",
     "knn_cosine_topk",
     "knn_cosine_topk_int8",
     "embedding_near_dup",
-    "ann_ivf_topk",
     "text_quality",
     "unigram_logprob_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
+    "quality_linear_classifier",
+    "bpe_pair_counts",
     "multimodal_frame_sample",
 )

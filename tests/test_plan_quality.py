@@ -251,3 +251,26 @@ class TestLlmOpsPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_winnowing_fingerprints_computed_once(self, spark):
+        # the winnowing pass feeds 3 branches (hot filter + self-join
+        # sides); the checkpoint must collapse them to ONE scan of the
+        # documents table — 3 scans would triple the dominant stage
+        df = REG["dedup_winnowing_pairs"].fn(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert count(r"Scan parquet", plan) <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_linear_classifier_single_aggregation_pass(self, spark):
+        plan = plan_of(spark, "quality_linear_classifier", execute=True)
+        assert "partial" in plan.lower()  # map-side combine on doc_id
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    def test_shard_shuffle_single_exchange(self, spark):
+        # one hash exchange (the shard partition) + the window sort; no
+        # global ordering anywhere. (Unexecuted plan: the executed string
+        # prints the exchange twice, once per AQE Final/Initial section.)
+        plan = plan_of(spark, "corpus_shard_shuffle")
+        assert count(r"Exchange hashpartitioning", plan) == 1
+        assert count(r"Exchange rangepartitioning", plan) == 0
