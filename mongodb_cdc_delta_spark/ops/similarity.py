@@ -451,6 +451,10 @@ def build_pq_codebooks(
             )
         ).alias("sub", "sv"),
     )
+    # the subvector table feeds every Lloyd iteration twice (assignment +
+    # re-centering join); checkpoint it once instead of re-deriving it
+    # from the embedding scan per consumer
+    subv = subv.localCheckpoint(eager=True)
     # deterministic seeds: first k subvectors per subspace in hash order
     w = Window.partitionBy("sub").orderBy("h")
     centroids = (
@@ -464,6 +468,7 @@ def build_pq_codebooks(
             F.col("sv").alias("centroid"),
         )
     )
+    spark = emb.sparkSession
     for _ in range(iters):
         assigned = _assign_pq(subv, centroids)
         centroids = (
@@ -484,6 +489,14 @@ def build_pq_codebooks(
                     "centroid"
                 ),
             )
+        )
+        # materialize the m·k centroid rows on the driver (bounded by
+        # construction — the codebook IS the tiny output) so iteration
+        # i+1's plan starts from a literal table instead of replaying
+        # every previous iteration's assignment+average
+        centroids = spark.createDataFrame(
+            centroids.collect(),
+            "sub int, code int, centroid array<double>",
         )
     return centroids
 
