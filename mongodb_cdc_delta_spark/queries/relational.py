@@ -1991,3 +1991,129 @@ def rolling_zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
         base.where((F.col("n") >= 10) & (var > 1e-12) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                 THEN e.ts END) AS t_click,
+             any_value(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                 THEN e.ts END) AS t_purchase,
+             any_value(c.t_view) AS t_view,
+             any_value(c.t_click) AS t_click
+      FROM events e JOIN c ON e.user_id = c.user_id
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(t_view) AS BIGINT) AS stage_view,
+           CAST(count(t_click) AS BIGINT) AS stage_click,
+           CAST(count(t_purchase) AS BIGINT) AS stage_purchase,
+           round(CAST(count(t_purchase) AS DOUBLE)
+                 / nullif(count(t_view), 0), 6) AS view_to_purchase_rate
+    FROM p
+    """,
+    description="ordered funnel view→click→purchase: first view, first "
+    "click strictly after it, first purchase strictly after that — the "
+    "product-analytics ordered-sequence count. Two user-keyed joins "
+    "(AQE-sized); each stage is one conditional min aggregate, so the "
+    "event table is scanned 3x but never self-joined row-to-row",
+    tags=("events", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    c = (
+        ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+            F.any_value("t_view").alias("t_view"),
+        )
+    )
+    p = (
+        ev.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+            F.any_value("t_view").alias("t_view"),
+            F.any_value("t_click").alias("t_click"),
+        )
+    )
+    return p.agg(
+        F.count("t_view").alias("stage_view"),
+        F.count("t_click").alias("stage_click"),
+        F.count("t_purchase").alias("stage_purchase"),
+        F.round(
+            F.count("t_purchase").cast("double")
+            / F.nullif(F.count("t_view"), F.lit(0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events
+      GROUP BY user_id
+    ), user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, u.d) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM user_days u JOIN firsts f ON u.user_id = f.user_id
+    WHERE date_diff('day', f.cohort, u.d) <= 7
+    GROUP BY 1, 2
+    """,
+    description="cohort retention: users grouped by first-activity day, "
+    "distinct active users per (cohort, day-offset<=7). (user, day) is "
+    "deduplicated BEFORE the cohort join, so the join and aggregate touch "
+    "user-day granularity, not raw events",
+    tags=("events", "retention"),
+)
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    off = F.datediff(F.col("d"), F.col("cohort"))
+    return (
+        user_days.join(firsts, "user_id")
+        .where(off <= 7)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
