@@ -361,12 +361,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_postings(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature; docs sharing any (band, band-hash) are candidates.
-    Shuffle key = (band, hash) — bounded, skew-resistant."""
-    banded = sigs.select(
+    """(doc_id, band, band_hash): the LSH posting rows — each signature
+    split into ``bands`` groups of ``rows_per_band`` minhashes, each group
+    collapsed to one 64-bit bucket hash. Both the join-key stream for
+    batch candidate generation and the stored payload of the incremental
+    index (streaming/dedup_index.py)."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -382,6 +385,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any (band, band-hash) are candidates.
+    Shuffle key = (band, hash) — bounded, skew-resistant."""
+    banded = band_postings(sigs, bands, rows_per_band)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (
