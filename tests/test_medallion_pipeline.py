@@ -1,0 +1,87 @@
+"""End-to-end lakehouse medallion pipeline composed from the engine's own
+pieces: bronze LakeTable → streaming tail (format('laketable')) → silver
+LakeTable (exactly-once foreachBatch) → gold incremental aggregate.
+
+This is the composition the reference's architecture diagram draws
+(Kafka→Delta→analytics) re-expressed lake-native: the bronze table itself
+is the stream source, so every hop downstream of ingestion is replay-safe
+from commit-log offsets with no broker in the middle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.sinks import LakeTable
+from mongodb_cdc_delta_spark.sinks.datasource import register_lake_source
+from mongodb_cdc_delta_spark.streaming.aggregates import IncrementalAggregate
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_lake_source(spark)
+
+
+def _run_hop(spark, bronze_root, ckpt, silver, gold):
+    def fold(df, batch_id):
+        refined = df.where(F.col("amount") > 0).withColumn(
+            "fee", F.col("amount") * 0.01
+        )
+        silver.append(refined, txn=("medallion-silver", batch_id))
+        gold.apply_batch(refined, batch_id=batch_id)
+
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", bronze_root)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_bronze_to_silver_to_gold(spark, tmp_path):
+    bronze_root = str(tmp_path / "bronze")
+    bronze = LakeTable(spark, bronze_root)
+    silver = LakeTable(spark, str(tmp_path / "silver"))
+    gold = IncrementalAggregate(
+        LakeTable(spark, str(tmp_path / "gold")),
+        ["user"],
+        {"total": "amount"},
+        txn_app_id="medallion-gold",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    bronze.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", -5.0), (3, "b", 7.0)],
+            "id long, user string, amount double",
+        )
+    )
+    _run_hop(spark, bronze_root, ckpt, silver, gold)
+
+    assert sorted(r.id for r in silver.read().collect()) == [1, 3]
+    assert {
+        r["user"]: r["total"] for r in gold.read().collect()
+    } == {"a": 10.0, "b": 7.0}
+
+    # second wave lands incrementally — prior rows not reprocessed
+    bronze.append(
+        spark.createDataFrame(
+            [(4, "b", 3.0)], "id long, user string, amount double"
+        )
+    )
+    _run_hop(spark, bronze_root, ckpt, silver, gold)
+    assert sorted(r.id for r in silver.read().collect()) == [1, 3, 4]
+    assert {
+        r["user"]: r["total"] for r in gold.read().collect()
+    } == {"a": 10.0, "b": 10.0}
+
+    # re-running with nothing new is a no-op at every layer
+    sv, gv = silver.version(), gold.table.version()
+    _run_hop(spark, bronze_root, ckpt, silver, gold)
+    assert (silver.version(), gold.table.version()) == (sv, gv)
