@@ -933,3 +933,151 @@ def dedup_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_dup_pairs(
         load(spark, sf, "documents"), use_xxhash=False
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = _WK,
+    min_len: int = _WK + _WW - 1,
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_len): the verbatim duplicated
+    character ranges behind candidate pairs — the 'locate the passage to
+    cut' step after winnowing flags a pair (Lee et al. 2021 emit spans for
+    exactly this reason: removal needs positions, not just pair ids).
+
+    Only documents that appear in ``pairs`` are re-expanded at stride 1 —
+    the expensive full positional gram table is bounded by duplicate
+    density, never by corpus size. Matching positions are grouped by
+    diagonal (pos_a - pos_b) and consecutive runs merge via the
+    gaps-and-islands window pattern; a run of matching k-grams spanning
+    positions p..q is one span of length q - p + k."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    pos_grams = (
+        _poly_gram_hashes(docs.join(ids, "doc_id"), k)
+        .select("doc_id", F.posexplode("h").alias("pos0", "gh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    )
+    a = pos_grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "gh",
+    )
+    b = pos_grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "gh",
+    )
+    matches = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "gh"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    gap = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(w_diag) > 1, 1
+    ).otherwise(0)
+    runs = matches.withColumn(
+        "run",
+        F.sum(gap).over(
+            w_diag.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+
+
+@register(
+    "dedup_span_extract",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text)),
+                            i -> CAST(ascii(text[i]) AS BIGINT)) AS cs
+      FROM documents WHERE len(text) >= {_WK + _WW - 1}
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(cs) - {_WK - 1}),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                             cs[i:i + {_WK - 1}]),
+                                (a, c) -> (a * 131 + c) % 2147483647)) AS h
+      FROM codes
+    ), fps0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(h) - {_WW - 1}),
+               j -> list_min(h[j:j + {_WW - 1}])))) AS fp
+      FROM hs
+    ), hot AS (
+      SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > {_W_MAXDF}
+    ), fps AS (
+      SELECT doc_id, fp FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {_W_MINSHARE}
+    ), pos_grams AS (
+      SELECT doc_id, u.i AS pos, h[u.i] AS gh
+      FROM hs, LATERAL unnest(generate_series(1, len(h))) AS u(i)
+      WHERE doc_id IN (SELECT doc_a FROM pairs
+                       UNION SELECT doc_b FROM pairs)
+    ), matches AS (
+      SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b,
+             a.pos - b.pos AS diag
+      FROM pairs p
+      JOIN pos_grams a ON a.doc_id = p.doc_a
+      JOIN pos_grams b ON b.doc_id = p.doc_b AND b.gh = a.gh
+    ), brks AS (
+      SELECT *,
+             CASE WHEN pos_a - lag(pos_a) OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) > 1
+             THEN 1 ELSE 0 END AS brk
+      FROM matches
+    ), runs AS (
+      SELECT *,
+             sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+      FROM brks
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS INT) AS start_a,
+           CAST(min(pos_b) AS INT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {_WK} AS INT) AS span_len
+    FROM runs GROUP BY doc_a, doc_b, diag, run
+    HAVING max(pos_a) - min(pos_a) + {_WK} >= {_WK + _WW - 1}
+    """,
+    description="duplicated-passage span extraction: winnowing flags the "
+    "pairs, then ONLY those documents re-expand to stride-1 gram "
+    "positions; matches group by diagonal and merge into maximal runs "
+    "(gaps-and-islands window). Output = exact character ranges of every "
+    "shared >=20-char passage — what a dedup pipeline actually cuts",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = winnow_dup_pairs(docs, use_xxhash=False).select(
+        "doc_a", "doc_b"
+    )
+    return dup_spans(docs, pairs)

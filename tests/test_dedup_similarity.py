@@ -403,3 +403,42 @@ class TestWinnowing:
             }
             assert (1, 2) in got, f"use_xxhash={xx}"
             assert all(3 not in p for p in got), f"use_xxhash={xx}"
+
+
+class TestSpanExtraction:
+    def test_known_shared_passage_located(self, spark):
+        from mongodb_cdc_delta_spark.ops.dedup import (
+            dup_spans,
+            winnow_dup_pairs,
+        )
+
+        passage = "this exact passage appears verbatim in both documents"
+        head_a, head_b = "aaaa bbbb cccc ", "zz "
+        docs = spark.createDataFrame(
+            [
+                (1, head_a + passage + " tail one"),
+                (2, head_b + passage + " something else"),
+                (3, "unrelated filler content with no duplication at all"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = winnow_dup_pairs(docs, min_share=1, use_xxhash=False).select(
+            "doc_a", "doc_b"
+        )
+        spans = dup_spans(docs, pairs).collect()
+        assert spans, "shared passage must produce a span"
+        best = max(spans, key=lambda r: r.span_len)
+        assert (best.doc_a, best.doc_b) == (1, 2)
+        # the longest span must cover the passage at the right offsets
+        # (1-based positions)
+        assert best.start_a <= len(head_a) + 1
+        assert best.start_b <= len(head_b) + 1
+        assert best.span_len >= len(passage)
+        # and the reported ranges must actually be identical text
+        ta = (head_a + passage + " tail one")[
+            best.start_a - 1 : best.start_a - 1 + best.span_len
+        ]
+        tb = (head_b + passage + " something else")[
+            best.start_b - 1 : best.start_b - 1 + best.span_len
+        ]
+        assert ta == tb
