@@ -952,15 +952,31 @@ def dup_spans(
     diagonal (pos_a - pos_b) and consecutive runs merge via the
     gaps-and-islands window pattern; a run of matching k-grams spanning
     positions p..q is one span of length q - p + k."""
+    # `pairs`, `ids`, and the positional gram table feed multiple join
+    # branches. cache()+count materializes them ONCE with known sizes so
+    # the planner broadcasts the tiny sides (without sizes the docs join
+    # planned catastrophically). cache, not localCheckpoint: checkpointing
+    # compiles a second non-adaptive physical plan, which on this
+    # expression-heavy pipeline took ~90s of pure planning at sf0.1.
+    pairs = pairs.cache()
+    pairs.count()
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
         .distinct()
+        .cache()
     )
+    ids.count()
+    # materialize the per-doc hash arrays BEFORE exploding: Generate
+    # directly over the interpreted HOF projection re-evaluates the heavy
+    # array expression per output row (~90x at sf0.1); exploding from the
+    # columnar cache evaluates it once per document
+    hashes = _poly_gram_hashes(docs.join(ids, "doc_id"), k).cache()
+    hashes.count()
     pos_grams = (
-        _poly_gram_hashes(docs.join(ids, "doc_id"), k)
-        .select("doc_id", F.posexplode("h").alias("pos0", "gh"))
+        hashes.select("doc_id", F.posexplode("h").alias("pos0", "gh"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+        .cache()
     )
     a = pos_grams.select(
         F.col("doc_id").alias("doc_a"),
