@@ -104,6 +104,10 @@ HEADLINE = [
     "bpe_train_merges",
     "quality_linear_classifier",
     "corpus_shard_shuffle",
+    "dedup_span_extract",
+    "bpe_token_frequencies",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
