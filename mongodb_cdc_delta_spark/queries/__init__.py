@@ -164,9 +164,10 @@ def all_queries() -> dict[str, Query]:
     # The driver checks ~50 queries per round in registration order, so the
     # first 50 are chosen to cover EVERY operator family (relational core,
     # CDC/reconcile/quality/streaming semantic core, and one of each
-    # LLM-pipeline op family — dedup exact/ngram/minhash/winnowing/CC,
+    # LLM-pipeline op family — dedup exact/ngram/winnowing/span/CC,
     # decontamination (shingle + exact-substring), mix/packing,
-    # knn/near-dup, text stats, classifier scoring, BPE, multimodal).
+    # knn/near-dup, text stats, classifier scoring, BPE, multimodal;
+    # every entry oracle-checkable so the driver window is all-hash).
     # Everything after 50 still registers and is covered by
     # tests/test_oracle_parity.py; order there is oracle-checked queries
     # first, then rows-only sketches, then the TPC-H breadth analogues.
@@ -224,8 +225,8 @@ _DRIVER_PRIORITY = (
     # LLM-data-pipeline ops
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_winnowing_pairs",
+    "dedup_span_extract",
     "dedup_connected_components",
     "decontaminate_train_set",
     "decontaminate_exact_substring",
