@@ -2117,3 +2117,112 @@ def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "user_path_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    description="behavioral path mining: per-user consecutive event-type "
+    "transition counts (the Markov-chain edge table). One shuffle by user "
+    "for the lead window, one aggregate; ordering ties broken by event_id "
+    "so both engines see identical successor assignments",
+    tags=("events", "window"),
+)
+def user_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_ohlc_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket
+      FROM events
+    ), rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM rn GROUP BY user_id, bucket
+    """,
+    description="time-series OHLC downsampling: 6-hour buckets per user "
+    "with open/high/low/close of the value series — one window pass for "
+    "the first/last ranks (deterministic event_id tiebreak), one "
+    "aggregate. The standard metric-downsample shape for long-retention "
+    "storage",
+    tags=("events", "timeseries"),
+)
+def events_ohlc_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.floor(F.unix_micros("ts") / F.lit(21_600_000_000)).alias(
+            "bucket"
+        ),
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "bucket",
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+            ).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
