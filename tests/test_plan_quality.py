@@ -274,3 +274,15 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "corpus_shard_shuffle")
         assert count(r"Exchange hashpartitioning", plan) == 1
         assert count(r"Exchange rangepartitioning", plan) == 0
+
+    def test_funnel_no_cartesian_and_partial_agg(self, spark):
+        plan = plan_of(spark, "funnel_conversion", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan.lower()
+
+    def test_retention_dedups_before_cohort_join(self, spark):
+        # (user, day) distinct must aggregate BEFORE joining cohorts —
+        # the join touches user-day granularity, not raw events
+        plan = plan_of(spark, "retention_cohorts", execute=True)
+        assert "CartesianProduct" not in plan
+        assert count(r"HashAggregate", plan) >= 3
