@@ -56,6 +56,19 @@ from pyspark.sql.types import StructType
 from .table import LakeTable
 
 
+
+def _utc_aware(v: Any) -> Any:
+    """pyarrow yields NAIVE datetimes for parquet timestamps; Spark's
+    Python-DS row converter requires tz-aware values (it normalizes via
+    astimezone). Table timestamps are written under the UTC session, so
+    naive == UTC by construction."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=_dt.timezone.utc)
+    return v
+
+
 def _meta_table(options: dict) -> LakeTable:
     path = options.get("path")
     if not path:
@@ -165,7 +178,7 @@ class LakeTableBatchReader(DataSourceReader):
         for i, row in enumerate(rows):
             if i in dv:
                 continue
-            yield tuple(row.get(n) for n in names)
+            yield tuple(_utc_aware(row.get(n)) for n in names)
 
 
 class LakeTableStreamReader(SimpleDataSourceStreamReader):
@@ -205,7 +218,9 @@ class LakeTableStreamReader(SimpleDataSourceStreamReader):
                     os.path.join(self.options["path"], a["path"])
                 )
                 for row in tbl.to_pylist():
-                    out.append(tuple(row.get(n) for n in names))
+                    out.append(
+                        tuple(_utc_aware(row.get(n)) for n in names)
+                    )
         return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:

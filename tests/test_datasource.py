@@ -138,3 +138,41 @@ def test_streaming_rejects_rewrite_commits(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_streaming_watermark_window_through_source(spark, tmp_path):
+    """Event-time semantics compose through the custom source: watermarked
+    tumbling-window counts over rows streamed from the lake table."""
+    import datetime as dt
+
+    root = str(tmp_path / "t6")
+    ckpt = str(tmp_path / "ckpt6")
+    t = LakeTable(spark, root)
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+    t.append(
+        spark.createDataFrame(
+            [(1, ts(1)), (2, ts(2)), (3, ts(11)), (4, ts(12)), (5, ts(21))],
+            "id long, ts timestamp",
+        )
+    )
+    collected = []
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", root)
+        .load()
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.start.minute: r.n for r in collected}
+    assert got == {0: 2, 10: 2, 20: 1}
