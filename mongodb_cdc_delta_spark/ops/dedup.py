@@ -1097,3 +1097,158 @@ def dedup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return dup_spans(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash+LSH (fully oracle-checked: engine-reproducible hashes)
+# ---------------------------------------------------------------------------
+
+# fixed affine permutation coefficients (seeded once, inlined into BOTH
+# engines so signatures agree bit-for-bit)
+_MH_PORTABLE_COEFFS = [(2075443165, 1671098287), (946466064, 250934579), (16087819, 194655650), (1956305977, 2024077985), (2017064809, 1733024478), (1250324205, 75003370), (1442171594, 1488393902), (180255972, 211359734), (1646005276, 761574164), (508545125, 37426449), (66172593, 2118896851), (1693876517, 34017048), (743220394, 1392248069), (1338486782, 1039910182), (1322454143, 995461690), (319018672, 196037792), (393184162, 1532036568), (245699978, 1815372135), (31393588, 1080363995), (1045290968, 1890795832), (2072110336, 536501702), (138646444, 1432920372), (1161978031, 1959181850), (1000509548, 147251335), (1291632927, 1449824051), (190973210, 1106050643), (1243398801, 98709773), (578930450, 1770346149), (1194929836, 135458290), (1384341475, 649461447), (1033017744, 1825744134), (762870257, 572206129)]
+
+_SHINGLE_POLY = (
+    "aggregate(transform(sequence(1, length(shingle)),"
+    " i -> cast(ascii(substring(shingle, i, 1)) as bigint)),"
+    " 0L, (a, c) -> (a * 131 + c) % 2147483647)"
+)
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle="""
+    WITH coeffs(i, a, b) AS (VALUES
+      (0, 2075443165, 1671098287),
+      (1, 946466064, 250934579),
+      (2, 16087819, 194655650),
+      (3, 1956305977, 2024077985),
+      (4, 2017064809, 1733024478),
+      (5, 1250324205, 75003370),
+      (6, 1442171594, 1488393902),
+      (7, 180255972, 211359734),
+      (8, 1646005276, 761574164),
+      (9, 508545125, 37426449),
+      (10, 66172593, 2118896851),
+      (11, 1693876517, 34017048),
+      (12, 743220394, 1392248069),
+      (13, 1338486782, 1039910182),
+      (14, 1322454143, 995461690),
+      (15, 319018672, 196037792),
+      (16, 393184162, 1532036568),
+      (17, 245699978, 1815372135),
+      (18, 31393588, 1080363995),
+      (19, 1045290968, 1890795832),
+      (20, 2072110336, 536501702),
+      (21, 138646444, 1432920372),
+      (22, 1161978031, 1959181850),
+      (23, 1000509548, 147251335),
+      (24, 1291632927, 1449824051),
+      (25, 190973210, 1106050643),
+      (26, 1243398801, 98709773),
+      (27, 578930450, 1770346149),
+      (28, 1194929836, 135458290),
+      (29, 1384341475, 649461447),
+      (30, 1033017744, 1825744134),
+      (31, 762870257, 572206129)
+    ), sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    ), ph AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(shingle)),
+                                i -> CAST(ascii(shingle[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS ph
+      FROM sh0
+    ), sig AS (
+      SELECT doc_id, i, min((a * ph + b) % 2147483647) AS m
+      FROM ph CROSS JOIN coeffs GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM sig GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+    HAVING sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 >= 0.2
+    """,
+    description="MinHash(32 affine perms)+LSH(8 bands x 4) with an "
+    "engine-portable polynomial shingle hash, so the ENTIRE sketch "
+    "pipeline — signatures, band buckets, candidate pairs, estimated "
+    "Jaccard — is value-checked against the oracle, not just "
+    "rows-counted. Production path (dedup_minhash_lsh) keeps xxhash64; "
+    "the sketch algebra is identical",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.expr(_SHINGLE_POLY).alias("ph")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("ph") + F.lit(b)) % F.lit(_MERSENNE)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PORTABLE_COEFFS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins).cache()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"h{4 * b + r}") for r in range(4)]
+            )
+            for b in range(8)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(32)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(32)],
+    )
+    eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(32)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(eq / F.lit(32.0), 6).alias("est_jaccard"),
+        )
+        .where(eq / F.lit(32.0) >= 0.2)
+    )
