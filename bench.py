@@ -122,12 +122,15 @@ def force(df) -> None:
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_SEC", "120"))
 
 
-def run_with_budget(spark, group: str, thunk) -> float:
+def run_with_budget(spark, group: str, thunk, budget: float | None = None) -> float:
     """Run `thunk` in a worker thread under a Spark job group; cancel the
-    group and raise TimeoutError if it exceeds BUDGET_SEC. Returns elapsed
-    seconds. Job groups are thread-local in Spark, so the group is set
-    inside the worker thread that actually submits the jobs."""
+    group and raise TimeoutError if it exceeds the budget (default
+    BUDGET_SEC). Returns elapsed seconds. Job groups are thread-local in
+    Spark, so the group is set inside the worker thread that actually
+    submits the jobs."""
     import concurrent.futures
+
+    budget = BUDGET_SEC if budget is None else budget
 
     def work() -> float:
         sc = spark.sparkContext
@@ -142,14 +145,14 @@ def run_with_budget(spark, group: str, thunk) -> float:
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     fut = pool.submit(work)
     try:
-        return fut.result(timeout=BUDGET_SEC)
+        return fut.result(timeout=budget)
     except concurrent.futures.TimeoutError:
         spark.sparkContext.cancelJobGroup(group)
         # shutdown(wait=False): never join a possibly-hung worker thread —
         # cancelJobGroup interrupts Spark tasks so it normally dies fast,
         # but a wedged thread must not wedge the bench with it
         pool.shutdown(wait=False)
-        raise TimeoutError(f"query exceeded {BUDGET_SEC:.0f}s budget")
+        raise TimeoutError(f"query exceeded {budget:.0f}s budget")
     finally:
         pool.shutdown(wait=False)
 
