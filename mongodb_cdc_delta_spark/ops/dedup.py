@@ -1252,3 +1252,71 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(eq / F.lit(32.0) >= 0.2)
     )
+
+
+@register(
+    "simhash_portable_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), ph AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM ph, (SELECT unnest(generate_series(0, 30)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                    ELSE 0 END) AS BIGINT) AS fp
+    FROM votes GROUP BY doc_id
+    """,
+    description="31-bit SimHash fingerprints with the engine-portable "
+    "polynomial token hash: per-bit +-1 votes over distinct tokens, sign "
+    "-> bit. Every fingerprint value-checked against the oracle "
+    "(production simhash keeps 64-bit xxhash64; identical vote algebra). "
+    "Two aggregates, both map-side partial; the bit dimension multiplies "
+    "rows by 31 pre-aggregation, the standard explode-vote shape",
+    tags=("dedup", "simhash"),
+)
+def simhash_portable_fingerprints(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    ph = F.expr(
+        "aggregate(transform(sequence(1, length(tok)),"
+        " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
+        " 0L, (a, c) -> (a * 131 + c) % 2147483647)"
+    )
+    hashed = toks.select("doc_id", ph.alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(30))).alias("bit"),
+    )
+    vote = F.when(
+        F.expr("(h >> bit) & 1") == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum(vote).alias("v"))
+    bitval = F.when(
+        F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+    ).otherwise(F.lit(0))
+    return votes.groupBy("doc_id").agg(
+        F.sum(bitval).cast("long").alias("fp")
+    )
