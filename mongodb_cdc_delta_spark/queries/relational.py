@@ -2226,3 +2226,81 @@ def events_ohlc_downsample(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "segment_stats_profile",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sums AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM j GROUP BY segment
+    )
+    SELECT segment, n,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                 6) AS corr,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_x,
+           round(sqrt((syy - sy * sy / n) / (n - 1)), 4) AS stddev_y
+    FROM sums
+    """,
+    description="statistical profile per market segment: covariance, "
+    "correlation, stddevs of (account balance, order total) — computed "
+    "from EXACT decimal sums (cast-then-multiply keeps products exact; "
+    "only the final derived stats drop to double), so the result is "
+    "bit-identical across engines and across partition orders, unlike "
+    "built-in corr()/covar_samp() whose float accumulation is "
+    "order-dependent. One join + one aggregate; all sums partial-agg",
+    tags=("aggregation", "statistics"),
+)
+def segment_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    j = (
+        load(spark, sf, "orders")
+        .join(
+            load(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    sums = j.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_num = sxy - sx * sy / n
+    return sums.select(
+        "segment",
+        "n",
+        F.round(cov_num / (n - 1), 4).alias("covar"),
+        F.round(
+            cov_num
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("corr"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias(
+            "stddev_x"
+        ),
+        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 4).alias(
+            "stddev_y"
+        ),
+    )
