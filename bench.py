@@ -108,6 +108,11 @@ HEADLINE = [
     "bpe_token_frequencies",
     "funnel_conversion",
     "retention_cohorts",
+    "user_path_transitions",
+    "events_ohlc_downsample",
+    "dedup_minhash_lsh_portable",
+    "simhash_portable_fingerprints",
+    "segment_stats_profile",
 ]
 
 
