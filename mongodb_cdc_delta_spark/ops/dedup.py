@@ -1320,3 +1320,56 @@ def simhash_portable_fingerprints(
     return votes.groupBy("doc_id").agg(
         F.sum(bitval).cast("long").alias("fp")
     )
+
+
+@register(
+    "dedup_keep_list",
+    oracle=CC_ORACLE.replace(
+        """    SELECT u AS doc_id, min(v) AS cluster_id
+    FROM reach
+    GROUP BY u
+""",
+        """    , cc AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN cc.doc_id IS NULL
+                     OR cc.cluster_id = d.doc_id
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+""",
+    ),
+    description="the final dedup decision table: every document with its "
+    "near-dup cluster id and a keep flag (cluster representative = min "
+    "doc_id; singletons keep themselves). pairs -> transitive clusters -> "
+    "canonical selection, the complete who-survives output a corpus "
+    "pipeline feeds into training-set assembly",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, max_shingle_df=100
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    ).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+        F.when(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
