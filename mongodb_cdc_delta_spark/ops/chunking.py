@@ -379,3 +379,137 @@ def corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_tokens"),
         )
     )
+
+
+BIGRAM_CAP = 200_000
+_LAM = 0.7
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(ts) AS tok FROM toks) WHERE tok <> '' GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni
+    ), vocab AS (
+      SELECT tok, n FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+        FROM uni) WHERE rk <= {VOCAB_CAP}
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(ts)),
+                    i -> struct_pack(p := ts[i-1], c := ts[i]))) AS e
+      FROM toks
+    ), bge AS (
+      SELECT doc_id, e.p AS p, e.c AS c FROM bg
+      WHERE e.p <> '' AND e.c <> ''
+    ), bcounts AS (
+      SELECT p, c, n FROM (
+        SELECT p, c, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, p ASC, c ASC)
+                 AS rk
+        FROM bge GROUP BY p, c) WHERE rk <= {BIGRAM_CAP}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln({_LAM} * coalesce(b.n, 0)
+                         / coalesce(vp.n, 1)
+                     + {1 - _LAM} * coalesce(vc.n, 1)
+                         / (SELECT t FROM total)))
+                 / count(*), 6) AS avg_logprob
+    FROM bge
+    LEFT JOIN bcounts b ON b.p = bge.p AND b.c = bge.c
+    LEFT JOIN vocab vp ON vp.tok = bge.p
+    LEFT JOIN vocab vc ON vc.tok = bge.c
+    GROUP BY doc_id
+    """,
+    description="interpolated bigram LM score: per-doc mean "
+    "ln(0.7 P(w|prev) + 0.3 P(w)) — the stronger perplexity screen above "
+    "the unigram one. Vocabulary capped at 50k and bigram table at 200k "
+    "(deterministic rank), so BOTH model tables broadcast at any corpus "
+    "size; OOV floors at count 1. One scan builds the tables, one scan "
+    "scores",
+    tags=("llm-pipeline", "textstats"),
+)
+def bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    total = uni.agg(F.sum("n").cast("double").alias("t"))
+    vocab = (
+        uni.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("rk") <= VOCAB_CAP)
+        .select("tok", "n")
+    )
+    bge = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, size(ts) - 1),"
+                    " slice(ts, 2, size(ts) - 1),"
+                    " (x, y) -> struct(x as p, y as c))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.p").alias("p"), F.col("e.c").alias("c"))
+        .where((F.col("p") != "") & (F.col("c") != ""))
+    )
+    bcounts = (
+        bge.groupBy("p", "c")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n").desc(), F.col("p").asc(), F.col("c").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") <= BIGRAM_CAP)
+        .select(
+            F.col("p").alias("bp"),
+            F.col("c").alias("bc"),
+            F.col("n").alias("bn"),
+        )
+    )
+    vp = vocab.select(F.col("tok").alias("p"), F.col("n").alias("pn"))
+    vc = vocab.select(F.col("tok").alias("c"), F.col("n").alias("cn"))
+    scored = (
+        bge.join(
+            F.broadcast(bcounts),
+            (F.col("p") == F.col("bp")) & (F.col("c") == F.col("bc")),
+            "left",
+        )
+        .join(F.broadcast(vp), "p", "left")
+        .join(F.broadcast(vc), "c", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = F.log(
+        F.lit(_LAM)
+        * F.coalesce(F.col("bn"), F.lit(0))
+        / F.coalesce(F.col("pn"), F.lit(1))
+        + F.lit(1 - _LAM)
+        * F.coalesce(F.col("cn"), F.lit(1))
+        / F.col("t")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
+    )
