@@ -1373,3 +1373,110 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+#: Bloom geometry: m bits / k probes. At 2^20 bits and k=4 a 20k-shingle
+#: eval set sits at ~2% false-positive rate; the bitmap is 128 KB.
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
+_BLOOM_COEFFS = [(2654435761, 7919), (40503, 104729), (69621, 3571), (48271, 16807)]
+
+
+def _bloom_probes(col):
+    """k bit positions in [0, m) from one 64-bit hash (affine mixes)."""
+    h = F.pmod(col, F.lit((1 << 31) - 1))
+    return [
+        F.pmod(h * F.lit(a) + F.lit(b), F.lit(_BLOOM_BITS))
+        for a, b in _BLOOM_COEFFS[:_BLOOM_K]
+    ]
+
+
+def bloom_decontaminate_flags(
+    train: DataFrame, eval_set: DataFrame, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_maybe_shared): decontamination prefilter via a
+    DataFrame-native Bloom filter over the eval shingle hashes.
+
+    Build: eval shingles → k bit positions → ``bit_or`` aggregate per
+    64-bit word → at most m/64 rows reach the driver (bounded by the
+    BITMAP size, never by eval size) → one broadcast array<long> row.
+    Probe: scan-local bit tests on the training side — NO join at all on
+    the 100 TB side; the bitmap rides along as a 128 KB broadcast.
+
+    Guarantees NO false negatives (every truly contaminated doc is
+    flagged); false positives at the geometric rate get exactly
+    rechecked on the flagged subset only. The two-stage shape: sketch
+    prefilter at scan speed → exact verify on survivors."""
+    spark = train.sparkSession
+    ev_hashes = shingles(eval_set, n=n).select(
+        F.xxhash64("shingle").alias("sh")
+    )
+    probes = _bloom_probes(F.col("sh"))
+    words = (
+        ev_hashes.select(
+            F.explode(F.array(*probes)).alias("bit")
+        )
+        .select(
+            (F.col("bit") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+        .collect()
+    )
+    bitmap = [0] * (_BLOOM_BITS // 64)
+    for r in words:
+        bitmap[int(r["w"])] = int(r["m"])
+    bf = spark.createDataFrame([(bitmap,)], "bf array<long>")
+    tr_sh = shingles(train, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    tr_p = tr_sh.select(
+        "doc_id",
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(_bloom_probes(F.col("sh")))
+        ],
+    )
+    cond = None
+    for i in range(_BLOOM_K):
+        c = (
+            F.expr(
+                f"(element_at(bf, cast(p{i} div 64 as int) + 1)"
+                f" >> cast(p{i} % 64 as int)) & 1"
+            )
+            == 1
+        )
+        cond = c if cond is None else (cond & c)
+    return (
+        tr_p.crossJoin(F.broadcast(bf))
+        .where(cond)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_maybe_shared"))
+    )
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=None,  # sketch-based (Spark's Bloom implementation); the
+    # no-false-negative guarantee and FP bound are asserted in
+    # tests/test_dedup_similarity.py against the exact join
+    description="Bloom-filter decontamination prefilter: eval shingle "
+    "hashes collapse into one ~MB bitset; the training side is filtered "
+    "by a scan-local might_contain with NO join. No false negatives; "
+    "false positives at the configured rate get exactly rechecked on "
+    "the flagged subset only",
+    tags=("dedup", "llm-pipeline", "decontamination", "sketch"),
+)
+def decontaminate_bloom_prefilter(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    return bloom_decontaminate_flags(
+        docs.where(bucket >= 200), docs.where(bucket < 200)
+    )

@@ -442,3 +442,30 @@ class TestSpanExtraction:
             best.start_b - 1 : best.start_b - 1 + best.span_len
         ]
         assert ta == tb
+
+
+class TestBloomDecontamination:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from mongodb_cdc_delta_spark.queries import load
+        from mongodb_cdc_delta_spark.ops.dedup import (
+            bloom_decontaminate_flags,
+            decontaminate_flags,
+        )
+        from mongodb_cdc_delta_spark.ops.sampling import sample_bucket
+
+        docs = load(spark, SF, "documents")
+        bucket = sample_bucket(F.col("doc_id"))
+        train, ev = docs.where(bucket >= 200), docs.where(bucket < 200)
+        exact = {
+            r.doc_id for r in decontaminate_flags(train, ev).collect()
+        }
+        bloom = {
+            r.doc_id
+            for r in bloom_decontaminate_flags(train, ev).collect()
+        }
+        # a Bloom filter can never miss a present element
+        assert exact <= bloom
+        # FP docs are bounded: at 1% per-shingle fpp, docs flagged only
+        # by noise stay a small fraction of the corpus
+        n_train = train.count()
+        assert len(bloom - exact) <= max(5, n_train // 10)
