@@ -356,3 +356,114 @@ def quality_linear_classifier(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.col("sw") > 0).cast("int").alias("keep"),
     )
+
+
+_CMS_W = 8192
+_CMS_COEFFS = [(2654435761, 7919), (40503, 104729), (69621, 3571), (48271, 16807)]
+_TOK_POLY = (
+    "aggregate(transform(sequence(1, length(tok)),"
+    " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
+    " 0L, (a, c) -> (a * 131 + c) % 2147483647)"
+)
+
+
+@register(
+    "cms_token_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ), hashed AS (
+      SELECT tok, cnt,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS h
+      FROM counts
+    ), coeffs(i, a, b) AS (VALUES
+      (0, 2654435761, 7919), (1, 40503, 104729),
+      (2, 69621, 3571), (3, 48271, 16807)
+    ), counters AS (
+      SELECT i, (a * h + b) % {_CMS_W} AS bucket, sum(cnt) AS v
+      FROM hashed CROSS JOIN coeffs GROUP BY i, (a * h + b) % {_CMS_W}
+    ), top AS (
+      SELECT tok, cnt, h FROM (
+        SELECT tok, cnt, h,
+               row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+        FROM hashed) WHERE rk <= 50
+    )
+    SELECT t.tok AS token, t.cnt AS exact_cnt,
+           CAST(min(c.v) AS BIGINT) AS cms_est
+    FROM top t
+    JOIN coeffs k ON TRUE
+    JOIN counters c ON c.i = k.i
+                   AND c.bucket = (k.a * t.h + k.b) % {_CMS_W}
+    GROUP BY t.tok, t.cnt
+    """,
+    description="Count-Min Sketch over corpus tokens (d=4 x w=8192 "
+    "integer counters, engine-portable hashes) probed for the top-50 "
+    "tokens next to their exact counts — the sketch AND its one-sided "
+    "error are value-checked cross-engine. The counter table is bounded "
+    "by d*w regardless of corpus size; building it is one aggregate over "
+    "the (token, count) table, not the raw stream",
+    tags=("llm-pipeline", "sketch", "textstats"),
+)
+def cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hashed = counts.select(
+        "tok", "cnt", F.expr(_TOK_POLY).alias("h")
+    ).cache()
+    probe_rows = []
+    for i, (a, b) in enumerate(_CMS_COEFFS):
+        probe_rows.append(
+            hashed.select(
+                F.lit(i).alias("i"),
+                ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_W).alias(
+                    "bucket"
+                ),
+                "cnt",
+            )
+        )
+    all_probes = probe_rows[0]
+    for p in probe_rows[1:]:
+        all_probes = all_probes.unionByName(p)
+    counters = all_probes.groupBy("i", "bucket").agg(
+        F.sum("cnt").alias("v")
+    )
+    top = (
+        hashed.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            ),
+        )
+        .where(F.col("rk") <= 50)
+        .select("tok", "cnt", "h")
+    )
+    top_probes = None
+    for i, (a, b) in enumerate(_CMS_COEFFS):
+        t = top.select(
+            "tok",
+            "cnt",
+            F.lit(i).alias("i"),
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_W).alias("bucket"),
+        )
+        top_probes = t if top_probes is None else top_probes.unionByName(t)
+    return (
+        top_probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("exact_cnt"),
+        )
+        .agg(F.min("v").cast("long").alias("cms_est"))
+    )
