@@ -467,3 +467,96 @@ def cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.min("v").cast("long").alias("cms_est"))
     )
+
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096 registers
+
+
+@register(
+    "hll_distinct_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), hashed AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS h
+      FROM toks
+    ), parts AS (
+      SELECT h % {_HLL_M} AS idx, h // {_HLL_M} AS w FROM hashed
+    ), regs AS (
+      SELECT idx,
+             max(CASE WHEN w = 0 THEN 20
+                 ELSE 20 - len(bin(w)) END) AS m
+      FROM parts GROUP BY idx
+    ), agg AS (
+      SELECT count(*) AS used,
+             sum(power(2.0, -m)) AS s,
+             (SELECT count(*) FROM toks) AS exact_distinct
+      FROM regs
+    )
+    SELECT CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(used AS BIGINT) AS registers_used,
+           round(CASE
+             WHEN (0.7213 / (1 + 1.079 / {_HLL_M}))
+                  * {_HLL_M} * {_HLL_M} / (s + ({_HLL_M} - used))
+                  <= 2.5 * {_HLL_M}
+                  AND used < {_HLL_M}
+             THEN {_HLL_M} * ln({_HLL_M} / CAST({_HLL_M} - used AS DOUBLE))
+             ELSE (0.7213 / (1 + 1.079 / {_HLL_M}))
+                  * {_HLL_M} * {_HLL_M} / (s + ({_HLL_M} - used))
+           END, 4) AS hll_estimate
+    FROM agg
+    """,
+    description="HyperLogLog distinct-token estimate (p=12, 4096 "
+    "registers) built portably — register indices and max-rank values "
+    "are pure integer math (bin-length leading zeros), the harmonic sum "
+    "uses exact powers of two — so the full sketch state AND the "
+    "estimate (with small-range linear counting correction) value-match "
+    "cross-engine, printed beside the exact distinct count. Register "
+    "table is 4096 rows regardless of corpus size",
+    tags=("llm-pipeline", "sketch", "textstats"),
+)
+def hll_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = toks.select(F.expr(_TOK_POLY).alias("h"))
+    parts = hashed.select(
+        (F.col("h") % _HLL_M).alias("idx"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(20)).otherwise(
+        F.lit(20) - F.length(F.bin("w"))
+    )
+    regs = parts.select("idx", rank.alias("m")).groupBy("idx").agg(
+        F.max("m").alias("m")
+    )
+    n_exact = toks.agg(F.count("*").alias("exact_distinct"))
+    agg = regs.agg(
+        F.count("*").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+    ).crossJoin(F.broadcast(n_exact))
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = F.lit(alpha * m * m) / (
+        F.col("s") + (F.lit(m) - F.col("used"))
+    )
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("used") < _HLL_M),
+        F.lit(m)
+        * F.log(F.lit(m) / (F.lit(m) - F.col("used")).cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("used").cast("long").alias("registers_used"),
+        F.round(corrected, 4).alias("hll_estimate"),
+    )
