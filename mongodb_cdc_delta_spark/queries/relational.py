@@ -2304,3 +2304,32 @@ def segment_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
             "stddev_y"
         ),
     )
+
+
+@register(
+    "sql_api_orders_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    description="the spark.sql() entry path: identical ANSI SQL text runs "
+    "on temp views over the same tables (every other registry entry uses "
+    "the DataFrame API; this one proves the SQL surface end to end — "
+    "Catalyst plans both identically)",
+    tags=("sql-api", "join"),
+)
+def sql_api_orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf, t).createOrReplaceTempView(f"sqldemo_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders
+        FROM sqldemo_orders o
+        JOIN sqldemo_customer c ON o.o_custkey = c.c_custkey
+        JOIN sqldemo_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
