@@ -113,6 +113,12 @@ HEADLINE = [
     "dedup_minhash_lsh_portable",
     "simhash_portable_fingerprints",
     "segment_stats_profile",
+    "dedup_keep_list",
+    "bigram_logprob_score",
+    "decontaminate_bloom_prefilter",
+    "cms_token_counts",
+    "hll_distinct_tokens",
+    "sql_api_orders_by_nation",
 ]
 
 
