@@ -299,3 +299,115 @@ def corpus_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return with_m.select(
         "doc_id", shard.alias("shard"), pos.alias("pos")
     )
+
+
+@register(
+    "importance_weighted_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) % 64 AS b
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             sum((b * 2654435761 + 7919) % 1000 - 500) AS sw,
+             count(*) AS n
+      FROM hb GROUP BY doc_id
+    ), probs AS (
+      SELECT doc_id,
+             1 / (1 + exp(-(CAST(sw AS DOUBLE) / (1000.0 * n)))) AS p,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM scored
+    )
+    SELECT doc_id, round(p, 6) AS keep_prob
+    FROM probs WHERE bucket < p * 10000
+    """,
+    description="importance-weighted sampling: each doc kept with "
+    "probability equal to its linear-classifier quality score, "
+    "implemented as hash-bucket < p*10000 — reproducible (same corpus -> "
+    "same sample), joint-free, scan-local. The quality-weighted corpus "
+    "downsample step, composed entirely from existing primitives",
+    tags=("llm-pipeline", "sampling", "quality"),
+)
+def importance_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .textstats_bridge import classifier_scores
+
+    scored = classifier_scores(load(spark, sf, "documents"))
+    bucket = sample_bucket(F.col("doc_id"))
+    return scored.where(
+        bucket < F.col("p") * 10000
+    ).select("doc_id", F.round("p", 6).alias("keep_prob"))
+
+
+@register(
+    "curriculum_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(tok)),
+                                i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) % 64 AS b
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             round(1 / (1 + exp(-(CAST(sum((b * 2654435761 + 7919) % 1000
+                                          - 500) AS DOUBLE)
+                                  / (1000.0 * count(*))))), 6) AS p
+      FROM hb GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, p,
+             CAST(ntile(4) OVER (ORDER BY p DESC, doc_id ASC) AS INT)
+               AS band,
+             (((doc_id % 100003) * 2654435761 + 7919) % 2147483648) AS m
+      FROM scored
+    )
+    SELECT doc_id, band,
+           CAST(row_number() OVER (PARTITION BY band ORDER BY m, doc_id)
+                AS INT) AS pos
+    FROM banded
+    """,
+    description="curriculum ordering: quality quartiles (ntile over the "
+    "ROUNDED classifier score, doc_id tiebreak — deterministic across "
+    "engines) with a reproducible pseudorandom order inside each band. "
+    "The easy-to-hard data-ordering step, zero extra scans beyond the "
+    "classifier aggregate",
+    tags=("llm-pipeline", "sampling", "quality"),
+)
+def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textstats_bridge import classifier_scores
+
+    scored = classifier_scores(load(spark, sf, "documents")).select(
+        "doc_id", F.round("p", 6).alias("p")
+    )
+    band = F.ntile(4).over(
+        Window.orderBy(F.col("p").desc(), F.col("doc_id").asc())
+    )
+    mixed = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(100003)) * 2654435761
+        + 7919,
+        F.lit(2147483648),
+    )
+    banded = scored.select(
+        "doc_id", "p", band.alias("band"), mixed.alias("m")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("band").orderBy("m", "doc_id")
+    )
+    return banded.select("doc_id", "band", pos.alias("pos"))
