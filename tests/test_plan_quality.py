@@ -286,3 +286,20 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "retention_cohorts", execute=True)
         assert "CartesianProduct" not in plan
         assert count(r"HashAggregate", plan) >= 3
+
+    def test_bloom_prefilter_is_scan_local(self, spark):
+        # the training side must be filtered by bit tests against the
+        # broadcast bitmap — never joined/shuffled against eval hashes
+        plan = plan_of(spark, "decontaminate_bloom_prefilter", execute=True)
+        assert "SortMergeJoin" not in plan
+        assert count(r"Exchange hashpartitioning", plan.split("== Initial Plan ==")[0]) <= 1  # only the final doc_id agg
+
+    def test_cms_counters_broadcast(self, spark):
+        plan = plan_of(spark, "cms_token_counts", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_hll_register_table_is_bounded_agg(self, spark):
+        plan = plan_of(spark, "hll_distinct_tokens", execute=True)
+        assert "partial" in plan.lower()  # register max is map-side combined
+        assert "CartesianProduct" not in plan
