@@ -119,6 +119,12 @@ HEADLINE = [
     "cms_token_counts",
     "hll_distinct_tokens",
     "sql_api_orders_by_nation",
+    "corpus_report",
+    "importance_weighted_sample",
+    "curriculum_order",
+    # boilerplate_pagerank intentionally not headlined: 5 chained
+    # iterations cost ~17 s of fixed local-mode stage latency (same class
+    # as dedup_connected_components); covered by tests/test_graph.py
 ]
 
 

@@ -74,9 +74,9 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
                     * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .cache()
+            .cache()  # materialized by iteration i+1's first action;
+            # truncates recompute without paying an eager job per round
         )
-        ranks.count()
     sym.unpersist()
     return ranks
 
