@@ -122,6 +122,8 @@ HEADLINE = [
     "corpus_report",
     "importance_weighted_sample",
     "curriculum_order",
+    "semantic_dedup_prune",
+    "doc_pii_scrub",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

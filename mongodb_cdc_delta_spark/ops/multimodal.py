@@ -207,3 +207,136 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (pHash): the image analogue of SimHash text
+# dedup. Decode is the container-stubbed step; the DCT / median-threshold /
+# bit-pack math below is the real pHash algorithm, numpy-vectorized per
+# Arrow batch.
+# ---------------------------------------------------------------------------
+
+_PHASH_SIDE = 32  # decode target: 32x32 grayscale
+_PHASH_BITS = 63  # 8x8 low-frequency block minus the DC coefficient
+_dct_cache: dict[int, np.ndarray] = {}
+
+
+def _dct_matrix(n: int = _PHASH_SIDE) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    if n not in _dct_cache:
+        k = np.arange(n, dtype=np.float64)
+        d = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
+        )
+        d[0] /= np.sqrt(2.0)
+        _dct_cache[n] = d
+    return _dct_cache[n]
+
+
+def _decode_gray_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: tile/truncate bytes to a 32x32 grayscale image.
+    Production would be PIL open → convert('L') → resize((32, 32));
+    PIL is absent in this container. Deterministic, so identical payloads
+    hash identically and the full dedup path is testable."""
+    target = _PHASH_SIDE * _PHASH_SIDE
+    reps = -(-target // max(len(payload), 1))
+    return (
+        np.frombuffer((payload * reps)[:target], dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(_PHASH_SIDE, _PHASH_SIDE)
+    )
+
+
+def phash_batch(payloads) -> np.ndarray:
+    """pHash a batch of payloads → int64[n]. One einsum pair does the 2-D
+    DCT for the whole batch (D @ img @ D^T per image); bits are the 8x8
+    low-frequency block (minus DC) thresholded at its own median."""
+    imgs = np.stack([_decode_gray_stub(p) for p in payloads])
+    d = _dct_matrix()
+    low = np.einsum("ij,njk,lk->nil", d[:8], imgs, d[:8], optimize=True)
+    block = low.reshape(len(imgs), 64)[:, 1:]  # drop DC term
+    med = np.median(block, axis=1, keepdims=True)
+    bits = block > med
+    powers = (np.int64(1) << np.arange(_PHASH_BITS, dtype=np.int64))
+    return (bits.astype(np.int64) * powers).sum(axis=1)
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """payload → 63-bit perceptual hash via mapInPandas (Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": phash_batch(pdf["payload"].to_numpy()),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=None,  # numpy DCT kernel; determinism + separation in tests
+    description="perceptual-hash (pHash) image near-dup pairs: stub decode "
+    "to 32x32 grayscale, real DCT-II + median-threshold 63-bit hash, then "
+    "pigeonhole LSH — 7 blocks of 9 bits (Hamming<=6 implies >=1 equal "
+    "block), join on (block_idx, block_val), exact Hamming via "
+    "bit_count(xor). Bucketed candidate generation, never all-pairs — the "
+    "same scale shape as dedup_simhash, so a 100 TB image corpus shuffles "
+    "only (block, hash, id) tuples.",
+    tags=("multimodal", "dedup", "pandas_udf", "llm-pipeline"),
+)
+def multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    media = as_media_table(load(spark, sf, "documents"))
+    fps = phash_media(media)
+    n_blocks, bits_per = 7, 9
+    blocks = fps.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", bits_per * b).bitwiseAND(
+                        F.lit((1 << bits_per) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("fp_a"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("fp_b"),
+        "block_idx",
+        "block_val",
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

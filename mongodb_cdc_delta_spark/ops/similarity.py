@@ -272,6 +272,17 @@ def knn_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "clustering", "llm-pipeline"),
 )
 def semantic_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
+    return _fixed_centroid_assign(spark, sf).select(
+        "vec_id", "centroid_id", "cos_sim"
+    )
+
+
+def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup stage 1: nearest of 8 fixed centroids, per-row argmax.
+
+    Centroids are collected once (bounded: 8 rows) and inlined as literal
+    arrays, so the assignment is a single zero-shuffle scan regardless of
+    corpus size."""
     emb = load(spark, sf, "embeddings")
     cents = (
         emb.where(F.col("vec_id") < 8)
@@ -297,8 +308,83 @@ def semantic_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     best = F.array_max(scored)
     return emb.select(
         "vec_id",
+        "embedding",
         (-best["neg_cid"]).cast("long").alias("centroid_id"),
         best["sim"].alias("cos_sim"),
+    )
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), s AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.cv), 6) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), r AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM s
+    ), a AS (
+      SELECT vec_id, cid FROM r WHERE rn = 1
+    ), close AS (
+      SELECT y.vec_id AS vec_id, count(*) AS n
+      FROM a x
+      JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                         CAST(ey.embedding AS DOUBLE[])),
+                  6) >= 0.35
+      GROUP BY y.vec_id
+    )
+    SELECT a.vec_id, a.cid AS centroid_id,
+           CAST(coalesce(close.n, 0) AS BIGINT) AS n_close_lower,
+           CAST(coalesce(close.n, 0) > 0 AS INT) AS is_pruned
+    FROM a LEFT JOIN close ON close.vec_id = a.vec_id
+    """,
+    description="SemDeDup stage 2: within each semantic cluster, prune any "
+    "embedding whose cosine to a LOWER-id cluster member is >= 0.35 (the "
+    "lowest id is the kept representative). Pair generation is bounded by "
+    "the cluster: the self-join key is centroid_id, so the shuffle is "
+    "cluster-local and the pair space is sum(|cluster|^2), never n^2. At "
+    "100 TB the cluster count grows with the corpus (SemDeDup uses ~100k "
+    "k-means cells) keeping each cell's pair block small; a degenerate hot "
+    "cluster falls back to embedding_near_dup_pairs' tiled-GEMM kernel.",
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def semantic_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    assigned = _fixed_centroid_assign(spark, sf).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    close = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.round(cosine_col(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= 0.35
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_close_lower"),
+            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("is_pruned"),
+        )
     )
 
 

@@ -560,3 +560,80 @@ def hll_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.col("used").cast("long").alias("registers_used"),
         F.round(corrected, 4).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing over document text (corpus-prep redaction pass)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 dialect so Spark and DuckDB
+# compile them identically (no lookarounds, no backrefs).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(text_col):
+    """Redact emails, IPv4 addresses and phone-shaped numbers (in that
+    order — the IP pattern would otherwise eat the host part of an
+    already-redacted email placeholder's neighbors). Pure codegen
+    regexp_replace chain: one pass per pattern, no Python per row."""
+    c = F.regexp_replace(text_col, _PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, _PII_IPV4, "<IP>")
+    return F.regexp_replace(c, _PII_PHONE, "<PHONE>")
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-0142'
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+    description="PII redaction over document text: count + scrub emails, "
+    "IPv4s, phone-shaped numbers with a codegen regexp_replace chain. The "
+    "testdata corpus contains no PII, so deterministic PII is appended "
+    "in-query (keyed on doc_id) to prove the detect/redact path end to "
+    "end; production use is scrub_pii(col) on the raw text. Zero shuffle, "
+    "one scan.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    aug = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-0142"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        scrub_pii(F.col("text")).alias("scrubbed"),
+    )

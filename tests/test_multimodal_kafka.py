@@ -54,3 +54,63 @@ class TestKafkaOptions:
         assert opts["subscribePattern"] == "cdc.*"
         assert opts["startingOffsets"] == "latest"
         assert opts["maxOffsetsPerTrigger"] == "500"
+
+
+class TestPerceptualHash:
+    def test_kernel_properties(self):
+        import numpy as np
+
+        from mongodb_cdc_delta_spark.ops.multimodal import (
+            _dct_matrix,
+            phash_batch,
+        )
+
+        # orthonormal basis: D @ D.T == I
+        d = _dct_matrix()
+        assert np.allclose(d @ d.T, np.eye(32), atol=1e-10)
+
+        a = b"payload with some variety 0123456789 abcdefghij" * 5
+        near = bytearray(a)
+        near[3] ^= 0x01  # one-bit image perturbation
+        far = b"completely different content 9876543210!!!" * 6
+        h = phash_batch(np.array([a, a, bytes(near), far], dtype=object))
+        assert h[0] == h[1]  # deterministic
+        ham_near = bin(int(h[0]) ^ int(h[2])).count("1")
+        ham_far = bin(int(h[0]) ^ int(h[3])).count("1")
+        assert ham_near <= 6  # robust to tiny perturbation
+        assert ham_far > 6  # separates unrelated content
+        assert all(0 <= x < (1 << 63) for x in h)
+
+    def test_pairs_include_exact_dups(self, spark):
+        from mongodb_cdc_delta_spark.ops.multimodal import (
+            as_media_table,
+            phash_media,
+        )
+        from mongodb_cdc_delta_spark.queries import all_queries
+
+        # exact-duplicate payloads must land at Hamming 0 in the pair list
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        dup_texts = [
+            r["text"]
+            for r in docs.groupBy("text")
+            .count()
+            .where(F.col("count") > 1)
+            .select("text")
+            .limit(1)
+            .collect()
+        ]
+        pairs = all_queries()["multimodal_phash_pairs"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+        if dup_texts:  # corpus has at least one exact dup at this sf
+            dup_ids = sorted(
+                r.doc_id
+                for r in docs.where(F.col("text") == dup_texts[0])
+                .select("doc_id")
+                .collect()
+            )
+            assert got[(dup_ids[0], dup_ids[1])] == 0
+        # hashes are 63-bit non-negative longs
+        fps = phash_media(as_media_table(docs.limit(50))).collect()
+        assert all(r.phash >= 0 for r in fps)
