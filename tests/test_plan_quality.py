@@ -303,3 +303,24 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "hll_distinct_tokens", execute=True)
         assert "partial" in plan.lower()  # register max is map-side combined
         assert "CartesianProduct" not in plan
+
+    def test_semantic_dedup_prune_cluster_bounded(self, spark):
+        # the pair join's equi-key is centroid_id (cluster-bounded — never
+        # an all-pairs cartesian); final keep-flag join stays a hash join
+        plan = plan_of(spark, "semantic_dedup_prune", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "centroid_id" in plan
+
+    def test_doc_pii_scrub_zero_shuffle(self, spark):
+        # regex count+redact chain is a pure per-row projection: one scan,
+        # no Exchange anywhere
+        plan = plan_of(spark, "doc_pii_scrub", execute=True)
+        assert "Exchange" not in plan
+        assert count(r"FileScan parquet", plan) == 1
+
+    def test_phash_pairs_blocked_join(self, spark):
+        # candidate generation joins on (block_idx, block_val) — bucketed
+        # pigeonhole LSH, never an all-pairs product of fingerprints
+        plan = plan_of(spark, "multimodal_phash_pairs", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "block_val" in plan
