@@ -253,7 +253,11 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.substring("text", 1, 40).alias("head"),
     )
-    a = d.alias("a")
+    # a 1-file corpus reads as ONE input partition, and a broadcast join
+    # inherits the streamed side's parallelism — without this repartition
+    # every edit distance runs in a single task; 5k rows make the extra
+    # Exchange free
+    a = d.repartition(32).alias("a")
     b = d.alias("b")
     # thresholded variant: early-exits once distance exceeds the cap
     # (returns -1), turning the per-pair cost from O(40x40) worst case
@@ -265,9 +269,16 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            # conjunct ORDER is load-bearing: the join condition evaluates
+            # left to right, so the cheap id comparison must short-circuit
+            # before the edit distance — a `.where(dist)` after the join
+            # is pushed in FRONT of it and doubles the levenshtein work
+            # across unordered pairs. `>= 0` alone is the full threshold
+            # predicate (thresholded levenshtein returns -1 past the cap);
+            # `>= 0 AND <= 25` would evaluate the distance twice per pair.
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (dist >= 0),
         )
-        .where((dist >= 0) & (dist <= 25))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

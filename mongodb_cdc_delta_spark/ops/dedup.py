@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import load, register
+from ..queries import load, register, spread
 
 # ---------------------------------------------------------------------------
 # exact + normalized dedup (oracle-checked: md5 is identical across engines)
@@ -82,7 +82,12 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
-    """(doc_id, shingle) pairs: distinct word n-grams per document."""
+    """(doc_id, shingle) pairs: distinct word n-grams per document.
+
+    spread() first: every consumer (Jaccard, MinHash, Bloom, n-gram
+    decontamination) does its heavy gram/hash work directly on this frame,
+    and a single-file scan would otherwise pin all of it to one task."""
+    df = spread(df)
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -458,7 +463,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     doc_hashes = (
-        df.select("doc_id", F.explode(toks).alias("tok"))
+        spread(df).select("doc_id", F.explode(toks).alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hashes"))
@@ -653,7 +658,7 @@ def exact_substring_flags(
         .distinct()
     )
     tr = (
-        train.where(F.length("text") >= gram)
+        spread(train.where(F.length("text") >= gram))
         .select(
             "doc_id",
             "text",
@@ -816,7 +821,9 @@ def winnow_fingerprints(
     the whole pipeline at sf0.1; at 100 TB the extraction stage dominates,
     so this is the difference between the plan and a 3× slower one.
     """
-    pre = docs.where(F.length("text") >= k + w - 1)
+    # spread() before the gram-hash projection: a single-file scan
+    # otherwise computes every hash in one task (see queries.spread)
+    pre = spread(docs.where(F.length("text") >= k + w - 1))
     if use_xxhash:
         gram_hash = (
             f"transform(sequence(1, length(text) - {k - 1}),"
@@ -971,7 +978,7 @@ def dup_spans(
     # directly over the interpreted HOF projection re-evaluates the heavy
     # array expression per output row (~90x at sf0.1); exploding from the
     # columnar cache evaluates it once per document
-    hashes = _poly_gram_hashes(docs.join(ids, "doc_id"), k).cache()
+    hashes = _poly_gram_hashes(spread(docs.join(ids, "doc_id")), k).cache()
     hashes.count()
     pos_grams = (
         hashes.select("doc_id", F.posexplode("h").alias("pos0", "gh"))

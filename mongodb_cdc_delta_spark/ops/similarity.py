@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import load, register
+from ..queries import load, register, spread
 
 
 def _dot(a, b):
@@ -539,8 +539,10 @@ def build_pq_codebooks(
     )
     # the subvector table feeds every Lloyd iteration twice (assignment +
     # re-centering join); checkpoint it once instead of re-deriving it
-    # from the embedding scan per consumer
-    subv = subv.localCheckpoint(eager=True)
+    # from the embedding scan per consumer. spread() first: the 1-file
+    # scan otherwise pins every assignment pass's distance math to one
+    # task (see queries.spread)
+    subv = spread(subv).localCheckpoint(eager=True)
     # deterministic seeds: first k subvectors per subspace in hash order
     w = Window.partitionBy("sub").orderBy("h")
     centroids = (
@@ -616,7 +618,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
             )
         ).alias("sub", "sv"),
     )
-    assigned = _assign_pq(subv, codebooks)
+    assigned = _assign_pq(spread(subv), codebooks)
     return assigned.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),

@@ -145,6 +145,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition ahead of a compute-heavy per-row projection.
+
+    Single-file, single-row-group parquet (the driver testdata's shape)
+    arrives as ONE scan partition, so everything before the first shuffle
+    runs in one task regardless of cluster size — file splitting cannot
+    help because a row group is the minimum read unit. At production scale
+    a table is many files and this Exchange moves data it would have
+    shuffled anyway; locally it is the difference between 1 and 32 cores
+    on expression-heavy stages (winnowing, gram hashing, BPE tokenize).
+    """
+    if n is None:
+        try:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            n = 32
+    return df.repartition(n)
+
+
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the populated registry.
 
