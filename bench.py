@@ -124,6 +124,7 @@ HEADLINE = [
     "curriculum_order",
     "semantic_dedup_prune",
     "doc_pii_scrub",
+    "source_quality_profile",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -116,3 +116,59 @@ def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("near_dup_doc_fraction"),
         )
     )
+
+
+@register(
+    "source_quality_profile",
+    oracle="""
+    WITH t AS (
+      SELECT source, n_chars,
+             len(string_split(text, ' ')) AS n_toks,
+             md5(text) AS h
+      FROM documents
+    ), j AS (
+      SELECT t.*, count(*) OVER (PARTITION BY h) AS c FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 6)
+             AS avg_token_len,
+           round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM j GROUP BY source
+    """,
+    description="per-source curation profile: doc/token volume, average "
+    "token length, and exact-duplicate fraction per source — the table a "
+    "domain-mix curator reads before setting sampling weights. Duplicate "
+    "detection shuffles only (source, counts, md5) — never document text "
+    "— and md5 is identical across engines, so the window count is "
+    "oracle-checkable; two shuffles total (content hash, then source).",
+    tags=("llm-pipeline", "report", "quality"),
+)
+def source_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load(spark, sf, "documents").select(
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    j = t.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+            ).alias("avg_token_len"),
+            F.round(
+                F.sum((F.col("c") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
