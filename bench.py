@@ -125,6 +125,9 @@ HEADLINE = [
     "semantic_dedup_prune",
     "doc_pii_scrub",
     "source_quality_profile",
+    "small_qty_part_revenue",
+    "part_value_share",
+    "disjunctive_predicate_revenue",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

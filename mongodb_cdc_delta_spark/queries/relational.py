@@ -2333,3 +2333,137 @@ def sql_api_orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    description="TPC-H Q17-style: revenue lost to small-quantity orders of "
+    "one brand's parts — the correlated per-part average decorrelates into "
+    "one partial-aggregated groupBy whose (partkey, avg) table joins back "
+    "by key; the brand filter broadcasts. Exact decimal sums, one double "
+    "division at the end",
+    tags=("q4", "join", "agg", "subquery", "tpch"),
+)
+def small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (
+            F.sum(_dec(F.col("l_quantity"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = load(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "part_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS val
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT sum(val) AS t FROM pv)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(val AS DOUBLE) > 0.0006 * CAST(t AS DOUBLE)
+    """,
+    description="TPC-H Q11-style: parts whose revenue exceeds a fraction "
+    "of TOTAL corpus revenue — the global-total scalar subquery becomes a "
+    "one-row broadcast cross join against the per-part aggregate (which "
+    "Spark computes once; the total folds the same shuffle output)",
+    tags=("q4", "agg", "subquery", "tpch"),
+)
+def part_value_share(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "val"
+        )
+    )
+    tot = pv.agg(F.sum("val").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double") > 0.0006 * F.col("t").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+    description="TPC-H Q19-style: revenue under a 3-arm disjunction mixing "
+    "both join sides — the part-only conjuncts cannot pre-filter either "
+    "side alone, so the disjunction evaluates post-join on a broadcast "
+    "hash join (never a cartesian); exact decimal sum emitted as double",
+    tags=("q4", "join", "agg", "tpch"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    q = F.col("l_quantity")
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & q.between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(20, 50)
+        & q.between(20, 45)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(arm1 | arm2 | arm3)
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
