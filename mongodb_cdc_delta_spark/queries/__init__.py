@@ -252,7 +252,7 @@ _DRIVER_PRIORITY = (
     "training_mix_pipeline",
     "sequence_packing",
     "knn_cosine_topk",
-    "knn_cosine_topk_int8",
+    "semantic_dedup_prune",
     "embedding_near_dup",
     "text_quality",
     "unigram_logprob_score",
