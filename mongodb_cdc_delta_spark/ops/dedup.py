@@ -1487,3 +1487,92 @@ def decontaminate_bloom_prefilter(
     return bloom_decontaminate_flags(
         docs.where(bucket >= 200), docs.where(bucket < 200)
     )
+
+
+@register(
+    "dedup_ensemble_flags",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    tpairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    ),
+    tdup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM tpairs
+        UNION ALL SELECT doc_b FROM tpairs)
+    ),
+    epairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])),
+                  6) >= 0.3
+    ),
+    edup AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_a AS vec_id FROM epairs
+        UNION ALL SELECT vec_b FROM epairs)
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN tdup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS text_dup,
+           CAST(CASE WHEN edup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS emb_dup,
+           CAST(CASE WHEN tdup.doc_id IS NOT NULL
+                      OR edup.vec_id IS NOT NULL
+                THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM documents d
+    LEFT JOIN tdup ON tdup.doc_id = d.doc_id
+    LEFT JOIN edup ON edup.vec_id = d.doc_id
+    """,
+    description="ensemble dedup decision: a document is flagged if EITHER "
+    "the lexical signal (trigram Jaccard >= 0.05, capped shingles) OR the "
+    "semantic signal (label-blocked embedding cosine >= 0.3, doc_id = "
+    "vec_id where an embedding exists) fires — the union-of-signals "
+    "pattern real pipelines use because surface dedup misses paraphrases "
+    "and embedding dedup misses short verbatim overlap. Partial embedding "
+    "coverage is the normal case and arrives as a left join.",
+    tags=("dedup", "llm-pipeline", "ensemble"),
+)
+def dedup_ensemble_flags(spark: SparkSession, sf: str) -> DataFrame:
+    from .similarity import embedding_near_dup_pairs
+
+    docs = load(spark, sf, "documents")
+    tpairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=100)
+    tdup = (
+        tpairs.select(F.col("doc_a").alias("doc_id"))
+        .union(tpairs.select(F.col("doc_b")))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    emb = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    epairs = embedding_near_dup_pairs(emb, threshold=0.3)
+    edup = (
+        epairs.select(F.col("vec_a").alias("vec_id"))
+        .union(epairs.select(F.col("vec_b")))
+        .distinct()
+        .withColumn("e", F.lit(1))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(tdup), "doc_id", "left")
+        .join(
+            F.broadcast(edup),
+            F.col("doc_id") == F.col("vec_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("t", F.lit(0)).cast("int").alias("text_dup"),
+            F.coalesce("e", F.lit(0)).cast("int").alias("emb_dup"),
+            F.greatest(
+                F.coalesce("t", F.lit(0)), F.coalesce("e", F.lit(0))
+            )
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
