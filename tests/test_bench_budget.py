@@ -41,3 +41,15 @@ def test_overbudget_spark_job_is_cancelled(spark, bench_mod):
     assert time.perf_counter() - t0 < 30.0
     # the session must remain usable afterwards
     assert spark.range(10).count() == 10
+
+
+def test_headline_names_all_registered():
+    # a typo'd HEADLINE entry would surface as a per-query error in the
+    # round's bench JSON; catch it at test time instead
+    import bench
+
+    from mongodb_cdc_delta_spark.queries import all_queries
+
+    reg = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert missing == []
