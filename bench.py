@@ -129,6 +129,8 @@ HEADLINE = [
     "part_value_share",
     "disjunctive_predicate_revenue",
     "dedup_ensemble_flags",
+    "dedup_triangle_counts",
+    "concurrent_intervals_sweep",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

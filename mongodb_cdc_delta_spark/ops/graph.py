@@ -103,3 +103,74 @@ def boilerplate_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("id").asc())
         .limit(20)
     )
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    from .dedup import _JACCARD_CTES
+
+    return f"""
+    WITH {_JACCARD_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {threshold}
+    )"""
+
+
+@register(
+    "dedup_triangle_counts",
+    oracle=_jaccard_pairs_sql(0.02)
+    + """,
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY doc_id
+    """,
+    description="triangle participation per document over the near-dup "
+    "graph (trigram Jaccard >= 0.02): docs in many similarity triangles "
+    "sit inside DENSE duplicate neighborhoods (template families), a "
+    "stronger signal than degree alone. The classic distributed motif "
+    "count: edges stored a<b once, two joins enumerate wedges and close "
+    "them — shuffle keys are vertex ids, work bounded by sum(deg^2), "
+    "never corpus size.",
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.02, max_shingle_df=100
+    ).select("doc_a", "doc_b")
+    # pairs feeds three join branches; materialize once with known size
+    # (cache, not localCheckpoint — the round-3 planning-cost lesson)
+    pairs = pairs.cache()
+    pairs.count()
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

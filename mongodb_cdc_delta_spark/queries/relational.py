@@ -2467,3 +2467,67 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "concurrent_intervals_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events
+    ), pts AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv
+    ), byt AS (
+      SELECT event_type, t, sum(d) AS d FROM pts GROUP BY event_type, t
+    ), run AS (
+      SELECT event_type, t,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t) AS conc
+      FROM byt
+    ), mx AS (
+      SELECT event_type, max(conc) AS peak FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak_concurrency,
+           CAST(epoch_us(min(r.t)) AS BIGINT) AS first_peak_us
+    FROM run r JOIN mx m ON m.event_type = r.event_type AND r.conc = m.peak
+    GROUP BY r.event_type, m.peak
+    """,
+    description="interval-overlap sweep: treat each event as a 5-minute "
+    "active interval and find per-type peak concurrency (and when it "
+    "first occurs) via the +1/-1 boundary-point sweep — boundaries "
+    "pre-aggregated per timestamp so the running sum is over UNIQUE "
+    "(type, t) keys (deterministic under any partition order), one "
+    "shuffle for the window, one for the peak join. The sweep scales as "
+    "one pass over 2n boundary points; no interval self-join ever "
+    "materializes.",
+    tags=("window", "events", "interval"),
+)
+def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    pts = ev.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        ev.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    byt = pts.groupBy("event_type", "t").agg(F.sum("d").alias("d"))
+    run = byt.withColumn(
+        "conc",
+        F.sum("d").over(Window.partitionBy("event_type").orderBy("t")),
+    )
+    mx = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(mx, "event_type")
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.unix_micros(F.min("t")).alias("first_peak_us"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.col("first_peak_us").cast("long"),
+        )
+    )
