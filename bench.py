@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_ensemble_flags",
     "dedup_triangle_counts",
     "concurrent_intervals_sweep",
+    "weighted_reservoir_sample",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -411,3 +411,43 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         Window.partitionBy("band").orderBy("m", "doc_id")
     )
     return banded.select("doc_id", "band", pos.alias("pos"))
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+               % 1000000 AS m
+      FROM documents
+    ), k AS (
+      SELECT doc_id, n_chars,
+             round(ln((m + 1) / 1000000.0) / n_chars, 10) AS skey
+      FROM s
+    )
+    SELECT doc_id, n_chars, skey FROM k
+    ORDER BY skey DESC, doc_id ASC LIMIT 50
+    """,
+    description="weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis A-ES): each doc draws a deterministic pseudo-uniform u from "
+    "an affine hash of its id and keeps key = ln(u)/weight (weight = doc "
+    "length); the global top-k by key IS an exact weighted sample. "
+    "Distributed shape: one scan + TakeOrdered — per-partition top-k "
+    "merges on the driver, no shuffle, no sequential reservoir. Key "
+    "rounded to 10 decimals with id tiebreak so cross-engine libm ulps "
+    "cannot reorder the boundary.",
+    tags=("llm-pipeline", "sampling"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    m = F.pmod(
+        F.pmod(F.col("doc_id") % 100003 * 2654435761 + 7919, F.lit(2147483648)),
+        F.lit(1000000),
+    )
+    skey = F.round(F.log((m + 1) / 1000000.0) / F.col("n_chars"), 10)
+    return (
+        docs.select("doc_id", "n_chars", skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )

@@ -324,3 +324,10 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "multimodal_phash_pairs", execute=True)
         assert "CartesianProduct" not in plan
         assert "block_val" in plan
+
+    def test_weighted_reservoir_is_take_ordered(self, spark):
+        # A-ES sampling must be scan + TakeOrdered: per-partition top-k
+        # merged on the driver, never a global sort or shuffle
+        plan = plan_of(spark, "weighted_reservoir_sample", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
