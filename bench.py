@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_triangle_counts",
     "concurrent_intervals_sweep",
     "weighted_reservoir_sample",
+    "char_entropy_score",
+    "hard_negative_mining",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

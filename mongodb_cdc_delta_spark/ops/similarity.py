@@ -697,3 +697,70 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         rescored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS cos_sim
+      FROM q JOIN embeddings e
+        ON e.label <> q.qlabel AND e.vec_id <> q.qid
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, neg_id ASC)
+                  AS rnk
+      FROM scored
+    )
+    SELECT qid, neg_id, neg_label, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description="hard-negative mining for retriever/embedding training: "
+    "for each query vector, the top-5 most similar vectors with a "
+    "DIFFERENT label — maximally confusing negatives. The query set is "
+    "small by construction (a training batch) so it broadcasts; scoring "
+    "is one scan of the corpus per batch and the per-query top-k is a "
+    "bounded window. At 100 TB the scan is replaced by the ANN index "
+    "(IVF/PQ) shortlist, same downstream shape.",
+    tags=("similarity", "llm-pipeline", "training"),
+)
+def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") != F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine_col(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("neg_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 5)
+        .select("qid", "neg_id", "neg_label", "cos_sim", F.col("rnk").cast("int"))
+    )

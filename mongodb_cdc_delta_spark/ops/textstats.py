@@ -637,3 +637,52 @@ def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
         scrub_pii(F.col("text")).alias("scrubbed"),
     )
+
+
+@register(
+    "char_entropy_score",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, ch, c,
+             sum(c) OVER (PARTITION BY doc_id) AS n
+      FROM cnt
+    )
+    SELECT doc_id,
+           round(-sum((c / CAST(n AS DOUBLE))
+                      * ln(c / CAST(n AS DOUBLE))), 6) AS char_entropy,
+           CAST(-sum((c / CAST(n AS DOUBLE))
+                     * ln(c / CAST(n AS DOUBLE))) < 2.0 AS INT)
+             AS low_entropy
+    FROM tot GROUP BY doc_id
+    """,
+    description="character-entropy quality signal (the Gopher/Dolma-style "
+    "gibberish screen): Shannon entropy of each document's character "
+    "distribution; near-zero entropy = repeated-character spam, "
+    "anomalously high = binary junk pasted as text. One explode + two "
+    "aggregations sharing the doc_id shuffle key; per-doc state is the "
+    "bounded character alphabet, never document length.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def char_entropy_score(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chars = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / n.cast("double")
+    return (
+        cnt.withColumn("p_lnp", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum("p_lnp"), 6).alias("char_entropy"),
+            (-F.sum("p_lnp") < 2.0).cast("int").alias("low_entropy"),
+        )
+    )
