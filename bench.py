@@ -134,6 +134,7 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "char_entropy_score",
     "hard_negative_mining",
+    "hierarchical_time_rollup",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -2531,3 +2531,70 @@ def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.col("first_peak_us").cast("long"),
         )
     )
+
+
+@register(
+    "hierarchical_time_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), daily AS (
+      SELECT event_type, date_trunc('day', h) AS d,
+             sum(n) AS n, sum(v) AS v, count(*) AS n_hours
+      FROM hourly GROUP BY event_type, date_trunc('day', h)
+    ), monthly AS (
+      SELECT event_type, date_trunc('month', d) AS m,
+             sum(n) AS n, sum(v) AS v,
+             sum(n_hours) AS n_hours, count(*) AS n_days
+      FROM daily GROUP BY event_type, date_trunc('month', d)
+    )
+    SELECT event_type, strftime(m, '%Y-%m') AS month,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(v AS DOUBLE) AS total_value,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM monthly
+    """,
+    description="hypertable-style hierarchical rollup: hour buckets "
+    "aggregate from raw events ONCE, then day aggregates from hour and "
+    "month from day — each coarser level reads the previous aggregate, "
+    "never the raw table (the continuous-aggregate refresh shape: at "
+    "100 TB the raw scan happens exactly once and every level above is "
+    "bounded by bucket counts). Decimal value sums stay exact through "
+    "every level; one double emission at the end.",
+    tags=("agg", "rollup", "timeseries"),
+)
+def hierarchical_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).alias("v"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("v").alias("v"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "d").alias("m")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("v").alias("v"),
+        F.sum("n_hours").alias("n_hours"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return monthly.select(
+        "event_type",
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("v").cast("double").alias("total_value"),
+        F.col("n_hours").cast("long"),
+        F.col("n_days").cast("long"),
+    )

@@ -331,3 +331,10 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "weighted_reservoir_sample", execute=True)
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
+
+    def test_hard_negatives_broadcast_batch(self, spark):
+        # the non-equi (label <>) join must broadcast the bounded query
+        # batch, never cartesian-product two corpus-sized sides
+        plan = plan_of(spark, "hard_negative_mining", execute=True)
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
