@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -75,10 +75,14 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     path); the deterministic fake folds bytes into FEATURE_DIM buckets so
     the full pipeline remains testable end-to-end.
     """
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     pad = (-len(arr)) % FEATURE_DIM
     if pad:
         arr = np.pad(arr, (0, pad))
+    # float64 throughout: byte sums are exact integers in double, so the
+    # feature means are engine-reproducible (the DuckDB oracle recomputes
+    # them from codepoints) — a float32 accumulator would drift in the
+    # 7th digit and break the cross-engine hash
     return arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
 
 
@@ -116,7 +120,7 @@ FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -144,13 +148,35 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # Pandas-UDF kernel; plumbing verified in tests
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text, strlen(text) AS n FROM documents
+      WHERE regexp_matches(text, '^[ -~]*$')
+    ), s AS (
+      SELECT doc_id, n,
+             CAST(list_sum(list_transform(generate_series(1, n),
+                                          i -> ascii(text[i])))
+                  AS DOUBLE) AS bsum
+      FROM a
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           round(bsum / ceil(n / 8.0) / 255.0, 6) AS feature_sum
+    FROM s
+    """,
     description="binary→feature extraction via mapInPandas (stub decode "
-    "kernel, real Arrow batching/schema/partitioning)",
+    "kernel, real Arrow batching/schema/partitioning). The stub folds "
+    "payload bytes into 8 column means, so sum(features) reduces to "
+    "total_byte_sum / ceil(n/8) / 255 — which DuckDB recomputes from "
+    "codepoints, making the Arrow round-trip itself hash-checked. Both "
+    "engines restrict to ASCII-printable docs so byte == codepoint "
+    "(the frame-sample oracle already relies on the same invariant).",
     tags=("multimodal", "pandas_udf"),
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    media = as_media_table(load(spark, sf, "documents"))
+    docs = load(spark, sf, "documents").where(
+        F.col("text").rlike("^[ -~]*$")
+    )
+    media = as_media_table(docs)
     feats = extract_features(media)
     # summarize to keep driver-side comparison small and schema stable
     return feats.select(
