@@ -135,6 +135,7 @@ HEADLINE = [
     "char_entropy_score",
     "hard_negative_mining",
     "hierarchical_time_rollup",
+    "decontaminate_bloom_portable",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -1399,7 +1399,8 @@ def _bloom_probes(col):
 
 
 def bloom_decontaminate_flags(
-    train: DataFrame, eval_set: DataFrame, n: int = 3
+    train: DataFrame, eval_set: DataFrame, n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, n_maybe_shared): decontamination prefilter via a
     DataFrame-native Bloom filter over the eval shingle hashes.
@@ -1415,9 +1416,10 @@ def bloom_decontaminate_flags(
     rechecked on the flagged subset only. The two-stage shape: sketch
     prefilter at scan speed → exact verify on survivors."""
     spark = train.sparkSession
-    ev_hashes = shingles(eval_set, n=n).select(
-        F.xxhash64("shingle").alias("sh")
+    gram_hash = (
+        F.expr(_SHINGLE_POLY) if portable else F.xxhash64("shingle")
     )
+    ev_hashes = shingles(eval_set, n=n).select(gram_hash.alias("sh"))
     probes = _bloom_probes(F.col("sh"))
     words = (
         ev_hashes.select(
@@ -1438,7 +1440,7 @@ def bloom_decontaminate_flags(
         bitmap[int(r["w"])] = int(r["m"])
     bf = spark.createDataFrame([(bitmap,)], "bf array<long>")
     tr_sh = shingles(train, n=n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+        "doc_id", gram_hash.alias("sh")
     )
     tr_p = tr_sh.select(
         "doc_id",
@@ -1575,4 +1577,76 @@ def dedup_ensemble_flags(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
             .alias("flagged"),
         )
+    )
+
+
+@register(
+    "decontaminate_bloom_portable",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ), evg AS (
+      SELECT DISTINCT
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket < 200) t,
+           LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ), evh AS (
+      SELECT DISTINCT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(g)),
+                                i -> CAST(ascii(g[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS ph
+      FROM evg
+    ), co(ci, a, b) AS (
+      VALUES (0, 2654435761, 7919), (1, 40503, 104729),
+             (2, 69621, 3571), (3, 48271, 16807)
+    ), evb AS (
+      SELECT DISTINCT ((ph % 2147483647) * a + b) % 1048576 AS bit
+      FROM evh CROSS JOIN co
+    ), trg AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket >= 200) t,
+           LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ), trh AS (
+      SELECT doc_id, g,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(g)),
+                                i -> CAST(ascii(g[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS ph
+      FROM trg
+    ), hits AS (
+      SELECT t.doc_id, t.g
+      FROM (SELECT doc_id, g,
+                   ci, ((ph % 2147483647) * a + b) % 1048576 AS bit
+            FROM trh CROSS JOIN co) t
+      JOIN evb USING (bit)
+      GROUP BY t.doc_id, t.g
+      HAVING count(DISTINCT ci) = 4
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe_shared
+    FROM hits GROUP BY doc_id
+    """,
+    description="the Bloom decontamination prefilter with an engine-"
+    "portable polynomial gram hash: the ENTIRE sketch pipeline — eval "
+    "shingle hashes, k affine bit probes, bitmap membership, per-doc "
+    "maybe-counts — is value-checked against DuckDB reproducing the "
+    "bitset from scratch. Spark still builds a real bit_or bitmap and "
+    "probes it scan-locally with NO join on the training side; the "
+    "production variant (decontaminate_bloom_prefilter) keeps xxhash64.",
+    tags=("dedup", "llm-pipeline", "decontamination", "sketch"),
+)
+def decontaminate_bloom_portable(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    return bloom_decontaminate_flags(
+        docs.where(bucket >= 200), docs.where(bucket < 200), portable=True
     )

@@ -81,10 +81,106 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     return ranks
 
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    from .dedup import _JACCARD_CTES
+
+    return f"""
+    WITH {_JACCARD_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {threshold}
+    )"""
+
+
 @register(
     "boilerplate_pagerank",
-    oracle=None,  # iterative float fixpoint; equivalence with a pure-
-    # Python reference power iteration asserted in tests/test_graph.py
+    oracle=_jaccard_pairs_sql(0.05)
+    + """,
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM sym),
+    nn AS (SELECT count(*) AS n FROM verts),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+    c1 AS (
+      SELECT s.dst AS id, sum(r.rank / d.deg) AS mass
+      FROM sym s
+      JOIN r0 r ON r.id = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    ),
+    r1 AS (
+      SELECT v.id,
+             0.15000000000000002 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c1.mass, 0.0) AS rank
+      FROM verts v LEFT JOIN c1 ON c1.id = v.id
+    ),
+    c2 AS (
+      SELECT s.dst AS id, sum(r.rank / d.deg) AS mass
+      FROM sym s
+      JOIN r1 r ON r.id = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    ),
+    r2 AS (
+      SELECT v.id,
+             0.15000000000000002 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c2.mass, 0.0) AS rank
+      FROM verts v LEFT JOIN c2 ON c2.id = v.id
+    ),
+    c3 AS (
+      SELECT s.dst AS id, sum(r.rank / d.deg) AS mass
+      FROM sym s
+      JOIN r2 r ON r.id = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    ),
+    r3 AS (
+      SELECT v.id,
+             0.15000000000000002 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c3.mass, 0.0) AS rank
+      FROM verts v LEFT JOIN c3 ON c3.id = v.id
+    ),
+    c4 AS (
+      SELECT s.dst AS id, sum(r.rank / d.deg) AS mass
+      FROM sym s
+      JOIN r3 r ON r.id = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    ),
+    r4 AS (
+      SELECT v.id,
+             0.15000000000000002 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c4.mass, 0.0) AS rank
+      FROM verts v LEFT JOIN c4 ON c4.id = v.id
+    ),
+    c5 AS (
+      SELECT s.dst AS id, sum(r.rank / d.deg) AS mass
+      FROM sym s
+      JOIN r4 r ON r.id = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    ),
+    r5 AS (
+      SELECT v.id,
+             0.15000000000000002 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c5.mass, 0.0) AS rank
+      FROM verts v LEFT JOIN c5 ON c5.id = v.id
+    )
+    SELECT id, round(rank, 8) AS rank FROM r5
+    ORDER BY rank DESC, id ASC LIMIT 20
+    """,
+    # 5 unrolled power iterations in plain SQL — float literals mirror the
+    # Spark side bit-for-bit ((1.0-0.85) is 0.15000000000000002 in IEEE
+    # double, NOT 0.15); add-order drift is ~1e-15, far under the round-8
+    # emission. Equivalence with a pure-Python reference power iteration
+    # is ALSO asserted in tests/test_graph.py.
     description="PageRank over the trigram-Jaccard near-dup graph: "
     "template/boilerplate hubs (docs similar to many others) surface "
     "with high rank. 5 power iterations, one (vertex, mass) shuffle "
@@ -103,20 +199,6 @@ def boilerplate_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("id").asc())
         .limit(20)
     )
-
-
-def _jaccard_pairs_sql(threshold: float) -> str:
-    from .dedup import _JACCARD_CTES
-
-    return f"""
-    WITH {_JACCARD_CTES},
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-            >= {threshold}
-    )"""
 
 
 @register(
