@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import load, register
+from ..queries import load, register, spread
 
 CHUNK = 64
 STRIDE = 48
@@ -254,10 +254,9 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", 1, 40).alias("head"),
     )
     # a 1-file corpus reads as ONE input partition, and a broadcast join
-    # inherits the streamed side's parallelism — without this repartition
-    # every edit distance runs in a single task; 5k rows make the extra
-    # Exchange free
-    a = d.repartition(32).alias("a")
+    # inherits the streamed side's parallelism — without this spread every
+    # edit distance runs in a single task; 5k rows make the Exchange free
+    a = spread(d).alias("a")
     b = d.alias("b")
     # thresholded variant: early-exits once distance exceeds the cap
     # (returns -1), turning the per-pair cost from O(40x40) worst case

@@ -122,6 +122,21 @@ _JACCARD_CTES = """
     )
 """
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """WITH-prefix producing the thresholded ``pairs`` CTE — the one
+    shared entry point for every oracle built on the Jaccard pair graph
+    (pairs, PageRank, triangles, ensemble flags)."""
+    return f"""
+    WITH {_JACCARD_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {threshold}
+    )"""
+
+
 JACCARD_ORACLE = f"""
     WITH {_JACCARD_CTES}
     SELECT doc_a, doc_b,
@@ -1493,18 +1508,12 @@ def decontaminate_bloom_prefilter(
 
 @register(
     "dedup_ensemble_flags",
-    oracle=f"""
-    WITH {_JACCARD_CTES},
-    tpairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
-    ),
+    oracle=_jaccard_pairs_sql(0.05)
+    + """,
     tdup AS (
       SELECT DISTINCT doc_id FROM (
-        SELECT doc_a AS doc_id FROM tpairs
-        UNION ALL SELECT doc_b FROM tpairs)
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)
     ),
     epairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1559,11 +1568,14 @@ def dedup_ensemble_flags(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .withColumn("e", F.lit(1))
     )
+    # tdup/edup scale with the number of flagged docs (unbounded at
+    # corpus scale) — let AQE pick the join strategy rather than forcing
+    # a driver broadcast of a potentially corpus-sized id set
     return (
         docs.select("doc_id")
-        .join(F.broadcast(tdup), "doc_id", "left")
+        .join(tdup, "doc_id", "left")
         .join(
-            F.broadcast(edup),
+            edup,
             F.col("doc_id") == F.col("vec_id"),
             "left",
         )

@@ -81,18 +81,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     return ranks
 
 
-def _jaccard_pairs_sql(threshold: float) -> str:
-    from .dedup import _JACCARD_CTES
-
-    return f"""
-    WITH {_JACCARD_CTES},
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-            >= {threshold}
-    )"""
+from .dedup import _jaccard_pairs_sql  # noqa: E402
 
 
 @register(
@@ -233,10 +222,12 @@ def dedup_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.02, max_shingle_df=100
     ).select("doc_a", "doc_b")
-    # pairs feeds three join branches; materialize once with known size
-    # (cache, not localCheckpoint — the round-3 planning-cost lesson)
-    pairs = pairs.cache()
-    pairs.count()
+    # pairs feeds three join branches; materialize once so candidate
+    # generation runs once, via localCheckpoint like connected_components
+    # does for the same edge list — a cache() here would pin the blocks
+    # for the rest of the session (nothing can unpersist after the lazy
+    # result escapes), starving later queries' storage memory
+    pairs = pairs.localCheckpoint(eager=True)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))

@@ -75,6 +75,8 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     path); the deterministic fake folds bytes into FEATURE_DIM buckets so
     the full pipeline remains testable end-to-end.
     """
+    if not payload:
+        payload = b"\x00"  # empty blob decodes as one zero byte, not NaN
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     pad = (-len(arr)) % FEATURE_DIM
     if pad:
@@ -151,7 +153,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT doc_id, text, strlen(text) AS n FROM documents
-      WHERE regexp_matches(text, '^[ -~]*$')
+      WHERE NOT regexp_matches(text, '[^ -~]') AND strlen(text) >= 1
     ), s AS (
       SELECT doc_id, n,
              CAST(list_sum(list_transform(generate_series(1, n),
@@ -174,7 +176,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").where(
-        F.col("text").rlike("^[ -~]*$")
+        (~F.col("text").rlike("[^ -~]")) & (F.length("text") >= 1)
     )
     media = as_media_table(docs)
     feats = extract_features(media)
@@ -264,8 +266,10 @@ def _decode_gray_stub(payload: bytes) -> np.ndarray:
     Production would be PIL open → convert('L') → resize((32, 32));
     PIL is absent in this container. Deterministic, so identical payloads
     hash identically and the full dedup path is testable."""
+    if not payload:
+        payload = b"\x00"  # tiling an empty blob would stay empty
     target = _PHASH_SIDE * _PHASH_SIDE
-    reps = -(-target // max(len(payload), 1))
+    reps = -(-target // len(payload))
     return (
         np.frombuffer((payload * reps)[:target], dtype=np.uint8)
         .astype(np.float64)

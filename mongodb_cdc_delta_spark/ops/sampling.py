@@ -30,13 +30,19 @@ from ..queries import load, register
 _MOD = 10_000
 
 
-def sample_bucket(key: Column) -> Column:
-    """Deterministic bucket in [0, 10000) from an integer key column."""
-    mixed = F.pmod(
+def _affine_mix(key: Column) -> Column:
+    """((key % 100003) * 2654435761 + 7919) % 2^31 — the engine-portable
+    pseudorandom mix every deterministic sampler here derives from (the
+    SQL oracles inline the same constants)."""
+    return F.pmod(
         F.pmod(key.cast("long"), F.lit(100003)) * 2654435761 + 7919,
         F.lit(2147483648),
     )
-    return F.pmod(mixed, F.lit(_MOD))
+
+
+def sample_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from an integer key column."""
+    return F.pmod(_affine_mix(key), F.lit(_MOD))
 
 
 def deterministic_sample(
@@ -284,12 +290,7 @@ def corpus_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf, "documents")
-    mixed = F.pmod(
-        F.pmod(F.col("doc_id").cast("long"), F.lit(100003)) * 2654435761
-        + 7919,
-        F.lit(2147483648),
-    )
-    with_m = docs.select("doc_id", mixed.alias("m"))
+    with_m = docs.select("doc_id", _affine_mix(F.col("doc_id")).alias("m"))
     shard = F.pmod(F.col("m"), F.lit(_N_SHARDS)).cast("int")
     pos = F.row_number().over(
         Window.partitionBy(F.pmod(F.col("m"), F.lit(_N_SHARDS))).orderBy(
@@ -399,11 +400,7 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     band = F.ntile(4).over(
         Window.orderBy(F.col("p").desc(), F.col("doc_id").asc())
     )
-    mixed = F.pmod(
-        F.pmod(F.col("doc_id").cast("long"), F.lit(100003)) * 2654435761
-        + 7919,
-        F.lit(2147483648),
-    )
+    mixed = _affine_mix(F.col("doc_id"))
     banded = scored.select(
         "doc_id", "p", band.alias("band"), mixed.alias("m")
     )
@@ -441,10 +438,7 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
 )
 def weighted_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    m = F.pmod(
-        F.pmod(F.col("doc_id") % 100003 * 2654435761 + 7919, F.lit(2147483648)),
-        F.lit(1000000),
-    )
+    m = F.pmod(_affine_mix(F.col("doc_id")), F.lit(1000000))
     skey = F.round(F.log((m + 1) / 1000000.0) / F.col("n_chars"), 10)
     return (
         docs.select("doc_id", "n_chars", skey.alias("skey"))

@@ -2360,13 +2360,25 @@ def sql_api_orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 )
 def small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
-    pa = l.groupBy("l_partkey").agg(
-        (
-            F.sum(_dec(F.col("l_quantity"))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
     p = load(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    # per-part averages only for the brand's parts (semi-join first): the
+    # unfiltered groupBy would aggregate and ship ~50x more rows than the
+    # join can ever use; non-brand rows never survive it, so the result —
+    # and the oracle — are unchanged
+    pa = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(_dec(F.col("l_quantity"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(pa), "l_partkey")
