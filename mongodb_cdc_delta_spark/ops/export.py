@@ -1,0 +1,79 @@
+"""Corpus export: deterministic sharded JSONL + manifest.
+
+Training pipelines hand corpora downstream as fixed shard counts of JSONL
+(one doc per line) plus a manifest recording per-shard row/byte counts —
+the contract loaders and data-mixing configs consume. The export is
+deterministic end to end: shard assignment is a key hash (reruns place
+every row in the same shard) and rows within a shard are written in key
+order (reruns produce byte-identical files), so shards can be diffed,
+cached, and resumed safely.
+
+Scale shape: one hash repartition to n_shards (each task owns exactly one
+shard → exactly one output file per shard directory), sort within
+partitions only (no global sort), manifest computed as one aggregate over
+the same frame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "manifest.json"
+
+
+def export_sharded_jsonl(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 16,
+) -> dict:
+    """Write ``df`` as ``n_shards`` JSONL shard directories under ``path``
+    (``shard=NN/part-*.json``) plus a ``manifest.json``; returns the
+    manifest dict ``{shard: {"rows": n, "bytes": b}}`` (bytes = sum of
+    JSON line lengths, excluding newlines)."""
+    shard = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
+    with_shard = df.withColumn("shard", shard)
+    line_bytes = F.octet_length(
+        F.to_json(F.struct(*[c for c in df.columns]))
+    )
+    stats = (
+        with_shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(line_bytes).alias("bytes"),
+        )
+        .collect()
+    )  # bounded: one row per shard
+    (
+        with_shard.repartition(n_shards, "shard")
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    manifest = {
+        int(r["shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
+        for r in stats
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(
+            {
+                "n_shards": n_shards,
+                "key": key,
+                "total_rows": sum(m["rows"] for m in manifest.values()),
+                "shards": {str(k): v for k, v in sorted(manifest.items())},
+            },
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        return json.load(f)

@@ -238,11 +238,11 @@ _DRIVER_PRIORITY = (
     "quality_validation_split",
     "quality_pii_mask",
     "quality_encrypt_roundtrip",
-    "quality_rename_dateconvert",
+    "decontaminate_bloom_portable",
     "session_window_native",
     "tumbling_window_counts",
     # LLM-data-pipeline ops
-    "dedup_exact",
+    "boilerplate_pagerank",
     "dedup_ngram_jaccard",
     "dedup_winnowing_pairs",
     "dedup_span_extract",

@@ -1,0 +1,62 @@
+"""Sharded JSONL export: determinism, manifest accuracy, roundtrip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_delta_spark.ops.export import (
+    export_sharded_jsonl,
+    read_manifest,
+)
+from mongodb_cdc_delta_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestShardedExport:
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        docs = load(spark, SF, "documents").select("doc_id", "text", "lang")
+        out = str(tmp_path / "corpus")
+        manifest = export_sharded_jsonl(docs, out, key="doc_id", n_shards=4)
+
+        # manifest row counts sum to the corpus
+        n = docs.count()
+        assert sum(m["rows"] for m in manifest.values()) == n
+        disk = read_manifest(out)
+        assert disk["total_rows"] == n
+        assert disk["n_shards"] == 4
+
+        # roundtrip: reading the shards back recovers every row exactly
+        back = spark.read.json(out).select("doc_id", "text", "lang")
+        assert back.count() == n
+        assert (
+            docs.exceptAll(back).count() == 0
+            and back.exceptAll(docs).count() == 0
+        )
+
+        # one output file per shard directory (task-per-shard layout)
+        for d in glob.glob(os.path.join(out, "shard=*")):
+            files = [
+                f for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".json")
+            ]
+            assert len(files) == 1, d
+
+    def test_deterministic_across_runs(self, spark, tmp_path):
+        docs = load(spark, SF, "documents").select("doc_id", "text")
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        ma = export_sharded_jsonl(docs, a, key="doc_id", n_shards=3)
+        mb = export_sharded_jsonl(docs, b, key="doc_id", n_shards=3)
+        assert ma == mb
+        # shard files are byte-identical between runs
+        for d in sorted(os.listdir(a)):
+            if not d.startswith("shard="):
+                continue
+            fa = sorted(glob.glob(os.path.join(a, d, "part-*.json")))
+            fb = sorted(glob.glob(os.path.join(b, d, "part-*.json")))
+            assert len(fa) == len(fb) == 1
+            with open(fa[0], "rb") as f1, open(fb[0], "rb") as f2:
+                assert f1.read() == f2.read()
