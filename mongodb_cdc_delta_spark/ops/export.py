@@ -77,3 +77,29 @@ def export_sharded_jsonl(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         return json.load(f)
+
+
+def read_sharded_jsonl(
+    spark,
+    path: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Read a sharded-JSONL corpus written by :func:`export_sharded_jsonl`.
+
+    With ``validate=True`` the row count is checked against the manifest —
+    a cheap end-to-end integrity gate for corpus hand-offs (a lost or
+    truncated shard surfaces immediately instead of as silently missing
+    training data)."""
+    df = spark.read.json(path)
+    if "shard" in df.columns:
+        df = df.drop("shard")  # partition column re-materialized by read
+    if validate:
+        manifest = read_manifest(path)
+        got = df.count()
+        want = manifest["total_rows"]
+        if got != want:
+            raise ValueError(
+                f"sharded corpus at {path} has {got} rows; manifest "
+                f"promises {want} — a shard is missing or truncated"
+            )
+    return df

@@ -60,3 +60,24 @@ class TestShardedExport:
             assert len(fa) == len(fb) == 1
             with open(fa[0], "rb") as f1, open(fb[0], "rb") as f2:
                 assert f1.read() == f2.read()
+
+    def test_read_back_validates_manifest(self, spark, tmp_path):
+        docs = load(spark, SF, "documents").select("doc_id", "text")
+        out = str(tmp_path / "c")
+        export_sharded_jsonl(docs, out, key="doc_id", n_shards=2)
+        from mongodb_cdc_delta_spark.ops.export import read_sharded_jsonl
+
+        back = read_sharded_jsonl(spark, out)
+        assert back.count() == docs.count()
+
+        # corrupt: delete one shard directory -> validation must raise
+        import shutil
+
+        shard_dir = sorted(
+            d for d in os.listdir(out) if d.startswith("shard=")
+        )[0]
+        shutil.rmtree(os.path.join(out, shard_dir))
+        import pytest
+
+        with pytest.raises(ValueError, match="manifest"):
+            read_sharded_jsonl(spark, out)
