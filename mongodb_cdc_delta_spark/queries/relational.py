@@ -2610,3 +2610,62 @@ def hierarchical_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hours").cast("long"),
         F.col("n_days").cast("long"),
     )
+
+
+@register(
+    "user_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           round(max(d.med), 6) AS med,
+           round(max(mad.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (user_id)
+    GROUP BY d.user_id
+    """,
+    description="robust per-user outlier screen: median + median absolute "
+    "deviation (exact interpolated percentiles — identical IEEE semantics "
+    "to percentile_cont), events beyond 3 MAD counted. MAD tolerates the "
+    "heavy tails that wreck mean/stddev z-scores. Two grouped exact "
+    "percentiles + key joins; at 100 TB swap percentile() for "
+    "approx_percentile (t-digest) — the composition is unchanged.",
+    tags=("agg", "robust-stats", "events"),
+)
+def user_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("d") > 3 * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

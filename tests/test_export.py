@@ -81,3 +81,25 @@ class TestShardedExport:
 
         with pytest.raises(ValueError, match="manifest"):
             read_sharded_jsonl(spark, out)
+
+
+class TestCompressionRatio:
+    def test_separates_repetition_and_is_deterministic(self, spark):
+        from mongodb_cdc_delta_spark.ops.textstats import compression_ratios
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam " * 200),
+                (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        a = {r.doc_id: r for r in compression_ratios(df).collect()}
+        b = {r.doc_id: r for r in compression_ratios(df).collect()}
+        assert a[1].ratio < a[2].ratio / 3  # repetition compresses far better
+        assert a[3].ratio == 1.0 and a[3].n_bytes == 0  # empty-doc guard
+        assert {k: v.ratio for k, v in a.items()} == {
+            k: v.ratio for k, v in b.items()
+        }  # deterministic across runs
+        assert all(r.comp_bytes > 0 for r in a.values())
