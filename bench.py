@@ -138,6 +138,8 @@ HEADLINE = [
     "decontaminate_bloom_portable",
     "user_value_mad_outliers",
     "compression_ratio_score",
+    "value_histogram",
+    "top_event_trigrams",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -2669,3 +2669,99 @@ def user_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ), bucketed AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+               AS bucket,
+             lo, hi
+      FROM events, b
+    )
+    SELECT bucket,
+           round(min(lo) + bucket * ((min(hi) - min(lo)) / 10.0), 6)
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY bucket
+    """,
+    description="equi-width histogram (10 buckets) over a measure: the "
+    "range scalar broadcasts from a one-row min/max aggregate, bucketing "
+    "is a pure projection, one shuffle for the counts — the profile "
+    "primitive behind optimizer NDV/range stats and data-quality drift "
+    "checks. The top bucket is closed (least(...,9)) so hi lands in "
+    "bucket 9 on both engines.",
+    tags=("agg", "histogram", "profile"),
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("value")
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.lit(9),
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.min("lo")
+                + F.col("bucket") * ((F.min("hi") - F.min("lo")) / 10.0),
+                6,
+            ).alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "top_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram ASC
+    LIMIT 20
+    """,
+    description="sequential pattern mining: top-20 three-step event-type "
+    "sequences per user timeline (lead windows over a unique (ts, "
+    "event_id) order, so results are deterministic under any "
+    "parallelism). One window shuffle on user_id + one count shuffle; "
+    "n-gram mining over billions of events stays two shuffles at any "
+    "scale.",
+    tags=("window", "events", "sequence"),
+)
+def top_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(20)
+    )
