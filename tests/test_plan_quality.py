@@ -338,3 +338,19 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "hard_negative_mining", execute=True)
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_value_histogram_range_broadcast(self, spark):
+        # the min/max range is a one-row broadcast; bucketing is a pure
+        # projection — no cartesian of data-sized sides, counts are the
+        # only hash shuffle (plus the scalar aggregate's single-partition
+        # exchange)
+        plan = plan_of(spark, "value_histogram", execute=True)
+        assert "CartesianProduct" not in plan
+        assert count(r"Exchange hashpartitioning", plan.split("== Initial Plan ==")[0]) <= 1
+
+    def test_trigram_mining_two_shuffles(self, spark):
+        # lead windows share the user_id partitioning; the n-gram count
+        # adds one more hash shuffle; top-k is TakeOrdered (no sort)
+        plan = plan_of(spark, "top_event_trigrams", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert count(r"Exchange hashpartitioning", plan.split("== Initial Plan ==")[0]) <= 2
