@@ -35,30 +35,45 @@ def export_sharded_jsonl(
     (``shard=NN/part-*.json``) plus a ``manifest.json``; returns the
     manifest dict ``{shard: {"rows": n, "bytes": b}}`` (bytes = sum of
     JSON line lengths, excluding newlines)."""
+    if "shard" in df.columns:
+        raise ValueError(
+            "'shard' is a reserved column name for sharded export — "
+            "rename it first (it would be clobbered by the shard id)"
+        )
     shard = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
     with_shard = df.withColumn("shard", shard)
-    line_bytes = F.octet_length(
-        F.to_json(F.struct(*[c for c in df.columns]))
-    )
-    stats = (
-        with_shard.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(line_bytes).alias("bytes"),
-        )
-        .collect()
-    )  # bounded: one row per shard
+    # sort by EVERY column, not just the key: sortWithinPartitions(key)
+    # alone is not a total order, and tie order would follow shuffle-fetch
+    # arrival — nondeterministic on a real cluster (identical full rows
+    # may still swap, which is byte-invisible)
+    order_cols = [key] + [c for c in df.columns if c != key]
     (
         with_shard.repartition(n_shards, "shard")
-        .sortWithinPartitions(key)
+        .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .json(path)
     )
-    manifest = {
-        int(r["shard"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
-        for r in stats
-    }
+    # manifest from the files actually written (never a second df job —
+    # a separate pre-write aggregate could disagree with the materialized
+    # shards if the lineage reads a moving source, and it recomputes the
+    # corpus). bytes = JSON line lengths (file size minus one newline per
+    # row). Local-filesystem paths; for object stores swap in the
+    # FileSystem client.
+    manifest = {}
+    for d in os.listdir(path):
+        if not d.startswith("shard="):
+            continue
+        sid = int(d.split("=", 1)[1])
+        rows = size = 0
+        for fn in os.listdir(os.path.join(path, d)):
+            if not (fn.startswith("part-") and fn.endswith(".json")):
+                continue
+            fp = os.path.join(path, d, fn)
+            size += os.path.getsize(fp)
+            with open(fp, "rb") as f:
+                rows += sum(1 for _ in f)
+        manifest[sid] = {"rows": rows, "bytes": size - rows}
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
         json.dump(
             {

@@ -712,7 +712,7 @@ def compression_ratios(docs: DataFrame, level: int = 6) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            raw = [(t or "").encode("utf-8") for t in pdf["text"]]
             comp = [len(zlib.compress(b, level)) for b in raw]
             n = [len(b) for b in raw]
             yield pd.DataFrame(

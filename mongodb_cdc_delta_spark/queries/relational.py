@@ -2677,8 +2677,10 @@ def user_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     WITH b AS (
       SELECT min(value) AS lo, max(value) AS hi FROM events
     ), bucketed AS (
-      SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
-               AS bucket,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo)
+                                        / ((hi - lo) / 10.0)) AS INT), 9)
+             END AS bucket,
              lo, hi
       FROM events, b
     )
@@ -2702,9 +2704,14 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / 10.0
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-        F.lit(9),
+    # hi == lo guard: 0/0 is NaN in Spark but NULL in DuckDB (and
+    # least() treats them differently) — a constant column is exactly
+    # what a profiler meets, so pin it to bucket 0 on both engines
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(9),
+        )
     )
     return (
         ev.crossJoin(F.broadcast(rng))
@@ -2733,7 +2740,8 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
            CAST(count(*) AS BIGINT) AS n
-    FROM seq WHERE e3 IS NOT NULL
+    FROM seq
+    WHERE event_type IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1
     ORDER BY n DESC, trigram ASC
     LIMIT 20
@@ -2756,7 +2764,11 @@ def top_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("e3"),
     )
     return (
-        seq.where(F.col("e3").isNotNull())
+        seq.where(
+            F.col("event_type").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
         )
