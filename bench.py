@@ -140,6 +140,8 @@ HEADLINE = [
     "compression_ratio_score",
     "value_histogram",
     "top_event_trigrams",
+    "event_gap_days",
+    "customer_rfm_segments",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

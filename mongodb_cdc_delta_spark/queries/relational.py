@@ -2777,3 +2777,128 @@ def top_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("trigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "event_gap_days",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT t AS day, e.event_type
+      FROM span,
+           LATERAL unnest(generate_series(d0, d1,
+                                          INTERVAL 1 DAY)) AS g(t),
+           (SELECT DISTINCT event_type FROM events) e
+    ), actual AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day
+    FROM spine s LEFT JOIN actual a
+      ON a.event_type = s.event_type AND a.day = s.day
+    WHERE a.day IS NULL
+    """,
+    description="date-spine gap detection: generate the full (day x "
+    "event_type) grid between the corpus' first and last day and "
+    "anti-join the observed days — silent-pipeline-outage detection. The "
+    "spine is generated from a one-row min/max aggregate (sequence + "
+    "explode, no stored calendar table); the anti-join keys are (type, "
+    "day) — tiny at any corpus scale.",
+    tags=("events", "timeseries", "quality"),
+)
+def event_gap_days(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    actual = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        spine.join(actual, ["event_type", "day"], "left_anti")
+        .select(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_order ASC, custkey ASC) AS r,
+             ntile(4) OVER (ORDER BY frequency ASC, custkey ASC) AS f,
+             ntile(4) OVER (ORDER BY CAST(monetary AS DOUBLE) ASC,
+                            custkey ASC) AS m
+      FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS segment_revenue
+    FROM scored GROUP BY r, f, m
+    """,
+    description="RFM segmentation: per-customer recency/frequency/monetary "
+    "quartiles (ntile over total orders with custkey tiebreaks so quartile "
+    "edges are deterministic cross-engine) rolled up to the 4x4x4 segment "
+    "grid with exact-decimal revenue. One groupBy + three windows over the "
+    "customer table — windows partition over ALL rows, so at extreme "
+    "scale swap ntile for approx-percentile cutpoints; the segment "
+    "semantics are unchanged.",
+    tags=("window", "agg", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rfm = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc()))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc()))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc()))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(_dec(F.col("monetary"))).cast("double"), 4
+            ).alias("segment_revenue"),
+        )
+    )
