@@ -520,17 +520,32 @@ def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     ) buyers_who_click
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events WHERE event_type IN ('error', 'purchase')
+    GROUP BY user_id
+    HAVING count(CASE WHEN event_type = 'error' THEN 1 END)
+         > count(CASE WHEN event_type = 'purchase' THEN 1 END)
     """,
-    description="INTERSECT + EXCEPT composition",
+    description="INTERSECT + EXCEPT composition: engaged buyers minus "
+    "churn-risk users (more errors than purchases). The EXCEPT side is a "
+    "data-relative predicate so every scale factor splits the user base "
+    "(an absolute threshold goes vacuous as per-user volumes shift).",
     tags=("setop",),
 )
 def set_ops(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     clicks = e.where(F.col("event_type") == "click").select("user_id").distinct()
     buys = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    errs = e.where(F.col("event_type") == "error").select("user_id").distinct()
-    return clicks.intersect(buys).exceptAll(errs)
+    churny = (
+        e.where(F.col("event_type").isin("error", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_buy"),
+        )
+        .where(F.col("n_err") > F.col("n_buy"))
+        .select("user_id")
+    )
+    return clicks.intersect(buys).exceptAll(churny)
 
 
 # ---------------------------------------------------------------------------
@@ -563,14 +578,21 @@ def semi_join(spark: SparkSession, sf: str) -> DataFrame:
     "anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     """,
-    description="left-anti join (NOT EXISTS)",
+    description="left-anti join (NOT EXISTS): lapsed customers — no order "
+    "since 1999. The recency predicate keeps the anti side non-empty at "
+    "every scale factor (every custkey has SOME order in generated data, "
+    "so an unfiltered NOT EXISTS is vacuously empty).",
     tags=("join", "anti"),
 )
 def anti_join(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1740,16 +1762,19 @@ def market_share(spark: SparkSession, sf: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%red%'
     GROUP BY 1, 2
     """,
     description="TPC-H Q9-style profit (revenue minus cost proxy) by "
     "supplier nation and year; part filter pushes into the scan, the "
-    "filtered part key set broadcasts into the lineitem join",
+    "filtered part key set broadcasts into the lineitem join. The part "
+    "predicate is '%red%' because generated p_name values are "
+    "'<adj> <noun>' with 'red' among the adjectives (TPC-H's 'green' "
+    "matches nothing here and made the oracle check vacuous).",
     tags=("q4", "join", "agg", "tpch"),
 )
 def product_profit(spark: SparkSession, sf: str) -> DataFrame:
-    p = load(spark, sf, "part").where(F.col("p_name").like("%green%"))
+    p = load(spark, sf, "part").where(F.col("p_name").like("%red%"))
     l = load(spark, sf, "lineitem")
     s = load(spark, sf, "supplier")
     o = load(spark, sf, "orders")
@@ -2786,26 +2811,32 @@ def top_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
       SELECT date_trunc('day', min(ts)) AS d0,
              date_trunc('day', max(ts)) AS d1
       FROM events
+    ), bucket_users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 3
     ), spine AS (
-      SELECT t AS day, e.event_type
+      SELECT u.user_id, t AS day
       FROM span,
            LATERAL unnest(generate_series(d0, d1,
                                           INTERVAL 1 DAY)) AS g(t),
-           (SELECT DISTINCT event_type FROM events) e
+           bucket_users u
     ), actual AS (
-      SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
     )
-    SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day
     FROM spine s LEFT JOIN actual a
-      ON a.event_type = s.event_type AND a.day = s.day
+      ON a.user_id = s.user_id AND a.day = s.day
     WHERE a.day IS NULL
     """,
-    description="date-spine gap detection: generate the full (day x "
-    "event_type) grid between the corpus' first and last day and "
-    "anti-join the observed days — silent-pipeline-outage detection. The "
-    "spine is generated from a one-row min/max aggregate (sequence + "
-    "explode, no stored calendar table); the anti-join keys are (type, "
-    "day) — tiny at any corpus scale.",
+    description="date-spine gap detection: generate the full (user x day) "
+    "grid between the corpus' first and last day for a hash bucket of "
+    "users and anti-join the observed activity days — per-entity "
+    "silent-outage detection. The spine comes from a one-row min/max "
+    "aggregate (sequence + explode, no stored calendar table) crossed "
+    "with the audited user bucket, so spine size is bounded by (bucket "
+    "users x span days) at any corpus scale; the bucket predicate keeps "
+    "the audit a fixed fraction of users. Per-user gaps exist at every "
+    "scale factor (events-per-user is scale-invariant in the generated "
+    "data, unlike the global type x day grid which is gap-free).",
     tags=("events", "timeseries", "quality"),
 )
 def event_gap_days(spark: SparkSession, sf: str) -> DataFrame:
@@ -2821,15 +2852,17 @@ def event_gap_days(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("day")
     )
-    types = ev.select("event_type").distinct()
-    spine = days.crossJoin(types)
+    bucket_users = (
+        ev.where(F.col("user_id") % 29 == 3).select("user_id").distinct()
+    )
+    spine = days.crossJoin(bucket_users)
     actual = ev.select(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
     return (
-        spine.join(actual, ["event_type", "day"], "left_anti")
+        spine.join(actual, ["user_id", "day"], "left_anti")
         .select(
-            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+            "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
         )
     )
 

@@ -96,6 +96,37 @@ def test_rows_only_queries_run(spark, sf_oracle, name):
     assert len(df.schema.fields) > 0
 
 
+def test_no_oracle_is_vacuous(sf_oracle):
+    """Every oracle query must return >0 rows at sf0.01.
+
+    A parity check on an empty result is 0 == 0 — it proves nothing about
+    the query logic (a sign-flipped join would also pass). Round 3 shipped
+    four such vacuous checks (event_gap_days, product_profit, set_ops,
+    anti_join — predicates that matched nothing in generated data); this
+    meta-test makes that class of regression impossible to ship silently.
+    DuckDB-only, so it costs milliseconds per query.
+    """
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_oracle, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    empty = []
+    for name in ORACLE_QUERIES:
+        n = con.execute(
+            f"SELECT count(*) FROM ({REGISTRY[name].oracle})"
+        ).fetchone()[0]
+        if n == 0:
+            empty.append(name)
+    assert not empty, (
+        f"vacuous oracle checks (0 rows at {sf_oracle}): {empty} — "
+        "tune the predicate to hit generated data or add a seeded-frame "
+        "unit test and make the query rows-only"
+    )
+
+
 def test_entry_smoke(spark, sf_smoke):
     import __spark_entry__ as e
 

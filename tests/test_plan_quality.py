@@ -190,7 +190,7 @@ class TestTpchBreadthPlans:
     def test_product_profit_part_filter_pushed(self, spark):
         plan = plan_of(spark, "product_profit", execute=True)
         assert "CartesianProduct" not in plan
-        # LIKE %green% pushes as a string-contains filter on the part scan
+        # LIKE %red% pushes as a string-contains filter on the part scan
         assert "p_name" in plan and "PushedFilters" in plan
 
     def test_top_supplier_revenue_reuses_rev_aggregate(self, spark):
