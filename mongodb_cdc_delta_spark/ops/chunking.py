@@ -446,8 +446,6 @@ _LAM = 0.7
     tags=("llm-pipeline", "textstats"),
 )
 def bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load(spark, sf, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
     uni = (
@@ -457,14 +455,13 @@ def bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     total = uni.agg(F.sum("n").cast("double").alias("t"))
+    # top-K caps via orderBy+limit → TakeOrdered, a tree-reduced
+    # DISTRIBUTED top-K (same shape as unigram_score). A row_number
+    # window here would funnel the entire distinct-token / distinct-bigram
+    # set through ONE partition — unbounded on a web-scale corpus.
     vocab = (
-        uni.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-            ),
-        )
-        .where(F.col("rk") <= VOCAB_CAP)
+        uni.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_CAP)
         .select("tok", "n")
     )
     bge = (
@@ -484,15 +481,8 @@ def bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
     bcounts = (
         bge.groupBy("p", "c")
         .agg(F.count("*").alias("n"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("n").desc(), F.col("p").asc(), F.col("c").asc()
-                )
-            ),
-        )
-        .where(F.col("rk") <= BIGRAM_CAP)
+        .orderBy(F.col("n").desc(), F.col("p").asc(), F.col("c").asc())
+        .limit(BIGRAM_CAP)
         .select(
             F.col("p").alias("bp"),
             F.col("c").alias("bc"),

@@ -370,23 +370,35 @@ def importance_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
                                           - 500) AS DOUBLE)
                                   / (1000.0 * count(*))))), 6) AS p
       FROM hb GROUP BY doc_id
+    ), q AS (
+      SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY p) AS q25,
+             percentile_cont(0.50) WITHIN GROUP (ORDER BY p) AS q50,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY p) AS q75
+      FROM scored
     ), banded AS (
       SELECT doc_id, p,
-             CAST(ntile(4) OVER (ORDER BY p DESC, doc_id ASC) AS INT)
-               AS band,
+             CAST(CASE WHEN p >= q75 THEN 1
+                       WHEN p >= q50 THEN 2
+                       WHEN p >= q25 THEN 3
+                       ELSE 4 END AS INT) AS band,
              (((doc_id % 100003) * 2654435761 + 7919) % 2147483648) AS m
-      FROM scored
+      FROM scored, q
     )
-    SELECT doc_id, band,
-           CAST(row_number() OVER (PARTITION BY band ORDER BY m, doc_id)
+    SELECT doc_id, band, CAST(m % 64 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY band, m % 64
+                                   ORDER BY m, doc_id)
                 AS INT) AS pos
     FROM banded
     """,
-    description="curriculum ordering: quality quartiles (ntile over the "
-    "ROUNDED classifier score, doc_id tiebreak — deterministic across "
-    "engines) with a reproducible pseudorandom order inside each band. "
-    "The easy-to-hard data-ordering step, zero extra scans beyond the "
-    "classifier aggregate",
+    description="curriculum ordering: quality quartiles via exact "
+    "percentile THRESHOLDS (Spark percentile() == percentile_cont "
+    "bit-for-bit) banded by value comparison — NOT ntile, whose global "
+    "window funnels the whole corpus through one partition. Position is "
+    "a reproducible pseudorandom rank within (band, shard): the shard "
+    "key caps every window group at corpus/64 per band, and the curriculum total "
+    "order is (band, shard, pos). Ties at a quartile boundary go to the "
+    "better band in both engines (>= comparison on identical threshold "
+    "bits), so the banding is deterministic without a tiebreak column.",
     tags=("llm-pipeline", "sampling", "quality"),
 )
 def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -397,17 +409,29 @@ def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     scored = classifier_scores(load(spark, sf, "documents")).select(
         "doc_id", F.round("p", 6).alias("p")
     )
-    band = F.ntile(4).over(
-        Window.orderBy(F.col("p").desc(), F.col("doc_id").asc())
+    qs = scored.agg(
+        F.expr("percentile(p, 0.25)").alias("q25"),
+        F.expr("percentile(p, 0.50)").alias("q50"),
+        F.expr("percentile(p, 0.75)").alias("q75"),
+    )
+    band = (
+        F.when(F.col("p") >= F.col("q75"), 1)
+        .when(F.col("p") >= F.col("q50"), 2)
+        .when(F.col("p") >= F.col("q25"), 3)
+        .otherwise(4)
+        .cast("int")
     )
     mixed = _affine_mix(F.col("doc_id"))
-    banded = scored.select(
+    banded = scored.crossJoin(F.broadcast(qs)).select(
         "doc_id", "p", band.alias("band"), mixed.alias("m")
     )
+    shard = (F.col("m") % 64).cast("int")
     pos = F.row_number().over(
-        Window.partitionBy("band").orderBy("m", "doc_id")
+        Window.partitionBy("band", F.col("m") % 64).orderBy("m", "doc_id")
     )
-    return banded.select("doc_id", "band", pos.alias("pos"))
+    return banded.select(
+        "doc_id", "band", shard.alias("shard"), pos.alias("pos")
+    )
 
 
 @register(

@@ -440,14 +440,12 @@ def cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     counters = all_probes.groupBy("i", "bucket").agg(
         F.sum("cnt").alias("v")
     )
+    # top-50 via orderBy+limit → TakeOrdered (distributed tree-reduced
+    # top-K); a row_number window would funnel the whole distinct-token
+    # set through ONE partition.
     top = (
-        hashed.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-            ),
-        )
-        .where(F.col("rk") <= 50)
+        hashed.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
         .select("tok", "cnt", "h")
     )
     top_probes = None

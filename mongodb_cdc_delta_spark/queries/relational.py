@@ -2876,14 +2876,40 @@ def event_gap_days(spark: SparkSession, sf: str) -> DataFrame:
              count(*) AS frequency,
              sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
       FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT
+        percentile_cont(0.25) WITHIN GROUP
+          (ORDER BY epoch_us(last_order)) AS r25,
+        percentile_cont(0.50) WITHIN GROUP
+          (ORDER BY epoch_us(last_order)) AS r50,
+        percentile_cont(0.75) WITHIN GROUP
+          (ORDER BY epoch_us(last_order)) AS r75,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+        percentile_cont(0.50) WITHIN GROUP (ORDER BY frequency) AS f50,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+        percentile_cont(0.25) WITHIN GROUP
+          (ORDER BY CAST(monetary AS DOUBLE)) AS m25,
+        percentile_cont(0.50) WITHIN GROUP
+          (ORDER BY CAST(monetary AS DOUBLE)) AS m50,
+        percentile_cont(0.75) WITHIN GROUP
+          (ORDER BY CAST(monetary AS DOUBLE)) AS m75
+      FROM rfm
     ), scored AS (
       SELECT custkey, frequency,
-             CAST(monetary AS DOUBLE) AS monetary,
-             ntile(4) OVER (ORDER BY last_order ASC, custkey ASC) AS r,
-             ntile(4) OVER (ORDER BY frequency ASC, custkey ASC) AS f,
-             ntile(4) OVER (ORDER BY CAST(monetary AS DOUBLE) ASC,
-                            custkey ASC) AS m
-      FROM rfm
+             CAST(monetary AS DOUBLE) AS monetary_d, monetary,
+             CAST(CASE WHEN epoch_us(last_order) > r75 THEN 4
+                       WHEN epoch_us(last_order) > r50 THEN 3
+                       WHEN epoch_us(last_order) > r25 THEN 2
+                       ELSE 1 END AS INT) AS r,
+             CAST(CASE WHEN frequency > f75 THEN 4
+                       WHEN frequency > f50 THEN 3
+                       WHEN frequency > f25 THEN 2
+                       ELSE 1 END AS INT) AS f,
+             CAST(CASE WHEN CAST(monetary AS DOUBLE) > m75 THEN 4
+                       WHEN CAST(monetary AS DOUBLE) > m50 THEN 3
+                       WHEN CAST(monetary AS DOUBLE) > m25 THEN 2
+                       ELSE 1 END AS INT) AS m
+      FROM rfm, q
     )
     SELECT r, f, m,
            CAST(count(*) AS BIGINT) AS n_customers,
@@ -2892,17 +2918,20 @@ def event_gap_days(spark: SparkSession, sf: str) -> DataFrame:
     FROM scored GROUP BY r, f, m
     """,
     description="RFM segmentation: per-customer recency/frequency/monetary "
-    "quartiles (ntile over total orders with custkey tiebreaks so quartile "
-    "edges are deterministic cross-engine) rolled up to the 4x4x4 segment "
-    "grid with exact-decimal revenue. One groupBy + three windows over the "
-    "customer table — windows partition over ALL rows, so at extreme "
-    "scale swap ntile for approx-percentile cutpoints; the segment "
-    "semantics are unchanged.",
+    "quartile bands via exact percentile THRESHOLDS (one 9-value aggregate "
+    "broadcast back, band by value comparison) rolled up to the 4x4x4 "
+    "segment grid with exact-decimal revenue. Threshold banding replaces "
+    "ntile — three global single-partition window sorts become one "
+    "all-reduce aggregate, so the plan scales to any customer count. "
+    "Semantics: band k means the value is above the (k-1) quartile "
+    "threshold (ties at a boundary fall to the lower band — deterministic "
+    "cross-engine because Spark percentile() matches percentile_cont "
+    "bit-for-bit on these inputs); unlike ntile, equal values always land "
+    "in the same band, at the cost of not forcing exactly-equal band "
+    "populations under heavy ties.",
     tags=("window", "agg", "segmentation"),
 )
 def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     rfm = (
         load(spark, sf, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -2912,26 +2941,44 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec(F.col("o_totalprice"))).alias("monetary"),
         )
     )
-    scored = rfm.select(
+    rfm = rfm.withColumn("rec_us", F.unix_micros("last_order"))
+    qs = rfm.agg(
+        F.expr("percentile(rec_us, 0.25)").alias("r25"),
+        F.expr("percentile(rec_us, 0.50)").alias("r50"),
+        F.expr("percentile(rec_us, 0.75)").alias("r75"),
+        F.expr("percentile(frequency, 0.25)").alias("f25"),
+        F.expr("percentile(frequency, 0.50)").alias("f50"),
+        F.expr("percentile(frequency, 0.75)").alias("f75"),
+        F.expr("percentile(CAST(monetary AS DOUBLE), 0.25)").alias("m25"),
+        F.expr("percentile(CAST(monetary AS DOUBLE), 0.50)").alias("m50"),
+        F.expr("percentile(CAST(monetary AS DOUBLE), 0.75)").alias("m75"),
+    )
+
+    def _band(v, q25, q50, q75):
+        return (
+            F.when(v > F.col(q75), 4)
+            .when(v > F.col(q50), 3)
+            .when(v > F.col(q25), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(qs)).select(
         "custkey",
         "frequency",
-        F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").asc(), F.col("custkey").asc()))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc()))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc()))
-        .alias("m"),
+        F.col("monetary").cast("double").alias("monetary_d"),
+        _band(F.col("rec_us"), "r25", "r50", "r75").alias("r"),
+        _band(F.col("frequency"), "f25", "f50", "f75").alias("f"),
+        _band(F.col("monetary").cast("double"), "m25", "m50", "m75").alias(
+            "m"
+        ),
     )
     return (
         scored.groupBy("r", "f", "m")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum(_dec(F.col("monetary"))).cast("double"), 4
+                F.sum(_dec(F.col("monetary_d"))).cast("double"), 4
             ).alias("segment_revenue"),
         )
     )

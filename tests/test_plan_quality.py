@@ -354,3 +354,57 @@ class TestLlmOpsPlans:
         plan = plan_of(spark, "top_event_trigrams", execute=True)
         assert "TakeOrderedAndProject" in plan
         assert count(r"Exchange hashpartitioning", plan.split("== Initial Plan ==")[0]) <= 2
+
+
+def _global_window_sites(plan: str) -> list[str]:
+    """Return Window nodes that sort their input into ONE partition.
+
+    In the physical-plan tree a global window prints as
+        Window [...]
+        +- Sort [...]
+           +- Exchange SinglePartition ...
+    Scalar aggregates legitimately use Exchange SinglePartition (one row),
+    so we flag SinglePartition only when a Window node sits directly above.
+    """
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(Group)?\b", ln):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "SinglePartition" in lines[j]:
+                    bad.append(ln.strip())
+                    break
+                if re.search(r"\bWindow\b|\bHashAggregate\b|\bJoin\b", lines[j]):
+                    break
+    return bad
+
+
+class TestNoGlobalWindows:
+    """The one scale-killer pattern: a window over the whole dataset in a
+    single partition. Round 3 shipped four of these; each was replaced by
+    TakeOrdered (orderBy+limit) or percentile-threshold banding. These
+    gates make the pattern unable to return silently."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "bigram_logprob_score",
+            "cms_token_counts",
+            "curriculum_order",
+            "customer_rfm_segments",
+            "unigram_logprob_score",
+        ],
+    )
+    def test_no_single_partition_window(self, spark, name):
+        plan = plan_of(spark, name, execute=True)
+        sites = _global_window_sites(plan)
+        assert not sites, (
+            f"{name}: global single-partition window(s) in plan: {sites}"
+        )
+
+    @pytest.mark.parametrize(
+        "name", ["bigram_logprob_score", "cms_token_counts"]
+    )
+    def test_topk_caps_compile_to_take_ordered(self, spark, name):
+        plan = plan_of(spark, name, execute=True)
+        assert "TakeOrderedAndProject" in plan
