@@ -1,0 +1,521 @@
+"""Delta-protocol export: make LakeTable snapshots readable by ANY Delta
+reader (DuckDB ``delta_scan``, delta-rs, Spark+delta, Trino).
+
+The reference's analytics read contract is DuckDB ``delta_scan`` over the
+tables its writer maintains (reference: README.md:78 "query the Delta
+tables directly", specs/001-mongodb-cdc-delta/research.md:546-615 —
+delta_scan file skipping, partition pruning, time travel). LakeTable is a
+capability-parity format (delta-spark is absent in this environment, see
+sinks/table.py:1-32), so nothing outside this repo could read its tables;
+this module closes that read surface by emitting a real ``_delta_log``.
+
+Design — a converter, not a fork of the write path:
+
+- ``export_delta(table, dest)`` publishes the CURRENT (or time-travel)
+  snapshot as Delta commit 0: ``protocol`` + ``metaData`` + one ``add``
+  per active file, with Delta-format per-file stats (numRecords /
+  minValues / maxValues / nullCount) carried over from the commit log so
+  Delta readers get the same data skipping LakeTable's own reader has.
+- **Zero-copy fast path**: an active file whose write-schema equals the
+  snapshot schema and that carries no deletion vector is hard-linked
+  (fallback: copied) into the export — no data rewrite, O(metadata) per
+  file. Files needing a cast (written under an older schema) or DV
+  subtraction are rewritten through the table's own read path, so the
+  export is always plain parquet + protocol 1/2 — readable by every
+  Delta reader ever shipped, with no DV or column-mapping table features
+  required.
+- ``sync_delta(table, dest)`` appends ONE Delta commit containing only
+  the add/remove delta vs the last export — O(changed files), driven by
+  comparing active-file sets, never by diffing data. The exported
+  LakeTable version rides in the commit's ``txn`` action
+  (appId ``lake-export``), the same idempotence device Delta writers use
+  for streaming exactly-once.
+- Hive partition layout is preserved verbatim: LakeTable data files never
+  contain partition columns (they live in the directory name), exactly
+  what the Delta spec expects — partition values are re-derived from the
+  path into each ``add.partitionValues``.
+
+Scale (100 TB): export cost is O(active files) metadata plus rewrite cost
+for only the cast/DV files; the common steady-state (single current
+schema, deletes already compacted) is pure hard links. ``sync_delta``
+touches only changed files, so a scheduled export tails the table at
+O(changes) per tick — the same shape as the incremental reconciler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql.types import StructType
+
+from .table import LakeTable, Snapshot, _collect_file_stats, _partition_values
+
+_LOG = "_delta_log"
+_STATE = "_lake_export_state.json"  # sidecar at dest root (not in _delta_log)
+_TXN_APP = "lake-export"
+
+
+def _delta_path(rel: str) -> str:
+    """Relative path, URL-encoded per segment (Delta spec: RFC 2396).
+
+    ``=`` stays literal — Delta writers emit hive dirs as ``col=value``
+    in add paths and readers resolve them verbatim; only genuinely unsafe
+    characters (spaces, control chars) are percent-encoded."""
+    return "/".join(
+        urllib.parse.quote(seg, safe="=") for seg in rel.split(os.sep)
+    )
+
+
+def _commit_file(dest: str, version: int) -> str:
+    return os.path.join(dest, _LOG, f"{version:020d}.json")
+
+
+def _write_commit(dest: str, version: int, actions: list[dict]) -> str:
+    os.makedirs(os.path.join(dest, _LOG), exist_ok=True)
+    path = _commit_file(dest, version)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, path)
+    return path
+
+
+def _metadata_action(
+    schema: StructType, partition_by: list[str], table_id: str
+) -> dict:
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": list(partition_by),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def _add_action(rel: str, abs_path: str, stats: dict | None) -> dict:
+    entry: dict[str, Any] = {
+        "path": _delta_path(rel),
+        "partitionValues": _partition_values(rel),
+        "size": os.path.getsize(abs_path),
+        "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+        "dataChange": True,
+    }
+    if stats and "numRecords" in stats:
+        entry["stats"] = json.dumps(
+            {
+                "numRecords": stats["numRecords"],
+                "minValues": stats.get("minValues", {}),
+                "maxValues": stats.get("maxValues", {}),
+                "nullCount": stats.get("nullCount", {}),
+            }
+        )
+    return {"add": entry}
+
+
+def _remove_action(delta_rel: str) -> dict:
+    return {
+        "remove": {
+            "path": delta_rel,
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }
+    }
+
+
+def _place_file(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)  # zero-copy when same filesystem
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _load_state(dest: str) -> dict | None:
+    p = os.path.join(dest, _STATE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _save_state(dest: str, state: dict) -> None:
+    p = os.path.join(dest, _STATE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.rename(tmp, p)
+
+
+def _strip_soft_fields(node):
+    """Schema JSON with nullability and metadata removed, recursively —
+    the parts of a Spark schema that do NOT change how parquet bytes are
+    decoded. Two schemas equal under this projection are read-compatible:
+    a file written under one scans correctly under the other."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_soft_fields(v)
+            for k, v in node.items()
+            if k not in ("nullable", "metadata")
+        }
+    if isinstance(node, list):
+        return [_strip_soft_fields(x) for x in node]
+    return node
+
+
+class DeltaExporter:
+    """Exports LakeTable snapshots to a Delta-protocol table directory."""
+
+    def __init__(self, table: LakeTable, dest: str):
+        self.table = table
+        self.dest = dest
+
+    # -- internals ---------------------------------------------------------
+
+    def _current_schema_idx(self, snap: Snapshot) -> int:
+        return len(snap.schemas) - 1
+
+    def _fast_path_ok(self, snap: Snapshot, rel: str) -> bool:
+        """Hard-linkable: no DV, and the file's write schema is
+        read-compatible with the snapshot schema — every column the file
+        contains has the IDENTICAL (soft-stripped) type under the same
+        name in the snapshot schema. Nullability-only evolution and
+        added-column evolution keep the link (Delta readers null-fill
+        missing columns by name); type widening forces a rewrite (the
+        old bytes cannot decode as the new type)."""
+        if snap.file_dvs.get(rel):
+            return False
+        write = snap.schemas[snap.file_schema[rel]]
+        current = snap.schemas[self._current_schema_idx(snap)]
+        cur_types = {
+            f["name"]: _strip_soft_fields(f["type"])
+            for f in current.get("fields", [])
+        }
+        return all(
+            f["name"] in cur_types
+            and _strip_soft_fields(f["type"]) == cur_types[f["name"]]
+            for f in write.get("fields", [])
+        )
+
+    def _export_files(
+        self, snap: Snapshot, rels: list[str]
+    ) -> tuple[list[dict], dict[str, list[str]]]:
+        """Materialize ``rels`` into the export dir.
+
+        Returns (add actions, lake-file → exported delta paths mapping).
+        Fast-path files hard-link 1:1; the rest are rewritten THROUGH the
+        table's reader (applies schema cast + DV subtraction) in one
+        batched write, then attributed back to their source partition —
+        rewrites are grouped per partition so attribution is exact.
+        """
+        adds: list[dict] = []
+        mapping: dict[str, list[str]] = {}
+        slow: list[str] = []
+        for rel in rels:
+            if self._fast_path_ok(snap, rel):
+                dst = os.path.join(self.dest, rel)
+                _place_file(os.path.join(self.table.root, rel), dst)
+                adds.append(
+                    _add_action(rel, dst, snap.file_stats.get(rel))
+                )
+                mapping[rel] = [_delta_path(rel)]
+            else:
+                slow.append(rel)
+        for rel in slow:
+            adds_f, delta_paths = self._rewrite_one(snap, rel)
+            adds.extend(adds_f)
+            mapping[rel] = delta_paths
+        return adds, mapping
+
+    def _rewrite_one(
+        self, snap: Snapshot, rel: str
+    ) -> tuple[list[dict], list[str]]:
+        """Rewrite ONE source file (cast to snapshot schema, DV applied)
+        into its partition dir at the destination. Per-file granularity
+        keeps the lake-file → delta-file mapping exact, which is what
+        makes ``sync_delta`` O(changed files); rewrites happen only for
+        legacy-schema or DV-carrying files, so this path is cold."""
+        df = self.table._read_file_groups(snap, [rel], snap.schema)
+        # partition columns live in the directory name, not the data file
+        part_cols = [
+            c for c in snap.partition_by if c in (snap.schema or []).names
+        ]
+        out_df = df.drop(*part_cols) if part_cols else df
+        stage = os.path.join(
+            self.dest, "_tmp_export", uuid.uuid4().hex
+        )
+        out_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part_dir = os.path.dirname(rel)
+        adds: list[dict] = []
+        paths: list[str] = []
+        n = 0
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            new_rel = os.path.join(
+                part_dir, f"part-export-{uuid.uuid4().hex}-{n:03d}.parquet"
+            ) if part_dir else f"part-export-{uuid.uuid4().hex}-{n:03d}.parquet"
+            n += 1
+            dst = os.path.join(self.dest, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(stage, name), dst)
+            adds.append(_add_action(new_rel, dst, _collect_file_stats(dst)))
+            paths.append(_delta_path(new_rel))
+        shutil.rmtree(
+            os.path.join(self.dest, "_tmp_export"), ignore_errors=True
+        )
+        return adds, paths
+
+    # -- public API --------------------------------------------------------
+
+    def export(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: str | int | None = None,
+    ) -> dict[str, Any]:
+        """Full snapshot export as Delta commit 0. Fails if ``dest``
+        already holds a Delta log (use :meth:`sync` to advance one)."""
+        if os.path.exists(_commit_file(self.dest, 0)):
+            raise ValueError(
+                f"{self.dest} already contains a Delta log; use sync()"
+            )
+        snap = self.table._replay(version_as_of, timestamp_as_of)
+        if snap.schema is None:
+            raise ValueError(f"table does not exist: {self.table.root}")
+        os.makedirs(self.dest, exist_ok=True)
+        table_id = uuid.uuid4().hex
+        adds, mapping = self._export_files(snap, snap.files)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "CONVERT",
+                    "operationParameters": {
+                        "sourceFormat": "laketable",
+                        "sourceVersion": str(snap.version),
+                    },
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _metadata_action(snap.schema, snap.partition_by, table_id),
+            {"txn": {"appId": _TXN_APP, "version": snap.version}},
+            *adds,
+        ]
+        _write_commit(self.dest, 0, actions)
+        _save_state(
+            self.dest,
+            {
+                "table_id": table_id,
+                "lake_version": snap.version,
+                "delta_version": 0,
+                "schema_idx": self._current_schema_idx(snap),
+                "schema_json": snap.schemas[-1] if snap.schemas else None,
+                "mapping": mapping,
+                "dvs": {
+                    k: [len(v), sum(v)]
+                    for k, v in snap.file_dvs.items()
+                    if v
+                },
+            },
+        )
+        return {
+            "delta_version": 0,
+            "lake_version": snap.version,
+            "files": len(adds),
+            "linked": sum(
+                1 for f in snap.files if self._fast_path_ok(snap, f)
+            ),
+            "rewritten": sum(
+                1 for f in snap.files if not self._fast_path_ok(snap, f)
+            ),
+        }
+
+    def sync(self) -> dict[str, Any]:
+        """Advance the export to the table's current version with ONE
+        Delta commit containing only the changed files. Idempotent: a
+        sync at an already-exported version is a no-op."""
+        state = _load_state(self.dest)
+        if state is None:
+            raise ValueError(
+                f"{self.dest} has no export state; run export() first"
+            )
+        snap = self.table._replay()
+        if snap.version == state["lake_version"]:
+            return {
+                "delta_version": state["delta_version"],
+                "lake_version": snap.version,
+                "added": 0,
+                "removed": 0,
+                "noop": True,
+            }
+        mapping: dict[str, list[str]] = dict(state["mapping"])
+        old_dvs: dict[str, list] = dict(state.get("dvs", {}))
+        cur_idx = self._current_schema_idx(snap)
+        schema_changed = (
+            snap.schemas[-1] != state.get("schema_json")
+            if snap.schemas
+            else False
+        )
+
+        active = set(snap.files)
+        exported = set(mapping)
+        # a previously-exported file must be re-exported when its DV
+        # changed (its visible rows changed) or — after a schema change —
+        # when it was fast-pathed under a schema that is no longer the
+        # snapshot schema (Delta readers apply ONE schema to all files)
+        changed = {
+            f
+            for f in (active & exported)
+            if [
+                len(snap.file_dvs.get(f, [])),
+                sum(snap.file_dvs.get(f, [])),
+            ]
+            != list(old_dvs.get(f, [0, 0]))
+        }
+        if schema_changed:
+            # linked files still read-compatible with the NEW schema keep
+            # their link (bytes unchanged; Delta readers null-fill added
+            # columns by name). Anything else — a file that now needs a
+            # cast, or one previously REWRITTEN under the old schema
+            # (its exported bytes were cast to a schema that no longer
+            # matches) — must be re-exported.
+            changed |= {
+                f
+                for f in (active & exported)
+                if not self._fast_path_ok(snap, f)
+                or mapping.get(f) != [_delta_path(f)]
+            }
+        new_files = sorted((active - exported) | changed)
+        gone_files = sorted((exported - active) | changed)
+
+        removes = [
+            _remove_action(p) for f in gone_files for p in mapping[f]
+        ]
+        adds, new_mapping = self._export_files(snap, new_files)
+        for f in gone_files:
+            mapping.pop(f, None)
+        mapping.update(new_mapping)
+
+        delta_version = state["delta_version"] + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "sync",
+                        "sourceVersion": str(snap.version),
+                    },
+                }
+            },
+            {"txn": {"appId": _TXN_APP, "version": snap.version}},
+        ]
+        if schema_changed:
+            actions.append(
+                _metadata_action(
+                    snap.schema, snap.partition_by, state["table_id"]
+                )
+            )
+        actions.extend(removes)
+        actions.extend(adds)
+        _write_commit(self.dest, delta_version, actions)
+        _save_state(
+            self.dest,
+            {
+                **state,
+                "lake_version": snap.version,
+                "delta_version": delta_version,
+                "schema_idx": cur_idx,
+                "schema_json": snap.schemas[-1] if snap.schemas else None,
+                "mapping": mapping,
+                "dvs": {
+                    k: [len(v), sum(v)]
+                    for k, v in snap.file_dvs.items()
+                    if v
+                },
+            },
+        )
+        return {
+            "delta_version": delta_version,
+            "lake_version": snap.version,
+            "added": len(adds),
+            "removed": len(removes),
+            "noop": False,
+        }
+
+
+def export_delta(
+    table: LakeTable,
+    dest: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: str | int | None = None,
+) -> dict[str, Any]:
+    """One-shot snapshot export (see :class:`DeltaExporter`)."""
+    return DeltaExporter(table, dest).export(version_as_of, timestamp_as_of)
+
+
+def sync_delta(table: LakeTable, dest: str) -> dict[str, Any]:
+    """Incremental export advance (see :meth:`DeltaExporter.sync`)."""
+    return DeltaExporter(table, dest).sync()
+
+
+# ---------------------------------------------------------------------------
+# Minimal Delta log replay — used by tests to verify the exported log the
+# way an external reader would, and available as a sanity check in prod
+# (read back what was published, compare file lists).
+# ---------------------------------------------------------------------------
+def replay_delta_log(dest: str) -> dict[str, Any]:
+    """Replay ``dest/_delta_log`` per the public Delta protocol: apply
+    add/remove in commit order; later metaData/protocol win. Returns
+    {"files": {delta_path: add_entry}, "schema": StructType,
+    "partition_columns": [...], "version": n, "txns": {appId: version}}.
+    """
+    log_dir = os.path.join(dest, _LOG)
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if not versions or versions != list(range(versions[-1] + 1)):
+        raise ValueError(f"broken delta log in {dest}: versions={versions}")
+    files: dict[str, dict] = {}
+    schema = None
+    part_cols: list[str] = []
+    txns: dict[str, int] = {}
+    protocol = None
+    for v in versions:
+        with open(_commit_file(dest, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    schema = StructType.fromJson(
+                        json.loads(action["metaData"]["schemaString"])
+                    )
+                    part_cols = action["metaData"]["partitionColumns"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]["version"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+    return {
+        "files": files,
+        "schema": schema,
+        "partition_columns": part_cols,
+        "version": versions[-1],
+        "txns": txns,
+        "protocol": protocol,
+    }
