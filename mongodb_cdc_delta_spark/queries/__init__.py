@@ -203,60 +203,72 @@ def all_queries() -> dict[str, Query]:
     return dict(ordered)
 
 
-# First-50 driver check budget: one representative per operator family, the
-# round-1 verdict's problem queries included so their fixes are driver-proven.
+# First-50 driver check budget. The driver hash-checks only the first ~50
+# registry names, so this window ROTATES each round (r4 policy, per the
+# round-3 verdict): ~15 stable sentinels spanning every operator family
+# stay put so cross-round regressions still surface, and the other ~35
+# slots go to queries that have never had a driver row. Everything outside
+# the window remains covered by the in-repo parity suite
+# (tests/test_oracle_parity.py — strictly harsher than the driver's hash).
+# r3 window: see git history / NOTES_r3.md. r4 rotation documented in
+# NOTES_r4.md.
 _DRIVER_PRIORITY = (
-    # relational core (SURVEY §2.7 Q1-Q8 + gap-list)
-    "point_lookup",
-    "range_scan",
-    "group_agg",
-    "group_topk",
-    "fk_join_agg",
-    "pricing_summary",
-    "revenue_forecast",
-    "star_join_revenue",
-    "window_running_sum",
-    "window_topn_per_group",
-    "sessionize",
-    "rollup_daily",
-    "grouping_sets_agg",
-    "semi_join",
-    "asof_join",
-    "range_join",
-    "json_extract_agg",
-    "array_agg_user_events",
-    "correlated_subquery",
-    "variant_extract_filter",
-    # CDC / reconcile / quality / streaming semantic core
-    "reconcile_counts",
-    "reconcile_hash_buckets",
-    "reconcile_record_diff",
-    "cdc_op_classify",
-    "cdc_metadata_projection",
-    "cdc_latest_state",
-    "cdc_stale_split",
-    "quality_validation_split",
-    "quality_pii_mask",
-    "quality_encrypt_roundtrip",
-    "decontaminate_bloom_portable",
-    "session_window_native",
-    "tumbling_window_counts",
-    # LLM-data-pipeline ops
-    "boilerplate_pagerank",
-    "dedup_ngram_jaccard",
-    "dedup_winnowing_pairs",
-    "dedup_span_extract",
-    "dedup_connected_components",
-    "decontaminate_train_set",
-    "decontaminate_exact_substring",
-    "training_mix_pipeline",
-    "sequence_packing",
-    "knn_cosine_topk",
-    "semantic_dedup_prune",
-    "embedding_near_dup",
-    "text_quality",
-    "unigram_logprob_score",
-    "quality_linear_classifier",
-    "bpe_pair_counts",
-    "multimodal_frame_sample",
+    # --- stable sentinels (one per family, kept from the r3 window) ---
+    "point_lookup",          # Q1 point query
+    "pricing_summary",       # Q3 aggregation (TPC-H Q1 shape)
+    "star_join_revenue",     # Q4 star join
+    "sessionize",            # event windows / gaps-and-islands
+    "asof_join",             # custom join family
+    "reconcile_counts",      # C1 count compare
+    "reconcile_record_diff", # C4 record diff
+    "cdc_op_classify",       # P1-P3 envelope decode/classify
+    "cdc_latest_state",      # C8 current-state dedup
+    "quality_pii_mask",      # T4 masking
+    "session_window_native", # streaming-semantics windows
+    "dedup_ngram_jaccard",   # lexical near-dup
+    "dedup_connected_components",  # graph clustering
+    "knn_cosine_topk",       # similarity search
+    "sequence_packing",      # chunking/packing
+    # --- r4 rotation: never driver-checked before this round ---
+    # round-3 verdict fixes (de-vacuated predicates / de-windowed plans)
+    "set_ops",
+    "anti_join",
+    "product_profit",
+    "event_gap_days",
+    "curriculum_order",
+    "customer_rfm_segments",
+    "bigram_logprob_score",
+    "cms_token_counts",
+    # TPC-H breadth
+    "min_cost_supplier",
+    "volume_shipping",
+    "shipping_priority",
+    "returned_item_ranking",
+    "regional_revenue",
+    "market_share",
+    "top_supplier_revenue",
+    "part_supplier_counts",
+    # event analytics
+    "funnel_conversion",
+    "retention_cohorts",
+    "user_path_transitions",
+    "events_ohlc_downsample",
+    "concurrent_intervals_sweep",
+    "top_event_trigrams",
+    # window / timeseries
+    "window_rank_family",
+    "forward_fill_timeseries",
+    "rolling_zscore_anomalies",
+    # text / LLM-pipeline
+    "tfidf_top_terms",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "repetition_signals",
+    "doc_pii_scrub",
+    "segment_stats_profile",
+    # dedup / similarity portable variants
+    "dedup_minhash_lsh_portable",
+    "simhash_portable_fingerprints",
+    "dedup_keep_list",
+    "knn_cosine_topk_int8",
 )
