@@ -408,3 +408,15 @@ class TestNoGlobalWindows:
     def test_topk_caps_compile_to_take_ordered(self, spark, name):
         plan = plan_of(spark, name, execute=True)
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSuffixRunsPlan:
+    def test_suffix_runs_broadcasts_eval_no_cartesian(self, spark):
+        # eval gram table broadcasts; the training gram stream (the
+        # 100 TB side) is never sort-merge shuffled or cartesian'd, and
+        # the island windows partition by granular (doc, eval, diag) keys
+        plan = plan_of(spark, "decontaminate_suffix_runs", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
