@@ -142,6 +142,7 @@ HEADLINE = [
     "top_event_trigrams",
     "event_gap_days",
     "customer_rfm_segments",
+    "decontaminate_suffix_runs",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

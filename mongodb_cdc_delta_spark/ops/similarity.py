@@ -731,16 +731,46 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "llm-pipeline", "training"),
 )
 def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    batch = emb.where(F.col("vec_id") < 10)
+    return mine_hard_negatives(emb, batch, k=5)
+
+
+#: mine_hard_negatives refuses batches above this size — the batch side is
+#: broadcast + nested-loop joined against the whole corpus, so an
+#: unbounded batch silently becomes an all-pairs scan. Training batches
+#: are a few hundred queries; anything larger should go through the ANN
+#: index (IVF/PQ shortlist) instead.
+MAX_NEGATIVE_BATCH = 4096
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 5,
+    max_batch: int = MAX_NEGATIVE_BATCH,
+) -> DataFrame:
+    """Top-``k`` most-similar DIFFERENT-label corpus vectors per batch
+    query. The batch-size cap is ENFORCED, not advisory: the plan is one
+    corpus scan x batch (BroadcastNestedLoopJoin on the non-equi label
+    condition), linear only while the batch stays bounded. Counting the
+    batch costs one tiny job and converts a silent 100 TB cartesian into
+    a loud error."""
     from pyspark.sql import Window
 
-    emb = load(spark, sf, "embeddings")
-    q = emb.where(F.col("vec_id") < 10).select(
+    n = batch.count()
+    if n > max_batch:
+        raise ValueError(
+            f"hard-negative batch has {n} queries (cap {max_batch}); "
+            "mine in chunks or use the ANN shortlist path"
+        )
+    q = batch.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
     )
     scored = (
-        emb.join(
+        corpus.join(
             F.broadcast(q),
             (F.col("label") != F.col("qlabel"))
             & (F.col("vec_id") != F.col("qid")),
@@ -761,6 +791,6 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         scored.withColumn("rnk", rnk)
-        .where(F.col("rnk") <= 5)
+        .where(F.col("rnk") <= k)
         .select("qid", "neg_id", "neg_label", "cos_sim", F.col("rnk").cast("int"))
     )

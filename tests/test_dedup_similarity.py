@@ -469,3 +469,24 @@ class TestBloomDecontamination:
         # by noise stay a small fraction of the corpus
         n_train = train.count()
         assert len(bloom - exact) <= max(5, n_train // 10)
+
+
+def test_hard_negative_batch_cap_enforced(spark):
+    # the broadcast-batch bound is structural, not a comment: an
+    # over-sized batch raises instead of silently going all-pairs
+    import pytest as _pytest
+
+    from mongodb_cdc_delta_spark.ops.similarity import mine_hard_negatives
+
+    emb = spark.range(0, 30).selectExpr(
+        "id AS vec_id",
+        "CAST(id % 3 AS INT) AS label",
+        "array(CAST(id AS FLOAT), 1.0F) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="cap"):
+        mine_hard_negatives(emb, emb, k=2, max_batch=10)
+    # within the cap it mines: every query gets negatives with other labels
+    out = mine_hard_negatives(emb, emb.where("vec_id < 3"), k=2)
+    rows = out.collect()
+    assert {r.qid for r in rows} == {0, 1, 2}
+    assert all(r.neg_label != (r.qid % 3) for r in rows)
