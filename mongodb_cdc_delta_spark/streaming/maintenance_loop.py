@@ -97,6 +97,35 @@ class MaintenanceLoop:
             MaintenanceJob(job_id, cron, lambda: auto_maintain(table, **opts))
         )
 
+    def add_delta_export(
+        self,
+        job_id: str,
+        table: LakeTable,
+        dest: str,
+        cron: str = "*/5 * * * *",
+    ) -> None:
+        """Keep a Delta-protocol export of ``table`` fresh: first fire
+        runs the full export, every later fire appends one Delta commit
+        with only the files changed since (sync_delta is O(changes) and
+        idempotent — a tick at an unchanged version is a recorded no-op).
+        This is the continuously-maintained external read surface:
+        DuckDB/delta-rs/Trino readers tail ``dest`` while LakeTable stays
+        the writer format."""
+        from ..sinks.delta_export import DeltaExporter
+
+        exporter = DeltaExporter(table, dest)
+
+        def action() -> dict:
+            import os
+
+            if not os.path.exists(
+                os.path.join(dest, "_delta_log", f"{0:020d}.json")
+            ):
+                return exporter.export()
+            return exporter.sync()
+
+        self.add(MaintenanceJob(job_id, cron, action))
+
     def tick(self, now: float | None = None) -> list[dict]:
         """Run every job whose cron matched since its last fire. Failures
         are recorded per-job and never stop the other jobs."""

@@ -118,3 +118,39 @@ def test_table_maintenance_job_compacts_small_files(spark, tmp_path):
     assert "optimize" in acts[0]["result"]  # the rewrite actually ran
     # data intact after compaction
     assert src.read().count() == 9
+
+
+def test_delta_export_job_keeps_external_surface_fresh(spark, tmp_path):
+    # first fire = full export; later fires append one Delta commit with
+    # only the changed files; an unchanged tick is a recorded no-op
+    from mongodb_cdc_delta_spark.sinks.delta_export import replay_delta_log
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.range(10).select(F.col("id"), F.lit("a").alias("v")),
+        partition_by=[],
+    )
+    dest = str(tmp_path / "delta")
+    clock = {"t": T0}
+    loop = MaintenanceLoop(clock=lambda: clock["t"])
+    loop.add_delta_export("export", src, dest, cron="* * * * *")
+
+    clock["t"] = T0 + 60
+    [a1] = loop.tick()
+    assert a1["action"] == "ran" and a1["result"]["delta_version"] == 0
+    assert replay_delta_log(dest)["version"] == 0
+
+    # no table change → sync no-ops, no new Delta commit
+    clock["t"] = T0 + 120
+    [a2] = loop.tick()
+    assert a2["result"]["noop"] is True
+    assert replay_delta_log(dest)["version"] == 0
+
+    # table advances → exactly one new Delta commit with only new files
+    src.append(spark.range(10, 15).select(F.col("id"), F.lit("b").alias("v")))
+    clock["t"] = T0 + 180
+    [a3] = loop.tick()
+    assert a3["result"]["noop"] is False and a3["result"]["removed"] == 0
+    state = replay_delta_log(dest)
+    assert state["version"] == 1
+    assert state["txns"]["lake-export"] == src.version()
