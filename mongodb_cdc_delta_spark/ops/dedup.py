@@ -782,6 +782,21 @@ def suffix_run_flags(
     partition by (doc, eval_doc, diagonal) — granular keys, never a
     global sort. 100 TB: yes.
     """
+    runs = _suffix_islands(train, eval_set, gram)
+    # a long run shows up once per overlapping eval doc/diagonal; the
+    # per-train-doc rollup reports the maximal extent across all of them
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("int").alias("longest_run"),
+        F.min("run_start").cast("int").alias("first_pos"),
+    )
+
+
+def _suffix_islands(
+    train: DataFrame, eval_set: DataFrame, gram: int
+) -> DataFrame:
+    """Maximal shared runs per (train doc, eval doc, diagonal):
+    (doc_id, eval_doc, diag, island, run_start, run_len)."""
     from pyspark.sql import Window
 
     ev = (
@@ -813,7 +828,7 @@ def suffix_run_flags(
         (F.col("tpos0") + 1 - F.col("epos")).alias("diag"),
     )
     w = Window.partitionBy("doc_id", "eval_doc", "diag").orderBy("tpos")
-    runs = (
+    return (
         matches.withColumn(
             "island", F.col("tpos") - F.row_number().over(w)
         )
@@ -823,12 +838,97 @@ def suffix_run_flags(
             (F.max("tpos") - F.min("tpos") + gram).alias("run_len"),
         )
     )
-    # a long run shows up once per overlapping eval doc/diagonal; the
-    # per-train-doc rollup reports the maximal extent across all of them
-    return runs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_runs"),
-        F.max("run_len").cast("int").alias("longest_run"),
-        F.min("run_start").cast("int").alias("first_pos"),
+
+
+def cut_contaminated_spans(
+    train: DataFrame, eval_set: DataFrame, gram: int = _SR_L
+) -> DataFrame:
+    """(doc_id, n_spans_cut, chars_cut, clean_text): training docs with
+    every contaminated character span SURGICALLY REMOVED — the pipeline
+    step after detection (suffix_run_flags only flags).
+
+    Spans from different eval docs/diagonals can overlap; they are merged
+    per training doc (classic interval merge: running max-end over a
+    start-ordered per-doc window marks span-group starts), then the KEPT
+    complement segments are materialized as rows and stitched back in
+    positional order. Only contaminated docs appear in the output — the
+    caller anti-joins to keep the rest of the corpus untouched.
+
+    Scale: everything downstream of the broadcast gram join is keyed by
+    training doc — granular windows, no global sort; text is carried only
+    for the (rare) contaminated docs.
+    """
+    from pyspark.sql import Window
+
+    # maximal runs per (doc, eval, diag) — same machinery as the flags
+    runs = _suffix_islands(train, eval_set, gram)
+    spans = runs.select(
+        "doc_id",
+        F.col("run_start").alias("s"),
+        (F.col("run_start") + F.col("run_len")).alias("e"),  # exclusive
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = spans.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("s") > F.coalesce(prev_max_e, F.lit(0)), 1
+            ).otherwise(0)
+        ).over(wd),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    docs_hit = merged.select("doc_id").distinct().join(
+        train.select("doc_id", "text"), "doc_id"
+    )
+    # complement segments: text between consecutive cut spans (+ tail)
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    segs = (
+        merged.withColumn(
+            "seg_start",
+            F.coalesce(F.lag("e").over(ws), F.lit(1)).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "seg_start",
+            (F.col("s") - F.col("seg_start")).cast("int").alias("seg_len"),
+        )
+        .unionByName(
+            merged.groupBy("doc_id")
+            .agg(F.max("e").cast("int").alias("seg_start"))
+            .select(
+                "doc_id",
+                "seg_start",
+                F.lit(None).cast("int").alias("seg_len"),
+            )
+        )
+    )
+    pieces = segs.join(docs_hit, "doc_id").select(
+        "doc_id",
+        "seg_start",
+        F.when(
+            F.col("seg_len").isNull(),
+            F.expr("substring(text, seg_start, length(text) - seg_start + 1)"),
+        )
+        .otherwise(F.expr("substring(text, seg_start, seg_len)"))
+        .alias("seg"),
+    )
+    stitched = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(seg_start, seg))), x -> x.seg)"),
+            "",
+        ).alias("clean_text")
+    )
+    summary = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_cut"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("chars_cut"),
+    )
+    return summary.join(stitched, "doc_id").select(
+        "doc_id", "n_spans_cut", "chars_cut", "clean_text"
     )
 
 
@@ -897,6 +997,121 @@ def decontaminate_suffix_runs(spark: SparkSession, sf: str) -> DataFrame:
     eval_set = docs.where(bucket < 200)
     train = docs.where(bucket >= 200)
     return suffix_run_flags(train, eval_set)
+
+
+@register(
+    "decontaminate_cut_spans",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ),
+    ev AS (
+      SELECT doc_id AS eval_doc, epos,
+             substring(text, epos, {_SR_L}) AS g
+      FROM bucketed,
+           LATERAL unnest(generate_series(1, len(text) - {_SR_L - 1}))
+             AS u(epos)
+      WHERE bucket < 200 AND len(text) >= {_SR_L}
+    ),
+    tr AS (
+      SELECT doc_id, text, tpos, substring(text, tpos, {_SR_L}) AS g
+      FROM bucketed,
+           LATERAL unnest(generate_series(1, len(text) - {_SR_L - 1}))
+             AS u(tpos)
+      WHERE bucket >= 200 AND len(text) >= {_SR_L}
+    ),
+    m AS (
+      SELECT tr.doc_id, ev.eval_doc, tr.tpos, tr.tpos - ev.epos AS diag
+      FROM tr JOIN ev ON tr.g = ev.g
+    ),
+    runs AS (
+      SELECT doc_id, eval_doc, diag,
+             tpos - row_number() OVER (PARTITION BY doc_id, eval_doc, diag
+                                       ORDER BY tpos) AS island,
+             tpos
+      FROM m
+    ),
+    spans0 AS (
+      SELECT doc_id,
+             min(tpos) AS s,
+             max(tpos) + {_SR_L} AS e
+      FROM runs GROUP BY doc_id, eval_doc, diag, island
+    ),
+    g1 AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_e
+      FROM spans0
+    ),
+    g2 AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN s > coalesce(prev_e, 0) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM g1
+    ),
+    merged AS (
+      SELECT doc_id, grp, min(s) AS s, max(e) AS e
+      FROM g2 GROUP BY doc_id, grp
+    ),
+    docs_hit AS (
+      SELECT DISTINCT merged.doc_id, b.text
+      FROM merged JOIN bucketed b USING (doc_id)
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS seg_start,
+             s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS seg_len
+      FROM merged
+      UNION ALL
+      SELECT doc_id, max(e) AS seg_start, NULL AS seg_len
+      FROM merged GROUP BY doc_id
+    ),
+    pieces AS (
+      SELECT s.doc_id, s.seg_start,
+             CASE WHEN s.seg_len IS NULL
+                  THEN substring(d.text, CAST(s.seg_start AS INT),
+                                 len(d.text) - CAST(s.seg_start AS INT) + 1)
+                  ELSE substring(d.text, CAST(s.seg_start AS INT),
+                                 CAST(s.seg_len AS INT)) END AS seg
+      FROM segs s JOIN docs_hit d USING (doc_id)
+    ),
+    stitched AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS clean_text
+      FROM pieces GROUP BY doc_id
+    ),
+    summary AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans_cut,
+             CAST(sum(e - s) AS BIGINT) AS chars_cut
+      FROM merged GROUP BY doc_id
+    )
+    SELECT summary.doc_id, n_spans_cut, chars_cut, clean_text
+    FROM summary JOIN stitched USING (doc_id)
+    """,
+    description="contamination span surgery: remove every verbatim "
+    ">=20-char run shared with the eval slice from the training text — "
+    "detection (suffix-run machinery), per-doc interval merge of "
+    "overlapping spans from different eval docs/diagonals, and "
+    "complement-segment stitching back into clean_text. The step after "
+    "flagging: what the pipeline actually writes. Only contaminated docs "
+    "appear (anti-join the flags to pass clean docs through untouched).",
+    tags=("dedup", "llm-pipeline", "decontamination"),
+)
+def decontaminate_cut_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    eval_set = docs.where(bucket < 200)
+    train = docs.where(bucket >= 200)
+    return cut_contaminated_spans(train, eval_set)
 
 
 # ---------------------------------------------------------------------------

@@ -420,3 +420,9 @@ class TestSuffixRunsPlan:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert not _global_window_sites(plan)
+
+    def test_cut_spans_no_cartesian_no_global_window(self, spark):
+        plan = plan_of(spark, "decontaminate_cut_spans", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)

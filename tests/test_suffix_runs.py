@@ -113,3 +113,82 @@ class TestSuffixRunFlags:
         train = _docs(spark, [(1, "tiny"), (2, _filler(1, 100))])
         ev = _docs(spark, [(100, "x" * (_SR_L - 1))])
         assert suffix_run_flags(train, ev).count() == 0
+
+
+class TestCutSpans:
+    def _cut(self, spark, train_rows, eval_rows):
+        from mongodb_cdc_delta_spark.ops.dedup import cut_contaminated_spans
+
+        return cut_contaminated_spans(
+            _docs(spark, train_rows), _docs(spark, eval_rows)
+        ).collect()
+
+    def test_middle_span_removed_exactly(self, spark):
+        pre, post = _filler(1, 37), _filler(2, 41)
+        [r] = self._cut(
+            spark,
+            [(1, pre + RUN40 + post)],
+            [(100, _filler(3, 25) + RUN40 + _filler(4, 25))],
+        )
+        assert r.clean_text == pre + post
+        assert r.n_spans_cut == 1
+        assert r.chars_cut == len(RUN40)
+
+    def test_overlapping_spans_from_two_eval_docs_merge(self, spark):
+        # eval doc A shares chars [s, s+40); eval doc B shares a longer
+        # window that overlaps it — the cut must be ONE merged interval
+        pre, post = _filler(1, 30), _filler(2, 30)
+        mid = _filler(5, 10)
+        body = RUN40 + mid + RUN25
+        [r] = self._cut(
+            spark,
+            [(1, pre + body + post)],
+            [
+                (100, _filler(3, 20) + RUN40 + mid + _filler(4, 20)),
+                (101, mid + RUN25 + _filler(6, 20)),
+            ],
+        )
+        # RUN40+mid matches doc 100; mid+RUN25 matches doc 101 — the
+        # shared `mid` overlap merges them into one contiguous cut
+        assert r.n_spans_cut == 1
+        assert r.chars_cut == len(body)
+        assert r.clean_text == pre + post
+
+    def test_span_at_text_start_and_end(self, spark):
+        mid = _filler(1, 50)
+        [r] = self._cut(
+            spark,
+            [(1, RUN40 + mid + RUN25)],
+            [(100, RUN25 + _filler(3, 15) + RUN40)],
+        )
+        assert r.n_spans_cut == 2
+        assert r.chars_cut == len(RUN40) + len(RUN25)
+        assert r.clean_text == mid
+
+    def test_clean_docs_not_in_output(self, spark):
+        rows = self._cut(
+            spark,
+            [(1, _filler(1, 100)), (2, _filler(2, 60) + RUN40)],
+            [(100, RUN40 + _filler(3, 30))],
+        )
+        assert [r.doc_id for r in rows] == [2]
+
+    def test_cut_and_flags_agree_on_doc_set(self, spark):
+        from mongodb_cdc_delta_spark.ops.dedup import suffix_run_flags
+
+        train = _docs(
+            spark,
+            [
+                (1, _filler(1, 40) + RUN40 + _filler(2, 40)),
+                (2, _filler(5, 120)),
+            ],
+        )
+        ev = _docs(spark, [(100, RUN40 + _filler(3, 30))])
+        cut_ids = {
+            r.doc_id
+            for r in __import__(
+                "mongodb_cdc_delta_spark.ops.dedup", fromlist=["x"]
+            ).cut_contaminated_spans(train, ev).collect()
+        }
+        flag_ids = {r.doc_id for r in suffix_run_flags(train, ev).collect()}
+        assert cut_ids == flag_ids == {1}
