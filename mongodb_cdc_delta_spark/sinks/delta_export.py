@@ -444,12 +444,19 @@ class DeltaExporter:
                 },
             },
         )
+        checkpointed = False
+        if delta_version % CHECKPOINT_EVERY == 0:
+            # bound the reader's JSON-tail replay: one parquet checkpoint
+            # every CHECKPOINT_EVERY commits (Delta's own writer cadence)
+            write_checkpoint(self.dest)
+            checkpointed = True
         return {
             "delta_version": delta_version,
             "lake_version": snap.version,
             "added": len(adds),
             "removed": len(removes),
             "noop": False,
+            "checkpointed": checkpointed,
         }
 
 
@@ -466,6 +473,229 @@ def export_delta(
 def sync_delta(table: LakeTable, dest: str) -> dict[str, Any]:
     """Incremental export advance (see :meth:`DeltaExporter.sync`)."""
     return DeltaExporter(table, dest).sync()
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints (Delta "classic checkpoint" spec): a reader lists
+# _last_checkpoint, loads ONE parquet file for the full state at version N,
+# then replays only the JSON commits after N — O(tail), not O(history).
+# A long-running sync_delta loop writes one commit per tick, so without
+# checkpoints an external reader's listing cost grows without bound.
+# ---------------------------------------------------------------------------
+
+#: write a checkpoint every N sync commits (Delta's own writer default)
+CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field(
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field(
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field(
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def write_checkpoint(dest: str, version: int | None = None) -> dict[str, Any]:
+    """Write the classic parquet checkpoint for ``dest`` at ``version``
+    (default: latest) + the ``_last_checkpoint`` pointer. The checkpoint
+    row set is the full replay state: protocol, metaData, latest txn per
+    appId, and one row per ACTIVE add — exactly what the spec requires a
+    reader to reconstruct from it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = replay_delta_log(dest)
+    v = state["version"] if version is None else version
+    if version is not None and version != state["version"]:
+        raise ValueError(
+            "checkpointing a historical version requires replaying a "
+            f"prefix; got {version}, latest {state['version']}"
+        )
+    rows: list[dict] = [
+        {"protocol": state["protocol"]},
+        {"metaData": state["metadata_raw"]},
+    ]
+    for app_id, tv in sorted(state["txns"].items()):
+        rows.append({"txn": {"appId": app_id, "version": tv}})
+    for _path, add in sorted(state["files"].items()):
+        entry = {
+            "path": add["path"],
+            "partitionValues": list(
+                (add.get("partitionValues") or {}).items()
+            ),
+            "size": add["size"],
+            "modificationTime": add.get("modificationTime"),
+            "dataChange": False,  # checkpoint adds are state, not changes
+            "stats": add.get("stats"),
+        }
+        rows.append({"add": entry})
+    schema = _checkpoint_arrow_schema()
+    cols = {}
+    for name in ("txn", "add", "metaData", "protocol"):
+        vals = [r.get(name) for r in rows]
+        if name == "metaData":
+            vals = [
+                None
+                if m is None
+                else {
+                    **m,
+                    "format": {
+                        "provider": m["format"]["provider"],
+                        "options": list(m["format"]["options"].items()),
+                    },
+                    "configuration": list(
+                        (m.get("configuration") or {}).items()
+                    ),
+                }
+                for m in vals
+            ]
+        cols[name] = pa.array(vals, type=schema.field(name).type)
+    table = pa.table(cols, schema=schema)
+    ckpt_path = os.path.join(dest, _LOG, f"{v:020d}.checkpoint.parquet")
+    tmp = ckpt_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, ckpt_path)
+    last = {"version": v, "size": len(rows)}
+    lp = os.path.join(dest, _LOG, "_last_checkpoint")
+    tmp = lp + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(last, fh)
+    os.rename(tmp, lp)
+    return {"version": v, "actions": len(rows), "path": ckpt_path}
+
+
+def read_checkpoint_state(dest: str) -> dict[str, Any] | None:
+    """Reconstruct table state the way a checkpoint-aware reader does:
+    load ``_last_checkpoint`` → the parquet checkpoint → replay only the
+    JSON commits after it. Returns the same shape as
+    :func:`replay_delta_log`, or None if no checkpoint exists."""
+    import pyarrow.parquet as pq
+
+    lp = os.path.join(dest, _LOG, "_last_checkpoint")
+    if not os.path.exists(lp):
+        return None
+    with open(lp) as fh:
+        ckpt_ver = json.load(fh)["version"]
+    tbl = pq.read_table(
+        os.path.join(dest, _LOG, f"{ckpt_ver:020d}.checkpoint.parquet")
+    )
+    files: dict[str, dict] = {}
+    schema = None
+    part_cols: list[str] = []
+    txns: dict[str, int] = {}
+    protocol = None
+    for row in tbl.to_pylist():
+        if row.get("protocol"):
+            protocol = row["protocol"]
+        if row.get("metaData"):
+            m = row["metaData"]
+            schema = StructType.fromJson(json.loads(m["schemaString"]))
+            part_cols = list(m["partitionColumns"])
+        if row.get("txn"):
+            txns[row["txn"]["appId"]] = row["txn"]["version"]
+        if row.get("add"):
+            add = dict(row["add"])
+            add["partitionValues"] = dict(add["partitionValues"] or [])
+            files[add["path"]] = add
+    # JSON tail after the checkpoint
+    log_dir = os.path.join(dest, _LOG)
+    tail = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) > ckpt_ver
+    )
+    version = ckpt_ver
+    for v in tail:
+        version = v
+        with open(_commit_file(dest, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    schema = StructType.fromJson(
+                        json.loads(action["metaData"]["schemaString"])
+                    )
+                    part_cols = action["metaData"]["partitionColumns"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]["version"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+    return {
+        "files": files,
+        "schema": schema,
+        "partition_columns": part_cols,
+        "version": version,
+        "txns": txns,
+        "protocol": protocol,
+        "checkpoint_version": ckpt_ver,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +722,7 @@ def replay_delta_log(dest: str) -> dict[str, Any]:
     part_cols: list[str] = []
     txns: dict[str, int] = {}
     protocol = None
+    metadata_raw = None
     for v in versions:
         with open(_commit_file(dest, v)) as fh:
             for line in fh:
@@ -503,6 +734,7 @@ def replay_delta_log(dest: str) -> dict[str, Any]:
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
+                    metadata_raw = action["metaData"]
                     schema = StructType.fromJson(
                         json.loads(action["metaData"]["schemaString"])
                     )
@@ -518,4 +750,5 @@ def replay_delta_log(dest: str) -> dict[str, Any]:
         "version": versions[-1],
         "txns": txns,
         "protocol": protocol,
+        "metadata_raw": metadata_raw,
     }

@@ -307,3 +307,91 @@ class TestDuckDbInterop:
             (r["id"], r["bucket"], r["val"]) for r in lake.read().collect()
         )
         assert rows == [tuple(r) for r in expect]
+
+
+class TestCheckpoints:
+    def test_checkpoint_state_equals_full_replay(self, spark, lake, tmp_path):
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            read_checkpoint_state,
+            write_checkpoint,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        lake.append(
+            spark.range(100, 110).select(
+                F.col("id"),
+                (F.col("id") % 5).alias("bucket"),
+                F.concat(F.lit("v"), F.col("id")).alias("val"),
+                F.lit("2024-01-07").alias("_ingestion_date"),
+            )
+        )
+        sync_delta(lake, dest)
+        res = write_checkpoint(dest)
+        assert res["version"] == 1
+        ck = read_checkpoint_state(dest)
+        full = replay_delta_log(dest)
+        assert ck["checkpoint_version"] == 1
+        assert set(ck["files"]) == set(full["files"])
+        for p in full["files"]:
+            assert ck["files"][p]["size"] == full["files"][p]["size"]
+            assert (
+                ck["files"][p]["partitionValues"]
+                == full["files"][p]["partitionValues"]
+            )
+            assert ck["files"][p]["stats"] == full["files"][p].get("stats")
+        assert ck["schema"] == full["schema"]
+        assert ck["partition_columns"] == full["partition_columns"]
+        assert ck["txns"] == full["txns"]
+        assert ck["protocol"] == full["protocol"]
+
+    def test_checkpoint_plus_json_tail(self, spark, lake, tmp_path):
+        # a reader loading the checkpoint must land on the same state as
+        # one replaying every JSON commit, including commits AFTER it
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            read_checkpoint_state,
+            write_checkpoint,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        write_checkpoint(dest)
+        lake.delete_where("id < 20")
+        sync_delta(lake, dest)  # commit 1 sits after the version-0 ckpt
+        ck = read_checkpoint_state(dest)
+        full = replay_delta_log(dest)
+        assert ck["checkpoint_version"] == 0
+        assert ck["version"] == full["version"] == 1
+        assert set(ck["files"]) == set(full["files"])
+        assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+
+    def test_sync_auto_checkpoints_on_cadence(self, spark, lake, tmp_path):
+        from mongodb_cdc_delta_spark.sinks import delta_export as de
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        old = de.CHECKPOINT_EVERY
+        de.CHECKPOINT_EVERY = 2
+        try:
+            results = []
+            for i in range(4):
+                lake.append(
+                    spark.range(500 + i, 501 + i).select(
+                        F.col("id"),
+                        (F.col("id") % 5).alias("bucket"),
+                        F.lit("x").alias("val"),
+                        F.lit("2024-01-08").alias("_ingestion_date"),
+                    )
+                )
+                results.append(sync_delta(lake, dest))
+            assert [r["checkpointed"] for r in results] == [
+                False,
+                True,
+                False,
+                True,
+            ]
+            ck = de.read_checkpoint_state(dest)
+            assert ck["checkpoint_version"] == 4
+            assert set(ck["files"]) == set(replay_delta_log(dest)["files"])
+        finally:
+            de.CHECKPOINT_EVERY = old
