@@ -1000,6 +1000,78 @@ def decontaminate_suffix_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "contamination_eval_report",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ),
+    ev AS (
+      SELECT doc_id AS eval_doc, epos,
+             substring(text, epos, {_SR_L}) AS g
+      FROM bucketed,
+           LATERAL unnest(generate_series(1, len(text) - {_SR_L - 1}))
+             AS u(epos)
+      WHERE bucket < 200 AND len(text) >= {_SR_L}
+    ),
+    tr AS (
+      SELECT doc_id, tpos, substring(text, tpos, {_SR_L}) AS g
+      FROM bucketed,
+           LATERAL unnest(generate_series(1, len(text) - {_SR_L - 1}))
+             AS u(tpos)
+      WHERE bucket >= 200 AND len(text) >= {_SR_L}
+    ),
+    m AS (
+      SELECT tr.doc_id, ev.eval_doc, tr.tpos, tr.tpos - ev.epos AS diag
+      FROM tr JOIN ev ON tr.g = ev.g
+    ),
+    runs AS (
+      SELECT doc_id, eval_doc, diag,
+             tpos - row_number() OVER (PARTITION BY doc_id, eval_doc, diag
+                                       ORDER BY tpos) AS island,
+             tpos
+      FROM m
+    ),
+    agg AS (
+      SELECT eval_doc, doc_id,
+             max(tpos) - min(tpos) + {_SR_L} AS run_len
+      FROM runs GROUP BY doc_id, eval_doc, diag, island
+    )
+    SELECT eval_doc,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS INT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS total_shared_chars
+    FROM agg GROUP BY eval_doc
+    """,
+    description="eval-side contamination report: for each BENCHMARK doc, "
+    "how many training docs share a verbatim >=20-char run with it, how "
+    "many maximal runs, the longest, and total shared chars — the 'is "
+    "this benchmark compromised' view (train-side flags answer 'which "
+    "docs do I drop'). Same islands machinery grouped the other way; "
+    "total_shared_chars counts run extents per (train doc, diagonal), "
+    "so a passage shared with 10 train docs correctly weighs 10x.",
+    tags=("dedup", "llm-pipeline", "decontamination"),
+)
+def contamination_eval_report(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    eval_set = docs.where(bucket < 200)
+    train = docs.where(bucket >= 200)
+    runs = _suffix_islands(train, eval_set, _SR_L)
+    return runs.groupBy("eval_doc").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_train_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("int").alias("longest_run"),
+        F.sum("run_len").cast("long").alias("total_shared_chars"),
+    )
+
+
+@register(
     "decontaminate_cut_spans",
     oracle=f"""
     WITH bucketed AS (
