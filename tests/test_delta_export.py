@@ -395,3 +395,16 @@ class TestCheckpoints:
             assert set(ck["files"]) == set(replay_delta_log(dest)["files"])
         finally:
             de.CHECKPOINT_EVERY = old
+
+
+def test_source_vacuum_does_not_break_export(spark, lake, tmp_path):
+    # the export hard-links data files: when the source table rewrites
+    # and VACUUMs old files, the exported table must stay readable (the
+    # link keeps the inode alive) and still serve its own snapshot
+    dest = str(tmp_path / "delta")
+    export_delta(lake, dest)
+    before = _rows(_read_exported(spark, dest))
+    lake.delete_where("bucket >= 0")  # COW rewrite: every file replaced
+    lake.vacuum(retention_hours=0)
+    after = _rows(_read_exported(spark, dest))
+    assert after == before  # export unaffected by source GC
