@@ -145,6 +145,70 @@ def training_mix_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", F.length("text").alias("text_len"))
 
 
+@register(
+    "lang_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), mw AS (
+      SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w
+      FROM counts
+    ), z AS (
+      SELECT sum(w) AS z, sum(n) AS total FROM mw
+    ), probs AS (
+      SELECT lang, n,
+             round(least(1.0,
+               (0.6 * total * w) / (z * n)), 6) AS keep_prob
+      FROM mw, z
+    )
+    SELECT d.doc_id, d.lang, p.keep_prob
+    FROM documents d JOIN probs p USING (lang)
+    WHERE {_BUCKET_SQL.replace('doc_id', 'd.doc_id')}
+          < round(p.keep_prob * 10000)
+    """,
+    description="temperature-based language rebalancing (the multilingual "
+    "data-mixing standard: sampling weight ∝ n^α with α=0.5, so "
+    "over-represented languages are relatively downsampled and rare ones "
+    "kept): per-lang keep probability = min(1, target·w_i / (Σw·n_i)) "
+    "applied as a deterministic hash threshold — reproducible, no stored "
+    "sample table. Cross-engine exactness by construction: α=0.5 is "
+    "IEEE-correctly-rounded sqrt in BOTH engines, quantized to integer "
+    "milli-weights so the weight normalizer is an EXACT integer sum (a "
+    "float Σ n^α would be partition-order-dependent). Per-lang counts "
+    "are one tiny aggregate broadcast back; the corpus side is one scan "
+    "with a pushed predicate.",
+    tags=("sampling", "llm-pipeline"),
+)
+def lang_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mw = counts.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt("n") * 1000).cast("long").alias("w"),
+    )
+    z = mw.agg(F.sum("w").alias("z"), F.sum("n").alias("total"))
+    probs = mw.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (0.6 * F.col("total") * F.col("w"))
+                / (F.col("z") * F.col("n")),
+            ),
+            6,
+        ).alias("keep_prob"),
+    )
+    return (
+        docs.join(F.broadcast(probs), "lang")
+        .where(
+            sample_bucket(F.col("doc_id"))
+            < F.round(F.col("keep_prob") * 10000)
+        )
+        .select("doc_id", "lang", "keep_prob")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: Column,
