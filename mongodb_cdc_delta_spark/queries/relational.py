@@ -2571,6 +2571,80 @@ def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "time_series_cv_splits",
+    oracle="""
+    WITH d0 AS (
+      SELECT date_trunc('day', min(ts)) AS d0 FROM events
+    ), daily AS (
+      SELECT CAST(date_diff('day', d0.d0, date_trunc('day', ts)) AS INT)
+               AS day_idx,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events, d0
+      GROUP BY 1
+    ), folds AS (
+      SELECT unnest(generate_series(0, 3)) AS fold
+    ), assigned AS (
+      SELECT f.fold, d.day_idx, d.n, d.v,
+             CASE WHEN d.day_idx < 6 * (f.fold + 1) THEN 'train'
+                  WHEN d.day_idx < 6 * (f.fold + 2) THEN 'test'
+                  END AS split
+      FROM daily d, folds f
+    )
+    SELECT CAST(fold AS INT) AS fold, split,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value,
+           CAST(min(day_idx) AS INT) AS first_day,
+           CAST(max(day_idx) AS INT) AS last_day
+    FROM assigned WHERE split IS NOT NULL
+    GROUP BY fold, split
+    """,
+    description="expanding-window time-series cross-validation splits "
+    "(forecast-model backtesting without leakage): fold i trains on days "
+    "[0, 6(i+1)) and tests on [6(i+1), 6(i+2)) — every test window is "
+    "strictly after its training window, later folds absorb earlier test "
+    "windows, and the fold boundaries derive from the corpus' own first "
+    "day. Scale shape: the raw scan collapses to <=span-days daily rows "
+    "FIRST; the fold expansion (x4) happens on that tiny aggregate, "
+    "never on raw events.",
+    tags=("events", "timeseries", "sampling"),
+)
+def time_series_cv_splits(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.col("d0"))
+            .cast("int")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"))).alias("v"),
+        )
+    )
+    folds = spark.range(4).select(F.col("id").cast("int").alias("fold"))
+    split = (
+        F.when(F.col("day_idx") < 6 * (F.col("fold") + 1), "train")
+        .when(F.col("day_idx") < 6 * (F.col("fold") + 2), "test")
+    )
+    assigned = daily.crossJoin(F.broadcast(folds)).select(
+        "fold", "day_idx", "n", "v", split.alias("split")
+    )
+    return (
+        assigned.where(F.col("split").isNotNull())
+        .groupBy("fold", "split")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            F.min("day_idx").cast("int").alias("first_day"),
+            F.max("day_idx").cast("int").alias("last_day"),
+        )
+    )
+
+
+@register(
     "hierarchical_time_rollup",
     oracle="""
     WITH hourly AS (
