@@ -143,6 +143,10 @@ HEADLINE = [
     "event_gap_days",
     "customer_rfm_segments",
     "decontaminate_suffix_runs",
+    "decontaminate_cut_spans",
+    "contamination_eval_report",
+    "lang_temperature_mix",
+    "time_series_cv_splits",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
