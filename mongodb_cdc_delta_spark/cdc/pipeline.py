@@ -800,6 +800,45 @@ class CDCIngestor:
         )
         return self.ingest_batch(wrapped, batch_id=batch_id)
 
+    def snapshot_load_dump(
+        self,
+        dump_dir: str,
+        batch_id: int | None = None,
+        split_size_mb: int = 64,
+    ) -> dict[str, "IngestStats"]:
+        """Bulk-load a mongodump/mongoexport directory
+        (``<dir>/<db>/<collection>.json``, one extended-JSON doc per
+        line) through the normal snapshot path, one ``snapshot_load``
+        per collection (reference S8 initial load; see cdc/mongodump.py
+        for the connector's split semantics). Collections route to their
+        own tables exactly like streamed events; per-collection batch
+        ids derive from ``batch_id`` so replays stay idempotent."""
+        from .mongodump import register_mongodump_source
+
+        register_mongodump_source(self.spark)
+        raw = (
+            self.spark.read.format("mongodump")
+            .option("path", dump_dir)
+            .option("splitSizeMb", str(split_size_mb))
+            .load()
+        )
+        pairs = [
+            (r["db"], r["collection"])
+            for r in raw.select("db", "collection").distinct().collect()
+        ]
+        out: dict[str, IngestStats] = {}
+        for i, (db, coll) in enumerate(sorted(pairs)):
+            docs = raw.where(
+                (F.col("db") == db) & (F.col("collection") == coll)
+            )
+            out[f"{db}.{coll}"] = self.snapshot_load(
+                docs,
+                db,
+                coll,
+                batch_id=None if batch_id is None else batch_id * 1000 + i,
+            )
+        return out
+
     def replay_dlq(
         self,
         reasons: list[str] | None = None,

@@ -1,0 +1,118 @@
+"""format("mongodump") bulk snapshot source: discovery/provenance,
+newline-aligned byte-range splitting (exactly-once lines), and the
+end-to-end dump → snapshot_load → lake tables path with extended-JSON
+typing identical to streamed CDC."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mongodb_cdc_delta_spark.cdc.mongodump import (
+    MongoDumpReader,
+    register_mongodump_source,
+)
+from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
+
+
+def _mk_dump(tmp_path, db="shop", colls=("users", "orders"), n=5):
+    root = tmp_path / "dump"
+    for coll in colls:
+        d = root / db
+        d.mkdir(parents=True, exist_ok=True)
+        lines = []
+        for i in range(n):
+            lines.append(
+                json.dumps(
+                    {
+                        "_id": {"$oid": f"{i:024x}"},
+                        "name": f"{coll}-{i}",
+                        "amount": {"$numberLong": str(100 + i)},
+                        "created": {"$date": {"$numberLong": "1700000000000"}},
+                    }
+                )
+            )
+        (d / f"{coll}.json").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_discovery_and_provenance(spark, tmp_path):
+    root = _mk_dump(tmp_path)
+    register_mongodump_source(spark)
+    df = spark.read.format("mongodump").option("path", root).load()
+    rows = df.collect()
+    assert len(rows) == 10
+    assert {(r.db, r.collection) for r in rows} == {
+        ("shop", "users"),
+        ("shop", "orders"),
+    }
+    assert all(json.loads(r.value)["name"] for r in rows)
+
+
+@pytest.mark.parametrize("split_bytes", [1, 7, 64, 1000, 10**9])
+def test_byte_splits_read_every_line_exactly_once(tmp_path, split_bytes):
+    # pure-reader test over every pathological split size, including
+    # splits far smaller than one line (1 byte) — the Hadoop text-split
+    # contract must deliver each line exactly once regardless
+    root = _mk_dump(tmp_path, colls=("users",), n=50)
+    reader = MongoDumpReader(
+        {"path": root, "splitSizeMb": str(split_bytes / (1024 * 1024))}
+    )
+    got = []
+    for split in reader.partitions():
+        got.extend(v for v, _db, _c in reader.read(split))
+    expect = [
+        ln
+        for ln in (tmp_path / "dump" / "shop" / "users.json")
+        .read_text()
+        .splitlines()
+        if ln.strip()
+    ]
+    assert got == expect if split_bytes >= 10**9 else sorted(got) == sorted(
+        expect
+    )
+    assert len(got) == 50
+
+
+def test_spark_parallel_read_with_small_splits(spark, tmp_path):
+    root = _mk_dump(tmp_path, colls=("users",), n=40)
+    register_mongodump_source(spark)
+    df = (
+        spark.read.format("mongodump")
+        .option("path", root)
+        .option("splitSizeMb", str(200 / (1024 * 1024)))  # ~200-byte splits
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1
+    names = sorted(json.loads(r.value)["name"] for r in df.collect())
+    assert names == sorted(f"users-{i}" for i in range(40))
+
+
+def test_dump_to_lake_end_to_end(spark, tmp_path):
+    root = _mk_dump(tmp_path, n=4)
+    ing = CDCIngestor(spark, str(tmp_path / "lake"))
+    stats = ing.snapshot_load_dump(root, batch_id=1)
+    assert set(stats) == {"shop.users", "shop.orders"}
+    users = ing.table("shop_users").read().collect()
+    assert len(users) == 4
+    by_id = {r["_id"]: r for r in users}
+    # extended-JSON typing matches the streaming path: $oid → hex string,
+    # $numberLong → long, $date → timestamp
+    assert f"{2:024x}" in by_id
+    r = by_id[f"{2:024x}"]
+    assert r["amount"] == 102
+    assert str(type(r["created"]).__name__) == "datetime"
+    # replay with the same batch_id is idempotent (txn guard)
+    v = ing.table("shop_users").version()
+    ing.snapshot_load_dump(root, batch_id=1)
+    assert ing.table("shop_users").version() == v
+
+
+def test_missing_path_and_empty_dir_raise(spark, tmp_path):
+    with pytest.raises(Exception):
+        MongoDumpReader({})
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no .json"):
+        MongoDumpReader({"path": str(empty)}).partitions()
