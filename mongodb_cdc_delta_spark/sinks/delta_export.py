@@ -475,6 +475,62 @@ def sync_delta(table: LakeTable, dest: str) -> dict[str, Any]:
     return DeltaExporter(table, dest).sync()
 
 
+def vacuum_export(
+    dest: str, retention_hours: float = 168.0
+) -> dict[str, Any]:
+    """Physically delete export data files tombstoned by ``remove``
+    actions older than the retention window — the Delta VACUUM for the
+    export side. Without it, every sync that rewrites or drops files
+    leaves the old bytes on disk forever (removes are logical in the
+    protocol). Retention protects in-flight readers of recent snapshots,
+    exactly like table-side vacuum; files referenced by ANY current add
+    action are never touched."""
+    cutoff_ms = (time.time() - retention_hours * 3600) * 1000
+    state = replay_delta_log(dest)
+    live = {urllib.parse.unquote(p) for p in state["files"]}
+    # collect tombstones from every commit's remove actions
+    log_dir = os.path.join(dest, _LOG)
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    removed: dict[str, int] = {}
+    for v in versions:
+        with open(_commit_file(dest, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    r = action["remove"]
+                    removed[urllib.parse.unquote(r["path"])] = r.get(
+                        "deletionTimestamp", 0
+                    )
+                elif "add" in action:
+                    # re-added after a remove (restore-style): not dead
+                    removed.pop(
+                        urllib.parse.unquote(action["add"]["path"]), None
+                    )
+    deleted, kept = [], []
+    for rel, ts in sorted(removed.items()):
+        if rel in live:
+            continue
+        path = os.path.join(dest, rel)
+        if not os.path.exists(path):
+            continue
+        if ts > cutoff_ms:
+            kept.append(rel)
+            continue
+        os.remove(path)
+        deleted.append(rel)
+    return {
+        "deleted": len(deleted),
+        "retained": len(kept),
+        "live": len(live),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Parquet checkpoints (Delta "classic checkpoint" spec): a reader lists
 # _last_checkpoint, loads ONE parquet file for the full state at version N,

@@ -408,3 +408,29 @@ def test_source_vacuum_does_not_break_export(spark, lake, tmp_path):
     lake.vacuum(retention_hours=0)
     after = _rows(_read_exported(spark, dest))
     assert after == before  # export unaffected by source GC
+
+
+def test_vacuum_export_deletes_expired_tombstones_only(
+    spark, lake, tmp_path
+):
+    from mongodb_cdc_delta_spark.sinks.delta_export import vacuum_export
+
+    dest = str(tmp_path / "delta")
+    export_delta(lake, dest)
+    live_before = set(replay_delta_log(dest)["files"])
+    lake.delete_where("id < 50")  # COW: rewrites files → sync tombstones
+    sync_delta(lake, dest)
+    # within retention: nothing deleted yet (in-flight readers protected)
+    r1 = vacuum_export(dest, retention_hours=168)
+    assert r1["deleted"] == 0 and r1["retained"] > 0
+    # past retention: tombstoned bytes go, live files stay readable
+    r2 = vacuum_export(dest, retention_hours=0)
+    assert r2["deleted"] == r1["retained"]
+    state = replay_delta_log(dest)
+    for p in state["files"]:
+        import urllib.parse as up
+
+        assert os.path.exists(os.path.join(dest, up.unquote(p)))
+    assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+    # the vacuumed files were among the pre-delete live set
+    assert live_before - set(state["files"])
