@@ -103,15 +103,18 @@ class MaintenanceLoop:
         table: LakeTable,
         dest: str,
         cron: str = "*/5 * * * *",
+        vacuum_retention_hours: float | None = 168.0,
     ) -> None:
         """Keep a Delta-protocol export of ``table`` fresh: first fire
         runs the full export, every later fire appends one Delta commit
         with only the files changed since (sync_delta is O(changes) and
-        idempotent — a tick at an unchanged version is a recorded no-op).
-        This is the continuously-maintained external read surface:
+        idempotent — a tick at an unchanged version is a recorded no-op),
+        then sweeps tombstoned files past the retention window
+        (``vacuum_retention_hours=None`` disables the sweep). This is
+        the continuously-maintained external read surface:
         DuckDB/delta-rs/Trino readers tail ``dest`` while LakeTable stays
         the writer format."""
-        from ..sinks.delta_export import DeltaExporter
+        from ..sinks.delta_export import DeltaExporter, vacuum_export
 
         exporter = DeltaExporter(table, dest)
 
@@ -122,7 +125,12 @@ class MaintenanceLoop:
                 os.path.join(dest, "_delta_log", f"{0:020d}.json")
             ):
                 return exporter.export()
-            return exporter.sync()
+            res = exporter.sync()
+            if vacuum_retention_hours is not None and not res.get("noop"):
+                res["vacuum"] = vacuum_export(
+                    dest, retention_hours=vacuum_retention_hours
+                )
+            return res
 
         self.add(MaintenanceJob(job_id, cron, action))
 
