@@ -2571,6 +2571,97 @@ def concurrent_intervals_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type <> 'purchase' THEN event_type END
+               AS channel,
+             CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+               AS ch_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4)) END AS rev
+      FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, is_p, rev,
+             last_value(channel IGNORE NULLS) OVER w AS last_channel,
+             last_value(ch_us IGNORE NULLS) OVER w AS last_ch_us
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coalesce(CASE WHEN epoch_us(ts) - last_ch_us
+                              <= CAST(3600000000 AS BIGINT)
+                         THEN last_channel END, 'direct')
+             AS attributed_channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(rev) AS DOUBLE) AS attributed_revenue
+    FROM carried WHERE is_p = 1
+    GROUP BY 1
+    """,
+    description="last-touch purchase attribution: each purchase credits "
+    "the user's most recent non-purchase event within a 1-hour lookback "
+    "('direct' when none) — the marketing-attribution primitive. "
+    "Scale-safe shape: ONE user-keyed window over the unioned event "
+    "stream with last(ignorenulls) carry-forward (no per-purchase "
+    "subquery, no self-join, no row explosion); same-instant channel "
+    "events sort before the purchase so a click at the purchase "
+    "timestamp gets credit in both engines (is_p tiebreak, then "
+    "event_id).",
+    tags=("events", "window", "attribution"),
+)
+def purchase_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_p.alias("is_p"),
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("channel"),
+        F.when(
+            F.col("event_type") != "purchase", F.unix_micros("ts")
+        ).alias("ch_us"),
+        F.when(
+            F.col("event_type") == "purchase", _dec(F.col("value"))
+        ).alias("rev"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "is_p",
+        "rev",
+        F.last("channel", ignorenulls=True).over(w).alias("last_channel"),
+        F.last("ch_us", ignorenulls=True).over(w).alias("last_ch_us"),
+    )
+    attributed = F.coalesce(
+        F.when(
+            F.unix_micros("ts") - F.col("last_ch_us")
+            <= 3600 * 1_000_000,
+            F.col("last_channel"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        carried.where(F.col("is_p") == 1)
+        .groupBy(attributed.alias("attributed_channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("rev").cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
     "time_series_cv_splits",
     oracle="""
     WITH d0 AS (
