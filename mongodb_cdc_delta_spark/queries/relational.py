@@ -2662,6 +2662,94 @@ def purchase_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "session_first_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4)) END AS rev,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > CAST(1800000000 AS BIGINT)
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS session_id
+      FROM ordered
+    ), entry AS (
+      SELECT *, first_value(event_type) OVER (
+               PARTITION BY user_id, session_id
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS entry_type
+      FROM sessions
+    )
+    SELECT entry_type AS entry_channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(rev) AS DOUBLE) AS attributed_revenue
+    FROM entry WHERE event_type = 'purchase'
+    GROUP BY entry_type
+    """,
+    description="session first-touch attribution: every purchase credits "
+    "the ENTRY event type of its own session (30-min inactivity gaps) — "
+    "the first-touch companion to last-touch lookback attribution, and "
+    "fully deterministic cross-engine because every window carries "
+    "(ts, event_id) tiebreaks (a min_by-over-range formulation would "
+    "tie-break arbitrarily on equal timestamps). One user-keyed shuffle "
+    "shared by all three windows; purchases entering their own session "
+    "self-attribute as 'purchase' (direct).",
+    tags=("events", "window", "attribution", "session"),
+)
+def session_first_touch_attribution(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    ev = load(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+    new_session = (
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (gap_us > F.lit(1_800_000_000)),
+            1,
+        ).otherwise(0)
+    )
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase", _dec(F.col("value"))
+        ).alias("rev"),
+        new_session.alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    entry = sessions.withColumn(
+        "entry_type", F.first("event_type").over(ws)
+    )
+    return (
+        entry.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("entry_type").alias("entry_channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("rev").cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
     "time_series_cv_splits",
     oracle="""
     WITH d0 AS (
