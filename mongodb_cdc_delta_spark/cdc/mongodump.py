@@ -138,8 +138,8 @@ class MongoDumpDataSource(DataSource):
 
 
 def register_mongodump_source(spark) -> None:
-    """Idempotently register format('mongodump') on this session."""
-    try:
-        spark.dataSource.register(MongoDumpDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Register format('mongodump') on this session. Re-registration is
+    a silent replace in Spark (WARN, no error), so this needs no
+    duplicate guard — and a genuine registration failure must surface
+    here, not as an unrelated 'data source not found' later."""
+    spark.dataSource.register(MongoDumpDataSource)

@@ -813,29 +813,26 @@ class CDCIngestor:
         for the connector's split semantics). Collections route to their
         own tables exactly like streamed events; per-collection batch
         ids derive from ``batch_id`` so replays stay idempotent."""
-        from .mongodump import register_mongodump_source
+        from .mongodump import _discover, register_mongodump_source
 
         register_mongodump_source(self.spark)
-        raw = (
-            self.spark.read.format("mongodump")
-            .option("path", dump_dir)
-            .option("splitSizeMb", str(split_size_mb))
-            .load()
-        )
-        pairs = [
-            (r["db"], r["collection"])
-            for r in raw.select("db", "collection").distinct().collect()
-        ]
         out: dict[str, IngestStats] = {}
-        for i, (db, coll) in enumerate(sorted(pairs)):
-            docs = raw.where(
-                (F.col("db") == db) & (F.col("collection") == coll)
+        # one read per collection FILE (discovery is a local listing):
+        # a whole-directory read filtered per collection would re-scan
+        # every byte of the dump once per collection, since db/collection
+        # predicates cannot push into the Python data source. Per-table
+        # txn app ids make the plain batch_id idempotence-safe per
+        # collection (a derived composite id would not stay monotonic if
+        # the collection set changes between loads).
+        for path, db, coll in sorted(_discover(dump_dir)):
+            docs = (
+                self.spark.read.format("mongodump")
+                .option("path", path)
+                .option("splitSizeMb", str(split_size_mb))
+                .load()
             )
             out[f"{db}.{coll}"] = self.snapshot_load(
-                docs,
-                db,
-                coll,
-                batch_id=None if batch_id is None else batch_id * 1000 + i,
+                docs, db, coll, batch_id=batch_id
             )
         return out
 

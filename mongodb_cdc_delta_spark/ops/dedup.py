@@ -792,6 +792,14 @@ def suffix_run_flags(
     )
 
 
+#: eval slices whose total characters exceed this stop being broadcast
+#: (each char yields a ~36-byte gram row; 3M chars ≈ 100+ MB hash
+#: relation). Decontamination eval sets are benchmark suites — far below
+#: this — but the guard converts a mis-sized eval side into a plain
+#: shuffle join instead of an executor OOM.
+EVAL_BROADCAST_MAX_CHARS = 3_000_000
+
+
 def _suffix_islands(
     train: DataFrame, eval_set: DataFrame, gram: int
 ) -> DataFrame:
@@ -812,6 +820,17 @@ def _suffix_islands(
         )
         .select("eval_doc", (F.col("epos0") + 1).alias("epos"), "g")
     )
+    # sizing the broadcast is one tiny aggregate over the (small) eval
+    # side — cheap insurance against an eval slice that is NOT
+    # benchmark-sized, where forcing the broadcast would OOM executors
+    ev_chars = (
+        eval_set.agg(
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("n")
+        ).collect()[0]["n"]
+    )
+    ev_side = (
+        F.broadcast(ev) if ev_chars <= EVAL_BROADCAST_MAX_CHARS else ev
+    )
     tr = spread(train.where(F.length("text") >= gram)).select(
         "doc_id",
         F.posexplode(
@@ -821,7 +840,7 @@ def _suffix_islands(
             )
         ).alias("tpos0", "g"),
     )
-    matches = tr.join(F.broadcast(ev), "g").select(
+    matches = tr.join(ev_side, "g").select(
         "doc_id",
         "eval_doc",
         (F.col("tpos0") + 1).alias("tpos"),

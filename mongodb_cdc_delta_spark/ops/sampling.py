@@ -158,7 +158,8 @@ def training_mix_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ), probs AS (
       SELECT lang, n,
              round(least(1.0,
-               (0.6 * total * w) / (z * n)), 6) AS keep_prob
+               (0.6 * total * w)
+               / (CAST(z AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS keep_prob
       FROM mw, z
     )
     SELECT d.doc_id, d.lang, p.keep_prob
@@ -188,13 +189,17 @@ def lang_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.sqrt("n") * 1000).cast("long").alias("w"),
     )
     z = mw.agg(F.sum("w").alias("z"), F.sum("n").alias("total"))
+    # z*n as long*long overflows int64 under ANSI at web-scale corpus
+    # counts (n ~ 1e10 → z·n ~ 1e19 > 2^63); multiply as doubles — the
+    # numerator already is one, and double·double is order-identical
+    # cross-engine
     probs = mw.crossJoin(F.broadcast(z)).select(
         "lang",
         F.round(
             F.least(
                 F.lit(1.0),
                 (0.6 * F.col("total") * F.col("w"))
-                / (F.col("z") * F.col("n")),
+                / (F.col("z").cast("double") * F.col("n").cast("double")),
             ),
             6,
         ).alias("keep_prob"),

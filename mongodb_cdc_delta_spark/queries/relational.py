@@ -3216,10 +3216,14 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
         )
 
+    # banding compares the DOUBLE projection (thresholds are doubles),
+    # but revenue sums the EXACT decimal — a decimal→double→decimal
+    # roundtrip would diverge from the oracle once per-customer monetary
+    # exceeds double's 15-16 significant digits
     scored = rfm.crossJoin(F.broadcast(qs)).select(
         "custkey",
         "frequency",
-        F.col("monetary").cast("double").alias("monetary_d"),
+        F.col("monetary"),
         _band(F.col("rec_us"), "r25", "r50", "r75").alias("r"),
         _band(F.col("frequency"), "f25", "f50", "f75").alias("f"),
         _band(F.col("monetary").cast("double"), "m25", "m50", "m75").alias(
@@ -3231,7 +3235,7 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum(_dec(F.col("monetary_d"))).cast("double"), 4
+                F.sum("monetary").cast("double"), 4
             ).alias("segment_revenue"),
         )
     )

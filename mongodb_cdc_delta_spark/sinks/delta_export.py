@@ -76,14 +76,30 @@ def _commit_file(dest: str, version: int) -> str:
     return os.path.join(dest, _LOG, f"{version:020d}.json")
 
 
+class ConcurrentExportError(Exception):
+    """The target Delta commit version is already published."""
+
+
 def _write_commit(dest: str, version: int, actions: list[dict]) -> str:
+    """Publish one commit file with put-if-absent semantics (os.link
+    fails with EEXIST) — the Delta protocol forbids rewriting a
+    published commit, and a crashed/concurrent exporter must surface a
+    version collision instead of silently mutating history an external
+    reader may already have consumed."""
     os.makedirs(os.path.join(dest, _LOG), exist_ok=True)
     path = _commit_file(dest, version)
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        raise ConcurrentExportError(
+            f"delta commit {version} already published at {dest}"
+        ) from e
+    finally:
+        os.unlink(tmp)
     return path
 
 
@@ -140,12 +156,101 @@ def _place_file(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
-def _load_state(dest: str) -> dict | None:
-    p = os.path.join(dest, _STATE)
-    if not os.path.exists(p):
+def _dv_fingerprint(positions: list[int]) -> list:
+    """[count, md5-of-sorted-positions]: collision-proof DV identity.
+    A (len, sum) pair can collide across restore()+re-delete sequences
+    (two different position sets with equal cardinality and sum would
+    silently skip re-export); the digest cannot."""
+    import hashlib
+
+    digest = hashlib.md5(
+        json.dumps(sorted(int(p) for p in positions)).encode()
+    ).hexdigest()
+    return [len(positions), digest]
+
+
+def _state_from_snapshot(snap: Snapshot) -> dict:
+    return {
+        "lake_version": snap.version,
+        "schema_json": snap.schemas[-1] if snap.schemas else None,
+        "dvs": {
+            k: _dv_fingerprint(v) for k, v in snap.file_dvs.items() if v
+        },
+    }
+
+
+def _rebuild_state_from_log(dest: str) -> dict | None:
+    """Reconstruct the exporter sidecar from the published log alone.
+
+    Every commit's commitInfo.operationParameters carries the mapping
+    delta (``lakeMapping`` added entries / ``lakeRemoved`` dropped lake
+    files), the lake version, and the DV fingerprints as of that commit
+    — so a crash between commit publish and sidecar save loses nothing:
+    the sidecar is a pure cache of this replay."""
+    log_dir = os.path.join(dest, _LOG)
+    if not os.path.isdir(log_dir):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if not versions:
+        return None
+    mapping: dict[str, list[str]] = {}
+    state: dict[str, Any] = {"mapping": mapping}
+    for v in versions:
+        with open(_commit_file(dest, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    params = action["commitInfo"].get(
+                        "operationParameters", {}
+                    )
+                    if "lakeRemoved" in params:
+                        for f in json.loads(params["lakeRemoved"]):
+                            mapping.pop(f, None)
+                    if "lakeMapping" in params:
+                        mapping.update(json.loads(params["lakeMapping"]))
+                    if "lakeDvs" in params:
+                        state["dvs"] = json.loads(params["lakeDvs"])
+                elif "txn" in action and action["txn"]["appId"] == _TXN_APP:
+                    state["lake_version"] = action["txn"]["version"]
+                elif "metaData" in action:
+                    state["table_id"] = action["metaData"]["id"]
+                    state["schema_json"] = json.loads(
+                        action["metaData"]["schemaString"]
+                    )
+    state["delta_version"] = versions[-1]
+    state.setdefault("dvs", {})
+    if "lake_version" not in state or "table_id" not in state:
+        return None  # not an export this module wrote
+    return state
+
+
+def _load_state(dest: str) -> dict | None:
+    """Sidecar if fresh, else rebuilt from the log. The sidecar can lag
+    the log by exactly one commit (crash between _write_commit and
+    _save_state); the log is always authoritative."""
+    log_dir = os.path.join(dest, _LOG)
+    log_versions = (
+        sorted(
+            int(n[:-5])
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+        if os.path.isdir(log_dir)
+        else []
+    )
+    p = os.path.join(dest, _STATE)
+    if os.path.exists(p):
+        with open(p) as fh:
+            state = json.load(fh)
+        if log_versions and state.get("delta_version") == log_versions[-1]:
+            return state
+    return _rebuild_state_from_log(dest)
 
 
 def _save_state(dest: str, state: dict) -> None:
@@ -294,6 +399,7 @@ class DeltaExporter:
         os.makedirs(self.dest, exist_ok=True)
         table_id = uuid.uuid4().hex
         adds, mapping = self._export_files(snap, snap.files)
+        base = _state_from_snapshot(snap)
         actions = [
             {
                 "commitInfo": {
@@ -302,6 +408,11 @@ class DeltaExporter:
                     "operationParameters": {
                         "sourceFormat": "laketable",
                         "sourceVersion": str(snap.version),
+                        # sidecar-recovery payload (see
+                        # _rebuild_state_from_log)
+                        "lakeMapping": json.dumps(mapping),
+                        "lakeRemoved": json.dumps([]),
+                        "lakeDvs": json.dumps(base["dvs"]),
                     },
                 }
             },
@@ -314,17 +425,10 @@ class DeltaExporter:
         _save_state(
             self.dest,
             {
+                **base,
                 "table_id": table_id,
-                "lake_version": snap.version,
                 "delta_version": 0,
-                "schema_idx": self._current_schema_idx(snap),
-                "schema_json": snap.schemas[-1] if snap.schemas else None,
                 "mapping": mapping,
-                "dvs": {
-                    k: [len(v), sum(v)]
-                    for k, v in snap.file_dvs.items()
-                    if v
-                },
             },
         )
         return {
@@ -359,7 +463,6 @@ class DeltaExporter:
             }
         mapping: dict[str, list[str]] = dict(state["mapping"])
         old_dvs: dict[str, list] = dict(state.get("dvs", {}))
-        cur_idx = self._current_schema_idx(snap)
         schema_changed = (
             snap.schemas[-1] != state.get("schema_json")
             if snap.schemas
@@ -372,14 +475,13 @@ class DeltaExporter:
         # changed (its visible rows changed) or — after a schema change —
         # when it was fast-pathed under a schema that is no longer the
         # snapshot schema (Delta readers apply ONE schema to all files)
+        new_dvs = {
+            f: _dv_fingerprint(v) for f, v in snap.file_dvs.items() if v
+        }
         changed = {
             f
             for f in (active & exported)
-            if [
-                len(snap.file_dvs.get(f, [])),
-                sum(snap.file_dvs.get(f, [])),
-            ]
-            != list(old_dvs.get(f, [0, 0]))
+            if new_dvs.get(f) != old_dvs.get(f)
         }
         if schema_changed:
             # linked files still read-compatible with the NEW schema keep
@@ -414,6 +516,13 @@ class DeltaExporter:
                     "operationParameters": {
                         "mode": "sync",
                         "sourceVersion": str(snap.version),
+                        # sidecar-recovery payload: the mapping DELTA and
+                        # current DV fingerprints ride each commit, so
+                        # the sidecar rebuilds from the log after a crash
+                        # between publish and state save
+                        "lakeMapping": json.dumps(new_mapping),
+                        "lakeRemoved": json.dumps(gone_files),
+                        "lakeDvs": json.dumps(new_dvs),
                     },
                 }
             },
@@ -434,14 +543,9 @@ class DeltaExporter:
                 **state,
                 "lake_version": snap.version,
                 "delta_version": delta_version,
-                "schema_idx": cur_idx,
                 "schema_json": snap.schemas[-1] if snap.schemas else None,
                 "mapping": mapping,
-                "dvs": {
-                    k: [len(v), sum(v)]
-                    for k, v in snap.file_dvs.items()
-                    if v
-                },
+                "dvs": new_dvs,
             },
         )
         checkpointed = False
@@ -488,30 +592,10 @@ def vacuum_export(
     cutoff_ms = (time.time() - retention_hours * 3600) * 1000
     state = replay_delta_log(dest)
     live = {urllib.parse.unquote(p) for p in state["files"]}
-    # collect tombstones from every commit's remove actions
-    log_dir = os.path.join(dest, _LOG)
-    versions = sorted(
-        int(n[:-5])
-        for n in os.listdir(log_dir)
-        if n.endswith(".json") and n[:-5].isdigit()
-    )
-    removed: dict[str, int] = {}
-    for v in versions:
-        with open(_commit_file(dest, v)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "remove" in action:
-                    r = action["remove"]
-                    removed[urllib.parse.unquote(r["path"])] = r.get(
-                        "deletionTimestamp", 0
-                    )
-                elif "add" in action:
-                    # re-added after a remove (restore-style): not dead
-                    removed.pop(
-                        urllib.parse.unquote(action["add"]["path"]), None
-                    )
+    removed = {
+        urllib.parse.unquote(p): ts
+        for p, ts in _collect_tombstones(dest, state).items()
+    }
     deleted, kept = [], []
     for rel, ts in sorted(removed.items()):
         if rel in live:
@@ -609,16 +693,57 @@ def _checkpoint_arrow_schema():
                     ]
                 ),
             ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
 
-def write_checkpoint(dest: str, version: int | None = None) -> dict[str, Any]:
+def _collect_tombstones(dest: str, state: dict) -> dict[str, int]:
+    """Dead delta paths → deletionTimestamp ms: every removed path not
+    currently live and not re-added later (restore-style)."""
+    live = set(state["files"])
+    log_dir = os.path.join(dest, _LOG)
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    removed: dict[str, int] = {}
+    for v in versions:
+        with open(_commit_file(dest, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    r = action["remove"]
+                    removed[r["path"]] = r.get("deletionTimestamp", 0)
+                elif "add" in action:
+                    removed.pop(action["add"]["path"], None)
+    return {p: ts for p, ts in removed.items() if p not in live}
+
+
+def write_checkpoint(
+    dest: str,
+    version: int | None = None,
+    tombstone_retention_hours: float = 168.0,
+) -> dict[str, Any]:
     """Write the classic parquet checkpoint for ``dest`` at ``version``
     (default: latest) + the ``_last_checkpoint`` pointer. The checkpoint
     row set is the full replay state: protocol, metaData, latest txn per
-    appId, and one row per ACTIVE add — exactly what the spec requires a
-    reader to reconstruct from it."""
+    appId, one row per ACTIVE add, and — per the spec — the remove
+    TOMBSTONES not yet past retention, so a checkpoint-based external
+    VACUUM still sees recently-removed files as tracked and cannot
+    delete data that in-flight time-travel readers reference."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -647,9 +772,21 @@ def write_checkpoint(dest: str, version: int | None = None) -> dict[str, Any]:
             "stats": add.get("stats"),
         }
         rows.append({"add": entry})
+    cutoff_ms = (time.time() - tombstone_retention_hours * 3600) * 1000
+    for rel, ts in sorted(_collect_tombstones(dest, state).items()):
+        if ts > cutoff_ms:
+            rows.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": False,
+                    }
+                }
+            )
     schema = _checkpoint_arrow_schema()
     cols = {}
-    for name in ("txn", "add", "metaData", "protocol"):
+    for name in ("txn", "add", "metaData", "protocol", "remove"):
         vals = [r.get(name) for r in rows]
         if name == "metaData":
             vals = [
@@ -702,6 +839,7 @@ def read_checkpoint_state(dest: str) -> dict[str, Any] | None:
     part_cols: list[str] = []
     txns: dict[str, int] = {}
     protocol = None
+    tombstones: dict[str, int] = {}
     for row in tbl.to_pylist():
         if row.get("protocol"):
             protocol = row["protocol"]
@@ -715,6 +853,9 @@ def read_checkpoint_state(dest: str) -> dict[str, Any] | None:
             add = dict(row["add"])
             add["partitionValues"] = dict(add["partitionValues"] or [])
             files[add["path"]] = add
+        if row.get("remove"):
+            r = row["remove"]
+            tombstones[r["path"]] = r["deletionTimestamp"]
     # JSON tail after the checkpoint
     log_dir = os.path.join(dest, _LOG)
     tail = sorted(
@@ -751,6 +892,7 @@ def read_checkpoint_state(dest: str) -> dict[str, Any] | None:
         "txns": txns,
         "protocol": protocol,
         "checkpoint_version": ckpt_ver,
+        "tombstones": tombstones,
     }
 
 

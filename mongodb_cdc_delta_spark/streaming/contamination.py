@@ -21,6 +21,7 @@ construction.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -29,6 +30,11 @@ from pyspark.sql import functions as F
 
 from ..ops.dedup import _SR_L, suffix_run_flags
 from ..sinks.table import LakeTable
+
+#: per-batch history entries kept on the driver — bounded so an always-on
+#: stream (the advertised deployment) cannot leak driver memory one dict
+#: per micro-batch forever
+_HISTORY_MAX = 1000
 
 
 @dataclass
@@ -40,8 +46,10 @@ class ContaminationGate:
     quarantine: LakeTable
     gram: int = _SR_L
     app_id: str = "contamination-gate"
-    #: per-batch counters for observability (batch_id → dict)
-    history: list[dict[str, Any]] = field(default_factory=list)
+    #: last _HISTORY_MAX per-batch counters for observability
+    history: deque = field(
+        default_factory=lambda: deque(maxlen=_HISTORY_MAX)
+    )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()

@@ -434,3 +434,78 @@ def test_vacuum_export_deletes_expired_tombstones_only(
     assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
     # the vacuumed files were among the pre-delete live set
     assert live_before - set(state["files"])
+
+
+class TestCrashSafety:
+    def test_sidecar_loss_recovers_from_log(self, spark, lake, tmp_path):
+        # crash between _write_commit and _save_state: the sidecar lags
+        # (or disappears); the next sync must rebuild exporter state from
+        # the published log and produce the correct diff — not wedge, not
+        # duplicate files
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        lake.delete_where("id < 10")
+        sync_delta(lake, dest)
+        os.remove(os.path.join(dest, "_lake_export_state.json"))
+        # unchanged table: rebuilt state sees the exported lake version
+        res = sync_delta(lake, dest)
+        assert res["noop"] is True
+        # advance after recovery: exactly one new commit, rows still match
+        lake.append(
+            spark.range(300, 310).select(
+                F.col("id"),
+                (F.col("id") % 5).alias("bucket"),
+                F.lit("r").alias("val"),
+                F.lit("2024-01-09").alias("_ingestion_date"),
+            )
+        )
+        res2 = sync_delta(lake, dest)
+        assert res2["noop"] is False
+        assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+
+    def test_stale_sidecar_is_ignored(self, spark, lake, tmp_path):
+        # a sidecar one commit behind the log (the crash window) must be
+        # superseded by log replay, not trusted
+        import json as _json
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        sp = os.path.join(dest, "_lake_export_state.json")
+        stale = _json.load(open(sp))
+        lake.delete_where("id >= 90")
+        sync_delta(lake, dest)  # commit 1 + fresh sidecar
+        _json.dump(stale, open(sp, "w"))  # simulate crash-stale sidecar
+        res = sync_delta(lake, dest)  # table unchanged since commit 1
+        assert res["noop"] is True
+        assert replay_delta_log(dest)["version"] == 1
+
+    def test_published_commits_are_put_if_absent(self, spark, lake, tmp_path):
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            ConcurrentExportError,
+            _write_commit,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        with pytest.raises(ConcurrentExportError):
+            _write_commit(dest, 0, [{"commitInfo": {"timestamp": 0}}])
+
+    def test_checkpoint_carries_unexpired_tombstones(
+        self, spark, lake, tmp_path
+    ):
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            read_checkpoint_state,
+            write_checkpoint,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        lake.delete_where("id < 30")
+        res = sync_delta(lake, dest)
+        assert res["removed"] > 0
+        write_checkpoint(dest)
+        ck = read_checkpoint_state(dest)
+        # recently-removed files are tracked as tombstones (spec), so a
+        # checkpoint-based external vacuum cannot treat them as untracked
+        assert len(ck["tombstones"]) == res["removed"]
+        assert not (set(ck["tombstones"]) & set(ck["files"]))
