@@ -147,6 +147,8 @@ HEADLINE = [
     "contamination_eval_report",
     "lang_temperature_mix",
     "time_series_cv_splits",
+    "purchase_attribution_last_touch",
+    "session_first_touch_attribution",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
