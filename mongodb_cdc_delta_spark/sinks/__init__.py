@@ -1,7 +1,14 @@
 """Transactional lake sinks (ACID append, time travel, OPTIMIZE/VACUUM)."""
 
 from .catalog import LakeCatalog
-from .delta_export import DeltaExporter, export_delta, sync_delta
+from .delta_export import (
+    DeltaExporter,
+    export_delta,
+    replay_delta_log,
+    sync_delta,
+    vacuum_export,
+    write_checkpoint,
+)
 from .table import CommitInfo, ConcurrentWriteError, LakeTable
 
 __all__ = [
@@ -12,4 +19,7 @@ __all__ = [
     "DeltaExporter",
     "export_delta",
     "sync_delta",
+    "vacuum_export",
+    "write_checkpoint",
+    "replay_delta_log",
 ]
