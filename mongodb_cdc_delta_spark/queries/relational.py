@@ -2662,6 +2662,107 @@ def purchase_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_linear",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type AS channel, epoch_us(ts) AS ch_us
+      FROM events WHERE event_type <> 'purchase'
+    ), pu AS (
+      SELECT user_id, event_id, epoch_us(ts) AS p_us,
+             CAST(CAST(value AS DECIMAL(18,4)) * 1000000 AS BIGINT)
+               AS rev_micros
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT pu.user_id, pu.event_id, pu.rev_micros, ch.channel
+      FROM pu JOIN ch
+        ON ch.user_id = pu.user_id
+       AND ch.ch_us <= pu.p_us
+       AND ch.ch_us >= pu.p_us - CAST(3600000000 AS BIGINT)
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY user_id, event_id) AS n
+      FROM touches
+    ), credited AS (
+      SELECT channel, rev_micros // n AS credit_micros, user_id, event_id
+      FROM sized
+      UNION ALL
+      SELECT 'direct' AS channel, rev_micros AS credit_micros,
+             user_id, event_id
+      FROM pu
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = pu.user_id
+                          AND t.event_id = pu.event_id)
+    )
+    SELECT channel,
+           CAST(count(DISTINCT (user_id, event_id)) AS BIGINT)
+             AS n_purchases,
+           round(CAST(sum(credit_micros) AS DOUBLE) / 1000000.0, 4)
+             AS attributed_revenue
+    FROM credited GROUP BY channel
+    """,
+    description="linear multi-touch attribution: every purchase splits "
+    "its revenue EQUALLY across all channel events in its 1-hour "
+    "lookback (purchases with none credit 'direct'). Credit arithmetic "
+    "is exact integer micro-units (rev·1e6 integer-divided by the touch "
+    "count), so sums are partition-order-independent in both engines — "
+    "a double division would make the rollup a float reduction whose "
+    "last-ulp depends on aggregation order. The per-user range join is "
+    "bounded by activity density per hour (user-keyed equi-join plus a "
+    "time band, never a cartesian).",
+    tags=("events", "attribution", "join"),
+)
+def purchase_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    ch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("ch_us"),
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("p_us"),
+        (_dec(F.col("value")) * 1_000_000)
+        .cast("long")
+        .alias("rev_micros"),
+    )
+    touches = pu.join(
+        ch,
+        (ch.user_id == pu.user_id)
+        & (ch.ch_us <= pu.p_us)
+        & (ch.ch_us >= pu.p_us - F.lit(3_600_000_000)),
+    ).select(pu.user_id, "event_id", "rev_micros", "channel")
+    sized = touches.withColumn(
+        "n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "event_id")
+        ),
+    )
+    credited = sized.select(
+        "channel",
+        F.expr("rev_micros div n").alias("credit_micros"),
+        "user_id",
+        "event_id",
+    ).unionByName(
+        pu.join(
+            touches.select("user_id", "event_id").distinct(),
+            ["user_id", "event_id"],
+            "left_anti",
+        ).select(
+            F.lit("direct").alias("channel"),
+            F.col("rev_micros").alias("credit_micros"),
+            "user_id",
+            "event_id",
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.countDistinct("user_id", "event_id").alias("n_purchases"),
+        F.round(
+            F.sum("credit_micros").cast("double") / 1_000_000.0, 4
+        ).alias("attributed_revenue"),
+    )
+
+
+@register(
     "session_first_touch_attribution",
     oracle="""
     WITH ordered AS (

@@ -426,3 +426,28 @@ class TestSuffixRunsPlan:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert not _global_window_sites(plan)
+
+
+class TestAttributionPlans:
+    def test_linear_attribution_user_keyed_band_join(self, spark):
+        # the lookback join must key on user_id (hash/broadcast) with the
+        # time band as a join-condition filter — never a cartesian of
+        # purchases x channels
+        plan = plan_of(spark, "purchase_attribution_linear", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_last_touch_single_user_shuffle(self, spark):
+        plan = plan_of(spark, "purchase_attribution_last_touch", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_session_first_touch_shares_user_partitioning(self, spark):
+        # sessionization + entry + credit: all windows partition by user
+        # (or user, session) — one user-keyed shuffle, no global sort
+        plan = plan_of(spark, "session_first_touch_attribution", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+        final = plan.split("== Initial Plan ==")[0]
+        assert count(r"Exchange hashpartitioning", final) <= 2
