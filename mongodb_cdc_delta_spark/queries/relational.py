@@ -2662,6 +2662,58 @@ def purchase_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), span AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1 FROM events
+    ), days AS (
+      SELECT t AS day FROM span,
+             LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) g(t)
+    )
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days JOIN user_days u
+      ON u.d <= days.day AND u.d >= days.day - INTERVAL 6 DAY
+    GROUP BY days.day
+    """,
+    description="rolling 7-day active users (WAU) per day — EXACT "
+    "sliding-window distinct, which no window frame can express "
+    "(count(distinct) over a range frame is unsupported and sketch "
+    "merges are approximate). Shape: events collapse to distinct "
+    "(user, day) FIRST, the day spine comes from a one-row min/max "
+    "aggregate and broadcasts, and the band join expands each user-day "
+    "into at most 7 spine rows — cost is 7x user-days, never 7x events.",
+    tags=("events", "timeseries", "window"),
+)
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    joined = user_days.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return (
+        joined.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
     "purchase_attribution_linear",
     oracle="""
     WITH ch AS (
