@@ -2764,8 +2764,12 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 )
 def purchase_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
+    # both sides derive from the same scan: rename the join key on the
+    # channel side so the condition references two distinct attributes
+    # (a bare ch.user_id == pu.user_id self-join predicate relies on
+    # Spark's dataset-id disambiguation and warns)
     ch = ev.where(F.col("event_type") != "purchase").select(
-        "user_id",
+        F.col("user_id").alias("ch_user_id"),
         F.col("event_type").alias("channel"),
         F.unix_micros("ts").alias("ch_us"),
     )
@@ -2779,10 +2783,10 @@ def purchase_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
     touches = pu.join(
         ch,
-        (ch.user_id == pu.user_id)
-        & (ch.ch_us <= pu.p_us)
-        & (ch.ch_us >= pu.p_us - F.lit(3_600_000_000)),
-    ).select(pu.user_id, "event_id", "rev_micros", "channel")
+        (F.col("ch_user_id") == F.col("user_id"))
+        & (F.col("ch_us") <= F.col("p_us"))
+        & (F.col("ch_us") >= F.col("p_us") - F.lit(3_600_000_000)),
+    ).select("user_id", "event_id", "rev_micros", "channel")
     sized = touches.withColumn(
         "n",
         F.count(F.lit(1)).over(
