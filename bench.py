@@ -149,6 +149,8 @@ HEADLINE = [
     "time_series_cv_splits",
     "purchase_attribution_last_touch",
     "session_first_touch_attribution",
+    "purchase_attribution_linear",
+    "rolling_active_users",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
