@@ -185,3 +185,104 @@ class TestPathTransitionsAdversarial:
         s, d = _run_both(spark, "user_path_transitions", str(tmp_path))
         assert s == d
         assert set(s) == {("view", "click", 1), ("click", "purchase", 1)}
+
+
+class TestAttributionAdversarial:
+    def test_last_touch_boundaries_and_direct(self, spark, tmp_path):
+        rows = [
+            # u1: click exactly 1h before purchase — INSIDE the lookback
+            # (<= comparison)
+            (1, _sec(0), 1, "click", 1.0),
+            (2, _sec(3600), 1, "purchase", 10.0),
+            # u2: view 1h+1s before purchase — outside → direct
+            (3, _sec(0), 2, "view", 1.0),
+            (4, _sec(3601), 2, "purchase", 20.0),
+            # u3: channel at the SAME instant as the purchase gets credit
+            (5, _sec(100), 3, "view", 1.0),
+            (6, _sec(100), 3, "purchase", 40.0),
+            # u4: latest of two channels wins (click after view)
+            (7, _sec(0), 4, "view", 1.0),
+            (8, _sec(10), 4, "click", 1.0),
+            (9, _sec(20), 4, "purchase", 80.0),
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, d = _run_both(
+            spark, "purchase_attribution_last_touch", str(tmp_path)
+        )
+        assert s == d
+        got = {c: (n, r) for c, n, r in s}
+        assert got["click"] == (2, 90.0)  # u1 boundary + u4 latest
+        assert got["direct"] == (1, 20.0)
+        assert got["view"] == (1, 40.0)  # u3 same-instant
+
+    def test_linear_split_and_shared_touches(self, spark, tmp_path):
+        rows = [
+            # u1: two touches → 5.0 splits 2.50/2.50 exactly
+            (1, _sec(0), 1, "view", 1.0),
+            (2, _sec(10), 1, "click", 1.0),
+            (3, _sec(20), 1, "purchase", 5.0),
+            # u1: second purchase 30s later shares BOTH touches again
+            (4, _sec(50), 1, "purchase", 7.0),
+            # u2: no touches → direct
+            (5, _sec(0), 2, "purchase", 3.0),
+            # u3: three touches, 1.0 → 333333 micro each (floor), 0.000001
+            # remainder dropped per the documented integer-credit floor
+            (6, _sec(0), 3, "view", 1.0),
+            (7, _sec(1), 3, "view", 1.0),
+            (8, _sec(2), 3, "click", 1.0),
+            (9, _sec(3), 3, "purchase", 1.0),
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, d = _run_both(spark, "purchase_attribution_linear", str(tmp_path))
+        assert s == d
+        got = {c: (n, r) for c, n, r in s}
+        # u1: view gets 2.5 + 3.5, click gets 2.5 + 3.5
+        # u3: view 2x0.333333, click 0.333333
+        assert got["direct"] == (1, 3.0)
+        assert got["click"] == (3, round(2.5 + 3.5 + 0.333333, 4))
+        assert got["view"] == (3, round(2.5 + 3.5 + 2 * 0.333333, 4))
+
+    def test_session_entry_credit_and_gap_split(self, spark, tmp_path):
+        rows = [
+            # u1 session A: view → purchase (entry=view); 31-min gap; new
+            # session B starts WITH a purchase (entry=purchase → direct)
+            (1, _sec(0), 1, "view", 1.0),
+            (2, _sec(60), 1, "purchase", 10.0),
+            (3, _sec(60 + 31 * 60), 1, "purchase", 20.0),
+            # u2: exactly 30-min gap stays ONE session (strict > splits)
+            (4, _sec(0), 2, "click", 1.0),
+            (5, _sec(1800), 2, "purchase", 40.0),
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, d = _run_both(
+            spark, "session_first_touch_attribution", str(tmp_path)
+        )
+        assert s == d
+        got = {c: (n, r) for c, n, r in s}
+        assert got["view"] == (1, 10.0)
+        assert got["purchase"] == (1, 20.0)  # self-entry session
+        assert got["click"] == (1, 40.0)  # 30-min boundary inclusive
+
+    def test_wau_window_edges(self, spark, tmp_path):
+        d = lambda day, uid, eid: (
+            eid,
+            datetime.datetime(2024, 3, 1 + day, 8, 0, 0),
+            uid,
+            "view",
+            1.0,
+        )
+        rows = [
+            d(0, 1, 1),  # u1 active day0 only
+            d(7, 2, 2),  # u2 active day7 only
+            d(3, 3, 3),  # u3 active day3 only
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, dd = _run_both(spark, "rolling_active_users", str(tmp_path))
+        assert s == dd
+        got = dict(s)
+        # span = day0..day7; window for day d is [d-6, d]
+        assert got["2024-03-01"] == 1  # day0: u1
+        assert got["2024-03-04"] == 2  # day3: u1(day0 in window) + u3
+        assert got["2024-03-07"] == 2  # day6: u1 still in [day0..day6], u3
+        assert got["2024-03-08"] == 2  # day7: u1 aged OUT ([day1..day7]),
+        #                                u2(day7) + u3(day3)
