@@ -2714,6 +2714,81 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), span AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1 FROM events
+    ), days AS (
+      SELECT t AS day FROM span,
+             LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) g(t)
+    ), wau AS (
+      SELECT days.day, count(DISTINCT u.user_id) AS wau
+      FROM days JOIN user_days u
+        ON u.d <= days.day AND u.d >= days.day - INTERVAL 6 DAY
+      GROUP BY days.day
+    ), dau AS (
+      SELECT d AS day, count(*) AS dau FROM user_days GROUP BY d
+    )
+    SELECT strftime(w.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 6)
+             AS stickiness
+    FROM wau w LEFT JOIN dau d ON d.day = w.day
+    """,
+    description="DAU/WAU stickiness per day — the engagement-intensity "
+    "ratio product teams track (what fraction of the weekly audience "
+    "shows up daily). DAU is one aggregate over distinct (user, day); "
+    "WAU reuses the 7-day band-join shape (cost 7x user-days); the "
+    "ratio join is day-keyed and tiny. Days with zero activity still "
+    "appear (dau=0) whenever a neighbor keeps their WAU window "
+    "non-empty.",
+    tags=("events", "timeseries", "window"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    wau = (
+        user_days.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = user_days.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long"),
+            F.round(
+                F.coalesce("dau", F.lit(0)).cast("double") / F.col("wau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+@register(
     "purchase_attribution_linear",
     oracle="""
     WITH ch AS (
