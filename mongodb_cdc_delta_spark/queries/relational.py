@@ -2894,6 +2894,128 @@ def purchase_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_u_shaped",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id AS ch_user_id, event_id AS ch_event_id,
+             event_type AS channel, epoch_us(ts) AS ch_us
+      FROM events WHERE event_type <> 'purchase'
+    ), pu AS (
+      SELECT user_id, event_id, epoch_us(ts) AS p_us,
+             CAST(CAST(value AS DECIMAL(18,4)) * 1000000 AS BIGINT)
+               AS rev_micros
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT pu.user_id, pu.event_id, pu.rev_micros, ch.channel,
+             row_number() OVER (PARTITION BY pu.user_id, pu.event_id
+                                ORDER BY ch.ch_us, ch.ch_event_id)
+               AS rn,
+             count(*) OVER (PARTITION BY pu.user_id, pu.event_id) AS n
+      FROM pu JOIN ch
+        ON ch.ch_user_id = pu.user_id
+       AND ch.ch_us <= pu.p_us
+       AND ch.ch_us >= pu.p_us - CAST(3600000000 AS BIGINT)
+    ), credited AS (
+      SELECT channel, user_id, event_id,
+             CASE
+               WHEN n = 1 THEN rev_micros
+               WHEN n = 2 THEN rev_micros // 2
+               WHEN rn = 1 OR rn = n THEN (rev_micros * 2) // 5
+               ELSE (rev_micros - 2 * ((rev_micros * 2) // 5)) // (n - 2)
+             END AS credit_micros
+      FROM touches
+      UNION ALL
+      SELECT 'direct', user_id, event_id, rev_micros
+      FROM pu
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = pu.user_id
+                          AND t.event_id = pu.event_id)
+    )
+    SELECT channel,
+           CAST(count(DISTINCT (user_id, event_id)) AS BIGINT)
+             AS n_purchases,
+           round(CAST(sum(credit_micros) AS DOUBLE) / 1000000.0, 4)
+             AS attributed_revenue
+    FROM credited GROUP BY channel
+    """,
+    description="U-shaped (position-based) attribution: first and last "
+    "touch in the 1-hour lookback each take 40%, the middles split the "
+    "remaining 20% (1 touch takes all, 2 split evenly) — the standard "
+    "position-weighted model between last-touch and linear. Positions "
+    "are tiebroken by channel event_id so equal-timestamp touches rank "
+    "identically cross-engine, and every split is exact integer "
+    "micro-unit arithmetic (floor), so the rollup never depends on "
+    "float aggregation order.",
+    tags=("events", "attribution", "join", "window"),
+)
+def purchase_attribution_u_shaped(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    ch = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("ch_user_id"),
+        F.col("event_id").alias("ch_event_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("ch_us"),
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("p_us"),
+        (_dec(F.col("value")) * 1_000_000)
+        .cast("long")
+        .alias("rev_micros"),
+    )
+    wt = Window.partitionBy("user_id", "event_id")
+    touches = (
+        pu.join(
+            ch,
+            (F.col("ch_user_id") == F.col("user_id"))
+            & (F.col("ch_us") <= F.col("p_us"))
+            & (F.col("ch_us") >= F.col("p_us") - F.lit(3_600_000_000)),
+        )
+        .select(
+            "user_id", "event_id", "rev_micros", "channel",
+            "ch_us", "ch_event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wt.orderBy("ch_us", "ch_event_id")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+    )
+    fl = F.expr("(rev_micros * 2) div 5")
+    credit = (
+        F.when(F.col("n") == 1, F.col("rev_micros"))
+        .when(F.col("n") == 2, F.expr("rev_micros div 2"))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), fl)
+        .otherwise(
+            F.expr(
+                "(rev_micros - 2 * ((rev_micros * 2) div 5)) div (n - 2)"
+            )
+        )
+    )
+    credited = touches.select(
+        "channel", "user_id", "event_id", credit.alias("credit_micros")
+    ).unionByName(
+        pu.join(
+            touches.select("user_id", "event_id").distinct(),
+            ["user_id", "event_id"],
+            "left_anti",
+        ).select(
+            F.lit("direct").alias("channel"),
+            "user_id",
+            "event_id",
+            F.col("rev_micros").alias("credit_micros"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.countDistinct("user_id", "event_id").alias("n_purchases"),
+        F.round(
+            F.sum("credit_micros").cast("double") / 1_000_000.0, 4
+        ).alias("attributed_revenue"),
+    )
+
+
+@register(
     "session_first_touch_attribution",
     oracle="""
     WITH ordered AS (

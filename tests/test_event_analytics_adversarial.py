@@ -286,3 +286,34 @@ class TestAttributionAdversarial:
         assert got["2024-03-07"] == 2  # day6: u1 still in [day0..day6], u3
         assert got["2024-03-08"] == 2  # day7: u1 aged OUT ([day1..day7]),
         #                                u2(day7) + u3(day3)
+
+    def test_u_shaped_position_weights(self, spark, tmp_path):
+        rows = [
+            # u1: four touches, rev 10.0 → first 4.0, last 4.0, middles
+            # 1.0 each (20% / 2)
+            (1, _sec(0), 1, "view", 1.0),
+            (2, _sec(10), 1, "click", 1.0),
+            (3, _sec(20), 1, "signup", 1.0),
+            (4, _sec(30), 1, "error", 1.0),
+            (5, _sec(40), 1, "purchase", 10.0),
+            # u2: single touch takes all
+            (6, _sec(0), 2, "click", 1.0),
+            (7, _sec(5), 2, "purchase", 7.0),
+            # u3: two touches split evenly
+            (8, _sec(0), 3, "view", 1.0),
+            (9, _sec(1), 3, "click", 1.0),
+            (10, _sec(2), 3, "purchase", 6.0),
+            # u4: no touches → direct
+            (11, _sec(0), 4, "purchase", 9.0),
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, d = _run_both(
+            spark, "purchase_attribution_u_shaped", str(tmp_path)
+        )
+        assert s == d
+        got = {c: (n, r) for c, n, r in s}
+        assert got["view"] == (2, 4.0 + 3.0)  # u1 first + u3 half
+        assert got["error"] == (1, 4.0)  # u1 last
+        assert got["click"] == (3, 1.0 + 7.0 + 3.0)  # u1 mid + u2 + u3
+        assert got["signup"] == (1, 1.0)  # u1 mid
+        assert got["direct"] == (1, 9.0)
