@@ -150,7 +150,9 @@ HEADLINE = [
     "purchase_attribution_last_touch",
     "session_first_touch_attribution",
     "purchase_attribution_linear",
+    "purchase_attribution_u_shaped",
     "rolling_active_users",
+    "dau_wau_stickiness",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
