@@ -1019,6 +1019,59 @@ def decontaminate_suffix_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "doc_novelty_fraction",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2]))) AS g
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN f.first_doc = grams.doc_id THEN 1 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(count(CASE WHEN f.first_doc = grams.doc_id
+                                 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM grams JOIN first_seen f USING (g)
+    GROUP BY grams.doc_id
+    """,
+    description="n-gram novelty scoring: per doc, the fraction of its "
+    "distinct word trigrams FIRST seen in this doc (earlier = lower "
+    "doc_id) — the marginal-new-content metric data curation ranks by "
+    "(a doc that is 90% previously-seen trigrams adds little even if it "
+    "is not a near-dup of any single document). Shape: gram-keyed "
+    "min-aggregate (map-side combined) + one join back on the gram — "
+    "two shuffles of (gram, doc_id) pairs, never text; ties on the "
+    "first-seen doc resolve by min(doc_id) identically cross-engine.",
+    tags=("dedup", "llm-pipeline", "textstats"),
+)
+def doc_novelty_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    grams = shingles(load(spark, sf, "documents"), n=3).select(
+        "doc_id", F.col("shingle").alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "g")
+    novel = F.count(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+            "novelty"
+        ),
+    )
+
+
+@register(
     "contamination_eval_report",
     oracle=f"""
     WITH bucketed AS (
