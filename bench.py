@@ -153,6 +153,7 @@ HEADLINE = [
     "purchase_attribution_u_shaped",
     "rolling_active_users",
     "dau_wau_stickiness",
+    "doc_novelty_fraction",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
