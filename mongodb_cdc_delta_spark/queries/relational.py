@@ -2714,6 +2714,82 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey
+    ), tagged AS (
+      SELECT o.o_custkey,
+             f.m0,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.m0
+               AS month_offset,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ), per_cell AS (
+      SELECT m0, month_offset,
+             count(DISTINCT o_custkey) AS active_customers,
+             sum(rev) AS revenue
+      FROM tagged GROUP BY m0, month_offset
+    )
+    SELECT concat(CAST((m0 - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((m0 - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           CAST(month_offset AS INT) AS month_offset,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(sum(revenue) OVER (PARTITION BY m0 ORDER BY month_offset
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM per_cell
+    """,
+    description="cohort lifetime-value curves: customers grouped by "
+    "first-order month, exact-decimal revenue per (cohort, months-since-"
+    "first) cell plus the cumulative LTV running sum — the retention-"
+    "economics table growth teams plot. Month arithmetic is integer "
+    "(year*12+month), so offsets are engine-exact; the cumulative "
+    "window runs over per-cohort CELLS (cohorts x offsets, thousands "
+    "at most), not orders, and the cell aggregate is the only "
+    "order-scale shuffle.",
+    tags=("agg", "window", "cohort", "tpch"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(mcol).alias("m0"))
+    tagged = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "m0",
+        (mcol - F.col("m0")).alias("month_offset"),
+        _dec(F.col("o_totalprice")).alias("rev"),
+    )
+    per_cell = tagged.groupBy("m0", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.sum("rev").alias("revenue"),
+    )
+    wc = (
+        Window.partitionBy("m0")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cohort_label = F.concat(
+        ((F.col("m0") - 1) / 12).cast("int").cast("string"),
+        F.lit("-"),
+        F.lpad(
+            ((F.col("m0") - 1) % 12 + 1).cast("int").cast("string"), 2, "0"
+        ),
+    )
+    return per_cell.select(
+        cohort_label.alias("cohort_month"),
+        F.col("month_offset").cast("int"),
+        F.col("active_customers").cast("long"),
+        F.col("revenue").cast("double"),
+        F.sum("revenue").over(wc).cast("double").alias("cum_revenue"),
+    )
+
+
+@register(
     "dau_wau_stickiness",
     oracle="""
     WITH user_days AS (
