@@ -154,6 +154,7 @@ HEADLINE = [
     "rolling_active_users",
     "dau_wau_stickiness",
     "doc_novelty_fraction",
+    "cohort_ltv_curve",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
