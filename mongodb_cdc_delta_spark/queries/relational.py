@@ -2714,6 +2714,87 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), freq AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey
+    ), totals AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    )
+    SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+           round(CAST(p.support AS DOUBLE) * t.n_orders
+                 / (CAST(f1.n AS DOUBLE) * CAST(f2.n AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p
+    JOIN freq f1 ON f1.l_partkey = p.p1
+    JOIN freq f2 ON f2.l_partkey = p.p2
+    CROSS JOIN totals t
+    ORDER BY p.support DESC, p.p1 ASC, p.p2 ASC
+    LIMIT 50
+    """,
+    description="market-basket affinity: co-purchased part pairs within "
+    "an order with support counts and lift (observed co-occurrence over "
+    "the independence expectation) — the association-mining primitive "
+    "behind 'frequently bought together'. The self-join keys on "
+    "l_orderkey, so pair expansion is bounded by items-per-order squared "
+    "(single digits in order data), never all-parts x all-parts; the "
+    "top-50 is orderBy+limit (TakeOrdered). Lift arithmetic is one "
+    "double expression written identically in both engines.",
+    tags=("join", "agg", "tpch", "basket"),
+)
+def basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")),
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    freq = li.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n"))
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("long"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(50)
+    )
+
+
+@register(
     "cohort_ltv_curve",
     oracle="""
     WITH firsts AS (
