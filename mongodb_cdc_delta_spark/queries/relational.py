@@ -2714,6 +2714,47 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "fulfillment_latency_profile",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_days) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_days) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY delay_days) AS p99,
+           CAST(max(delay_days) AS BIGINT) AS worst
+    FROM lat GROUP BY o_orderpriority
+    """,
+    description="fulfillment-latency SLO profile: exact p50/p90/p99/max "
+    "order-to-ship delay in days per order priority — the operations "
+    "dashboard for 'are urgent orders actually shipping faster'. One FK "
+    "join + one grouped exact-percentile aggregate (Spark percentile() "
+    "matches percentile_cont bit-for-bit on integer day deltas); "
+    "per-priority groups are huge but the aggregate state is the sorted "
+    "digest Spark maintains per group, and the cardinality is 5.",
+    tags=("agg", "join", "tpch", "percentile"),
+)
+def fulfillment_latency_profile(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile(delay_days, 0.5)").alias("p50"),
+        F.expr("percentile(delay_days, 0.9)").alias("p90"),
+        F.expr("percentile(delay_days, 0.99)").alias("p99"),
+        F.max("delay_days").cast("long").alias("worst"),
+    )
+
+
+@register(
     "basket_part_pairs",
     oracle="""
     WITH items AS (
