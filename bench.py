@@ -156,6 +156,7 @@ HEADLINE = [
     "doc_novelty_fraction",
     "cohort_ltv_curve",
     "basket_part_pairs",
+    "fulfillment_latency_profile",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
