@@ -2714,6 +2714,93 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey, n.n_name,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS nation_rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    ), tot AS (
+      SELECT n_regionkey, sum(nation_rev) AS region_rev FROM rev
+      GROUP BY n_regionkey
+    ), shares AS (
+      SELECT r.n_regionkey,
+             CAST(CAST(r.nation_rev * 1000000 AS BIGINT)
+                  // CAST(t.region_rev AS BIGINT) AS BIGINT)
+               AS share_ppm
+      FROM rev r JOIN tot t USING (n_regionkey)
+    )
+    SELECT reg.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(CAST(sum(share_ppm * share_ppm) AS DOUBLE) / 1e12, 6)
+             AS hhi,
+           round(CAST(max(share_ppm) AS DOUBLE) / 1e6, 6) AS top_share
+    FROM shares JOIN region reg ON reg.r_regionkey = shares.n_regionkey
+    GROUP BY reg.r_name
+    """,
+    description="supply-concentration risk: Herfindahl-Hirschman index "
+    "of nation revenue shares within each region (1/n = perfectly "
+    "spread, 1.0 = single-source) plus the largest single share — the "
+    "procurement-risk dashboard. Shares quantize to integer parts-per-"
+    "million BEFORE squaring, so the HHI sum is exact integer "
+    "arithmetic in both engines (a float share^2 reduction would be "
+    "partition-order-dependent); revenue itself aggregates as exact "
+    "decimals. Two small shuffles (nation agg, region rollup), dims "
+    "broadcast.",
+    tags=("agg", "join", "tpch"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    reg = load(spark, sf, "region")
+    rev = (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("nation_rev")
+        )
+    )
+    tot = rev.groupBy("n_regionkey").agg(
+        F.sum("nation_rev").alias("region_rev")
+    )
+    shares = rev.join(tot, "n_regionkey").select(
+        "n_regionkey",
+        F.expr(
+            "CAST(CAST(nation_rev * 1000000 AS BIGINT)"
+            " div CAST(region_rev AS BIGINT) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.join(
+            F.broadcast(reg),
+            reg.r_regionkey == shares.n_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(
+                F.sum(F.col("share_ppm") * F.col("share_ppm")).cast(
+                    "double"
+                )
+                / 1e12,
+                6,
+            ).alias("hhi"),
+            F.round(F.max("share_ppm").cast("double") / 1e6, 6).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
+@register(
     "fulfillment_latency_profile",
     oracle="""
     WITH lat AS (
