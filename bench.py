@@ -157,6 +157,7 @@ HEADLINE = [
     "cohort_ltv_curve",
     "basket_part_pairs",
     "fulfillment_latency_profile",
+    "supplier_concentration_hhi",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py
