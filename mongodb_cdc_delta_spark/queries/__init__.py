@@ -210,10 +210,12 @@ def all_queries() -> dict[str, Query]:
 # slots go to queries that have never had a driver row. Everything outside
 # the window remains covered by the in-repo parity suite
 # (tests/test_oracle_parity.py — strictly harsher than the driver's hash).
-# r3 window: see git history / NOTES_r3.md. r4 rotation documented in
-# NOTES_r4.md.
+# r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
+# r5 rotation: NOTES_r5.md — after this window, ~143 of 165 names will
+# have had a driver row across rounds; the remaining never-checked names
+# (TPC-H breadth analogues + three sampling shapes) rotate in at r6.
 _DRIVER_PRIORITY = (
-    # --- stable sentinels (one per family, kept from the r3 window) ---
+    # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
     "pricing_summary",       # Q3 aggregation (TPC-H Q1 shape)
     "star_join_revenue",     # Q4 star join
@@ -229,46 +231,48 @@ _DRIVER_PRIORITY = (
     "dedup_connected_components",  # graph clustering
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- r4 rotation: never driver-checked before this round ---
-    # round-3 verdict fixes (de-vacuated predicates / de-windowed plans)
-    "set_ops",
-    "anti_join",
-    "product_profit",
-    "event_gap_days",
-    "curriculum_order",
-    "customer_rfm_segments",
-    "bigram_logprob_score",
-    "cms_token_counts",
-    # TPC-H breadth
-    "min_cost_supplier",
-    "volume_shipping",
-    "shipping_priority",
-    "returned_item_ranking",
-    "regional_revenue",
-    "market_share",
-    "top_supplier_revenue",
-    "part_supplier_counts",
-    # event analytics
-    "funnel_conversion",
-    "retention_cohorts",
-    "user_path_transitions",
-    "events_ohlc_downsample",
-    "concurrent_intervals_sweep",
-    "top_event_trigrams",
-    # window / timeseries
-    "window_rank_family",
-    "forward_fill_timeseries",
-    "rolling_zscore_anomalies",
-    # text / LLM-pipeline
-    "tfidf_top_terms",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "repetition_signals",
-    "doc_pii_scrub",
-    "segment_stats_profile",
-    # dedup / similarity portable variants
-    "dedup_minhash_lsh_portable",
-    "simhash_portable_fingerprints",
-    "dedup_keep_list",
-    "knn_cosine_topk_int8",
+    # --- r5 rotation: never driver-checked before this round ---
+    # attribution / engagement / LTV family (new in r4)
+    "purchase_attribution_last_touch",
+    "purchase_attribution_linear",
+    "purchase_attribution_u_shaped",
+    "session_first_touch_attribution",
+    "rolling_active_users",
+    "dau_wau_stickiness",
+    "cohort_ltv_curve",
+    # r4 analytics additions
+    "basket_part_pairs",
+    "supplier_concentration_hhi",
+    "fulfillment_latency_profile",
+    "doc_novelty_fraction",
+    # contamination surgery family (new in r4)
+    "decontaminate_suffix_runs",
+    "decontaminate_cut_spans",
+    "contamination_eval_report",
+    # time-series / window breadth
+    "time_series_cv_splits",
+    "hierarchical_time_rollup",
+    "user_value_mad_outliers",
+    "value_histogram",
+    # quality / SQL-API surface
+    "quality_constraint_suite",
+    "sql_api_orders_by_nation",
+    # dedup / similarity breadth
+    "dedup_ensemble_flags",
+    "dedup_triangle_counts",
+    "semantic_cluster_assign",
+    "hard_negative_mining",
+    "fuzzy_levenshtein_pairs",
+    # text stats / sketches
+    "hll_distinct_tokens",
+    "char_entropy_score",
+    "source_quality_profile",
+    "corpus_report",
+    "doc_chunking",
+    # sampling / mixing
+    "stratified_sample",
+    "lang_temperature_mix",
+    "importance_weighted_sample",
+    "dataset_three_way_split",
+    "skew_salted_join_agg",
 )
