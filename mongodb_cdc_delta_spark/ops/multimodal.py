@@ -332,11 +332,12 @@ def multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic duplicate injection (same device as doc_pii_scrub):
     # generated payloads have no near-dups at small scale factors, which
     # made this query return 0 rows — proving nothing about the pair
-    # path. Clone every 97th doc under doc_id+10_000_000 so the
-    # LSH-bucket join provably fires at every sf; production callers use
+    # path. Clone every 97th doc under doc_id + 10^12 — far above any
+    # plausible generated doc_id (even sf=100 stays under 10^9), so clone
+    # ids can never collide with real ones; production callers use
     # phash_media + the block join on their own media table unseeded.
     clones = docs.where(F.col("doc_id") % 97 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000_000)
     )
     media = as_media_table(docs.unionByName(clones))
     fps = phash_media(media)

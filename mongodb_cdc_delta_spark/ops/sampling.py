@@ -220,18 +220,29 @@ def pack_sequences(
     budget: int,
     order_col: str = "doc_id",
     shard_col: str | None = None,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """Assign each document to a training-shard bin by concatenation
     offset: documents are laid out in ``order_col`` order and split at
     ``budget``-token boundaries (the streaming packer used to build
     fixed-length training sequences), so bin = floor(start_offset/budget).
 
-    Scale shape: a global running sum is inherently sequential, so pass
-    ``shard_col`` (e.g. language or source) to partition the window — each
-    shard packs independently and the cumsum shuffles once on the shard
-    key instead of collapsing to a single partition."""
+    Scale shape: a global running sum is inherently sequential, so
+    ``shard_col`` (e.g. language or source) is REQUIRED — each shard packs
+    independently and the cumsum shuffles once on the shard key instead of
+    collapsing the whole corpus into one partition. ``shard_col=None`` is
+    only honored with an explicit ``allow_single_partition=True`` opt-in
+    (small bounded inputs) so the repo's no-global-window policy can't be
+    violated by a default argument."""
     from pyspark.sql import Window
 
+    if shard_col is None and not allow_single_partition:
+        raise ValueError(
+            "pack_sequences: shard_col is required — a global cumsum "
+            "window moves the entire corpus into ONE partition. Pass a "
+            "shard column (e.g. language/source) or, for small bounded "
+            "inputs only, allow_single_partition=True."
+        )
     w = (
         Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
     ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)

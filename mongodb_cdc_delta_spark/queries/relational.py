@@ -2728,9 +2728,12 @@ def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
       SELECT n_regionkey, sum(nation_rev) AS region_rev FROM rev
       GROUP BY n_regionkey
     ), shares AS (
+      -- floor() before every decimal->BIGINT cast: Spark CAST truncates
+      -- toward zero while DuckDB rounds half-up, so an unfloored cast
+      -- can differ by 1 at quantization boundaries
       SELECT r.n_regionkey,
-             CAST(CAST(r.nation_rev * 1000000 AS BIGINT)
-                  // CAST(t.region_rev AS BIGINT) AS BIGINT)
+             CAST(CAST(floor(r.nation_rev * 1000000) AS BIGINT)
+                  // CAST(floor(t.region_rev) AS BIGINT) AS BIGINT)
                AS share_ppm
       FROM rev r JOIN tot t USING (n_regionkey)
     )
@@ -2771,11 +2774,13 @@ def supplier_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
     tot = rev.groupBy("n_regionkey").agg(
         F.sum("nation_rev").alias("region_rev")
     )
+    # floor() before BIGINT casts mirrors the oracle: both engines then
+    # truncate identically (Spark CAST truncates, DuckDB rounds half-up)
     shares = rev.join(tot, "n_regionkey").select(
         "n_regionkey",
         F.expr(
-            "CAST(CAST(nation_rev * 1000000 AS BIGINT)"
-            " div CAST(region_rev AS BIGINT) AS BIGINT)"
+            "CAST(CAST(floor(nation_rev * 1000000) AS BIGINT)"
+            " div CAST(floor(region_rev) AS BIGINT) AS BIGINT)"
         ).alias("share_ppm"),
     )
     return (

@@ -149,11 +149,36 @@ def _remove_action(delta_rel: str) -> dict:
 
 
 def _place_file(src: str, dst: str) -> None:
+    """Idempotently materialize ``src`` at ``dst`` (hard link, else copy).
+
+    Must tolerate ``dst`` already existing: a crash between file placement
+    and commit publish — or a delete→sync→restore→sync sequence whose old
+    link was never vacuumed — retries the same placement, and a bare
+    ``os.link`` would raise EEXIST while the ``shutil.copy2`` fallback
+    would raise SameFileError on the same inode, wedging every export()
+    retry. Same-inode dst is already the desired state; a different
+    existing dst is replaced atomically via a temp name + ``os.replace``.
+    """
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        try:
+            if os.path.samefile(src, dst):
+                return  # already linked (crash-retry or restore re-link)
+        except OSError:
+            pass  # dst vanished or unstatable: fall through and replace
+    tmp = f"{dst}.__place_{os.getpid()}__"
     try:
-        os.link(src, dst)  # zero-copy when same filesystem
-    except OSError:
-        shutil.copy2(src, dst)
+        try:
+            os.link(src, tmp)  # zero-copy when same filesystem
+        except OSError:
+            shutil.copy2(src, tmp)
+        os.replace(tmp, dst)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _dv_fingerprint(positions: list[int]) -> list:
@@ -275,6 +300,23 @@ def _strip_soft_fields(node):
     if isinstance(node, list):
         return [_strip_soft_fields(x) for x in node]
     return node
+
+
+def _norm_schema(schema_json: dict | None) -> dict | None:
+    """Canonical form for schema-change detection: StructType round-trip.
+
+    ``StructType.fromJson(...).jsonValue()`` normalizes representation
+    details (absent vs empty field ``metadata``, key ordering) without
+    erasing semantic differences — nullability and type changes still
+    compare unequal. Both comparison sides go through this ONE function
+    so a sidecar rebuilt from the published metaData schemaString equals
+    the lake log's raw schema JSON whenever they describe one schema."""
+    if schema_json is None:
+        return None
+    try:
+        return StructType.fromJson(schema_json).jsonValue()
+    except Exception:
+        return schema_json  # unparseable → fall back to raw comparison
 
 
 class DeltaExporter:
@@ -463,8 +505,15 @@ class DeltaExporter:
             }
         mapping: dict[str, list[str]] = dict(state["mapping"])
         old_dvs: dict[str, list] = dict(state.get("dvs", {}))
+        # Compare through ONE normalization: after a sidecar loss the
+        # rebuilt schema_json comes from the metaData schemaString (a
+        # StructType.fromJson→jsonValue round-trip that adds e.g. empty
+        # field metadata), so raw dict equality against the lake log's
+        # schema JSON would flag a spurious schema change and re-rewrite
+        # every previously-rewritten file.
         schema_changed = (
-            snap.schemas[-1] != state.get("schema_json")
+            _norm_schema(snap.schemas[-1])
+            != _norm_schema(state.get("schema_json"))
             if snap.schemas
             else False
         )
@@ -499,10 +548,19 @@ class DeltaExporter:
         new_files = sorted((active - exported) | changed)
         gone_files = sorted((exported - active) | changed)
 
-        removes = [
-            _remove_action(p) for f in gone_files for p in mapping[f]
-        ]
         adds, new_mapping = self._export_files(snap, new_files)
+        # The Delta protocol forbids add+remove of the SAME path within
+        # one version. A restored file that keeps its fast-path link
+        # re-exports under its original delta path, landing in both
+        # gone_files (old link) and new_files (re-add): drop the remove —
+        # the add alone conveys the identical net state.
+        added_paths = {a["add"]["path"] for a in adds}
+        removes = [
+            _remove_action(p)
+            for f in gone_files
+            for p in mapping[f]
+            if p not in added_paths
+        ]
         for f in gone_files:
             mapping.pop(f, None)
         mapping.update(new_mapping)

@@ -53,6 +53,7 @@ class ContaminationGate:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()
+        flags = None
         try:
             flags = suffix_run_flags(
                 batch, self.eval_set, gram=self.gram
@@ -77,6 +78,10 @@ class ContaminationGate:
                 }
             )
         finally:
+            # unpersist BOTH caches: an always-on stream would otherwise
+            # accumulate one cached flags plan per micro-batch forever
+            if flags is not None:
+                flags.unpersist()
             batch.unpersist()
 
     def attach(self, stream: DataFrame, checkpoint: str, **trigger):

@@ -490,6 +490,91 @@ class TestCrashSafety:
         with pytest.raises(ConcurrentExportError):
             _write_commit(dest, 0, [{"commitInfo": {"timestamp": 0}}])
 
+    def test_place_file_retry_is_idempotent(self, tmp_path):
+        # crash between file placement and commit publish retries the
+        # same placement: an existing same-inode dst must be a no-op, an
+        # existing different dst must be atomically replaced — neither
+        # may raise (EEXIST / SameFileError would wedge every retry)
+        from mongodb_cdc_delta_spark.sinks.delta_export import _place_file
+
+        src = tmp_path / "src.parquet"
+        src.write_bytes(b"payload-a")
+        dst = tmp_path / "out" / "part.parquet"
+        _place_file(str(src), str(dst))
+        _place_file(str(src), str(dst))  # retry: same inode, no-op
+        assert os.path.samefile(src, dst)
+        other = tmp_path / "src2.parquet"
+        other.write_bytes(b"payload-b")
+        _place_file(str(other), str(dst))  # stale dst: replaced
+        assert dst.read_bytes() == b"payload-b"
+
+    def test_restore_resync_relinks_without_duplicate_path_actions(
+        self, spark, lake, tmp_path
+    ):
+        # delete -> sync -> restore -> sync: the restored file re-exports
+        # under its ORIGINAL delta path (fast-path link). The retry must
+        # not wedge on the still-present old link, and the commit must
+        # not contain both an add and a remove of the same path (the
+        # Delta protocol forbids that within one version)
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        v_before = lake._replay().version
+        lake.delete_where("id < 10")
+        sync_delta(lake, dest)
+        lake.restore(v_before)
+        res = sync_delta(lake, dest)
+        assert res["noop"] is False
+        commit = os.path.join(
+            dest, "_delta_log", f"{res['delta_version']:020d}.json"
+        )
+        adds, rms = set(), set()
+        with open(commit) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    adds.add(a["add"]["path"])
+                if "remove" in a:
+                    rms.add(a["remove"]["path"])
+        assert not (adds & rms), f"add+remove same path: {adds & rms}"
+        assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+        # and the NEXT sync after an unrelated change still works
+        lake.delete_where("id >= 95")
+        sync_delta(lake, dest)
+        assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+
+    def test_sidecar_rebuild_does_not_flag_spurious_schema_change(
+        self, spark, tmp_path
+    ):
+        # the rebuilt sidecar's schema_json comes from the metaData
+        # schemaString (StructType round-trip, normalized metadata); a
+        # raw dict compare against the lake log's schema JSON would see
+        # a phantom schema change and re-rewrite every rewritten file
+        t = LakeTable(spark, str(tmp_path / "lake3"))
+        t.append(
+            spark.range(5).select(F.col("id"), F.col("id").alias("v")),
+            partition_by=[],
+        )
+        t.append(
+            spark.range(5, 10).select(
+                F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("v")
+            )
+        )  # widens v to string -> first file is REWRITTEN on export
+        dest = str(tmp_path / "delta3")
+        assert export_delta(t, dest)["rewritten"] >= 1
+        os.remove(os.path.join(dest, "_lake_export_state.json"))
+        n_before = len(t._replay().files)
+        t.append(
+            spark.range(10, 12).select(
+                F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("v")
+            )
+        )  # same schema: only the newly appended files may be exported
+        n_new = len(t._replay().files) - n_before
+        res = sync_delta(t, dest)
+        assert res["added"] == n_new and res["removed"] == 0, (
+            f"spurious schema-change rewrite: {res} (expected {n_new} adds)"
+        )
+        assert _rows(_read_exported(spark, dest)) == _rows(t.read())
+
     def test_checkpoint_carries_unexpired_tombstones(
         self, spark, lake, tmp_path
     ):

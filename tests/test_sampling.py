@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mongodb_cdc_delta_spark.ops.sampling import (
@@ -68,3 +69,34 @@ class TestThreeWaySplit:
         # stable: identical assignment on recompute
         b = three_way_split(docs, "doc_id").select("doc_id", "split")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestPackSequencesGuard:
+    def test_unsharded_call_is_rejected(self, spark):
+        # repo policy: no code path may build Window.partitionBy() over an
+        # unbounded input via a default argument (round-4 verdict item 4)
+        from mongodb_cdc_delta_spark.ops.sampling import pack_sequences
+        from mongodb_cdc_delta_spark.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        with pytest.raises(ValueError, match="shard_col"):
+            pack_sequences(
+                docs, token_col=F.size(F.split(F.col("text"), " ")),
+                budget=2048,
+            )
+
+    def test_explicit_single_partition_opt_in_still_works(self, spark):
+        from mongodb_cdc_delta_spark.ops.sampling import pack_sequences
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(100).alias("n")
+        )
+        out = pack_sequences(
+            df, token_col=F.col("n"), budget=250,
+            allow_single_partition=True,
+        )
+        bins = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+        # 100 tokens each, 250 budget: docs 0,1,2 start at 0/100/200 ->
+        # bin 0, doc 3 starts at 300 -> bin 1, etc.
+        assert bins[0] == 0 and bins[2] == 0 and bins[3] == 1
+        assert bins[9] == 900 // 250
