@@ -55,20 +55,24 @@ def lake(spark, tmp_path):
 
 def _read_exported(spark, dest: str):
     """Read an exported Delta table the way an external reader would:
-    replay the log, scan exactly the listed files, reattach partition
-    values from the add entries."""
-    state = replay_delta_log(dest)
-    schema: StructType = state["schema"]
+    snapshot via the INDEPENDENT spec-only log reader
+    (interop/delta_reader.py — no shared code with the exporter), scan
+    exactly the listed files, reattach partition values from the add
+    entries."""
+    from mongodb_cdc_delta_spark.interop import delta_reader as dr
+
+    snap = dr.load_snapshot(dest)
+    schema = StructType.fromJson(snap.schema)
     parts = []
     data_cols = [
-        f for f in schema.fields if f.name not in state["partition_columns"]
+        f for f in schema.fields if f.name not in snap.partition_columns
     ]
-    for path, add in state["files"].items():
+    for path, add in snap.files.items():
         df = spark.read.schema(StructType(data_cols)).parquet(
-            os.path.join(dest, urllib.parse.unquote(path))
+            snap.data_path(path)
         )
-        for pc in state["partition_columns"]:
-            pv = add["partitionValues"].get(pc)
+        for pc in snap.partition_columns:
+            pv = (add.get("partitionValues") or {}).get(pc)
             pf = schema[pc]
             df = df.withColumn(pc, F.lit(pv).cast(pf.dataType))
         parts.append(df.select(*[f.name for f in schema.fields]))
