@@ -224,9 +224,149 @@ def cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# Reference-host calibration constant: the round-3 healthy-host value of
+# cpu_calibration(). Normalized numbers are raw * (CALIB_REF / calib_run),
+# i.e. "what this run would have measured on the r3 reference host" —
+# making per-query deltas comparable across rounds that land on
+# differently-loaded machines (the r3→r4 comparison was clouded by a 2.8×
+# host-load swing).
+CALIB_REF_CPU_SEC = 0.175
+
+
+def streaming_lag_bench(spark, rate: int = 12_000, duration: float = 20.0):
+    """Measure end-to-end streaming lag (event ts_ms → ingest-commit wall
+    clock) against BASELINE's SLOs (P50 <10 s, P95 <60 s at >=10k ev/s —
+    reference spec.md:331-332, prometheus alerts.yml:7-20).
+
+    A producer thread drops envelope files into a watched directory at
+    ``rate`` ev/s; the file-source stream ingests them through the full
+    CDC path. Per-batch, per-event lags are folded into a 50 ms histogram
+    (bounded driver state ~hundreds of buckets), and exact-enough
+    percentiles come from the merged histogram. Trigger is 1 s because at
+    >=10k ev/s the reference's own batcher (2000 records OR 10 s,
+    event_consumer.py:28-29) is size-bound and fires sub-second — a 10 s
+    trigger would measure the trigger, not the pipeline.
+    """
+    import shutil
+    import tempfile
+    import threading
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_delta_spark.streaming.pipeline import CDCStreamPipeline
+
+    src = tempfile.mkdtemp(prefix="bench-lagsrc-")
+    lake = tempfile.mkdtemp(prefix="bench-laglake-")
+    stop = threading.Event()
+    chunk = max(rate // 4, 1)  # 4 files/s
+    produced = [0]
+
+    def producer() -> None:
+        i = 0
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            now_ms = int(time.time() * 1000)
+            lines = "\n".join(
+                json.dumps(
+                    {
+                        "payload": {
+                            "op": "c",
+                            "ts_ms": now_ms,
+                            "source": {"db": "bench", "collection": "lag"},
+                            "after": json.dumps(
+                                {"_id": f"L{i + k}", "n": i + k}
+                            ),
+                        }
+                    }
+                )
+                for k in range(chunk)
+            )
+            tmp = os.path.join(src, f".tmp-{i}")
+            with open(tmp, "w") as fh:
+                fh.write(lines + "\n")
+            os.rename(tmp, os.path.join(src, f"chunk-{i}.json"))
+            produced[0] += chunk
+            i += chunk
+            time.sleep(max(0.0, chunk / rate - (time.perf_counter() - t0)))
+
+    hist: dict[int, int] = defaultdict(int)
+    pipe = CDCStreamPipeline(spark, lake, trigger_seconds=1.0)
+    orig = pipe._process_batch
+
+    def timed_batch(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            orig(batch_df, batch_id)
+            commit_ms = int(time.time() * 1000)
+            for r in (
+                batch_df.select(
+                    F.get_json_object("value", "$.payload.ts_ms")
+                    .cast("long")
+                    .alias("ts")
+                )
+                .groupBy(
+                    ((F.lit(commit_ms) - F.col("ts")) / F.lit(50))
+                    .cast("long")
+                    .alias("b")
+                )
+                .count()
+                .collect()
+            ):
+                if r["b"] is not None:
+                    hist[r["b"]] += r["count"]
+        finally:
+            batch_df.unpersist()
+
+    pipe._process_batch = timed_batch
+    t_start = time.perf_counter()
+    thread = threading.Thread(target=producer, daemon=True)
+    try:
+        thread.start()
+        q = pipe.start(pipe.from_files(src), query_name="bench-lag")
+        try:
+            time.sleep(duration)
+            stop.set()
+            thread.join(timeout=10)
+            # drain: give the stream time to commit the tail
+            deadline = time.perf_counter() + 30
+            while time.perf_counter() < deadline:
+                if sum(hist.values()) >= produced[0]:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        wall = time.perf_counter() - t_start
+        total = sum(hist.values())
+        if total == 0:
+            return {"error": "no events committed"}
+
+        def pct(p: float) -> float:
+            need = total * p
+            seen = 0
+            for b in sorted(hist):
+                seen += hist[b]
+                if seen >= need:
+                    return round((b + 1) * 50 / 1000.0, 3)
+            return float("nan")
+
+        return {
+            "events": total,
+            "events_per_sec": round(total / wall),
+            "lag_p50_sec": pct(0.50),
+            "lag_p95_sec": pct(0.95),
+            "lag_p99_sec": pct(0.99),
+        }
+    finally:
+        stop.set()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
+    calib_samples = [cpu_calibration()]
 
     # warm-up: JVM JIT, codegen, parquet footer caches, and the Arrow
     # Python-worker pool (first pandas-UDF call pays worker fork+import)
@@ -291,6 +431,14 @@ def main() -> None:
     finally:
         raw.unpersist()
         shutil.rmtree(lake_dir, ignore_errors=True)
+    calib_samples.append(cpu_calibration())
+
+    # Streaming lag SLO (BASELINE: P50 <10s, P95 <60s at >=10k ev/s)
+    try:
+        lag = streaming_lag_bench(spark)
+    except Exception as exc:
+        lag = {}
+        errors["streaming_lag"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Each query runs twice: the first run pays one-time Catalyst analysis +
     # whole-stage-codegen compilation (cached thereafter); the second run is
@@ -330,6 +478,9 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    calib_samples.append(cpu_calibration())
+    calib = sorted(calib_samples)[len(calib_samples) // 2]  # median
+    scale = CALIB_REF_CPU_SEC / calib if calib > 0 else 1.0
     print(
         json.dumps(
             {
@@ -339,7 +490,22 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(cold_total, 3),
                 "cdc_ingest_events_per_sec": ingest_rate,
-                "calib_cpu_sec": cpu_calibration(),
+                "streaming_lag": lag,
+                "calib_cpu_sec": calib,
+                "calib_samples": calib_samples,
+                "calib_ref_cpu_sec": CALIB_REF_CPU_SEC,
+                # host-load-normalized view: raw * (calib_ref / calib_run);
+                # cross-round comparisons should use these (see CALIB_REF
+                # comment). Ingest rate scales inversely.
+                "value_normalized": round(sum(timings.values()) * scale, 3),
+                "queries_normalized": {
+                    k: round(v * scale, 3) for k, v in timings.items()
+                },
+                "cdc_ingest_events_per_sec_normalized": round(
+                    ingest_rate / scale
+                )
+                if ingest_rate
+                else 0,
                 "errors": errors,
                 "sf": sf_val,
             }
