@@ -143,6 +143,7 @@ HEADLINE = [
     "event_gap_days",
     "customer_rfm_segments",
     "decontaminate_suffix_runs",
+    "decontaminate_containment",
     "decontaminate_cut_spans",
     "contamination_eval_report",
     "lang_temperature_mix",

@@ -631,6 +631,119 @@ def decontaminate_train_set(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate_flags(train, eval_set, n=3)
 
 
+def containment_scores(
+    train: DataFrame, eval_set: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact per-pair shingle containment: for every (train, eval)
+    document pair sharing at least one word n-gram, the fraction of the
+    EVAL doc's distinct shingles present in the train doc, as integer
+    ppm (micro-units, so the score is engine-exact — same trick as the
+    HHI share quantization).
+
+    Containment |sh(E) ∩ sh(T)| / |sh(E)| is the right contamination
+    statistic when an eval document may be EMBEDDED in a much larger
+    training document: Jaccard divides by the union, so a 100-word eval
+    doc fully contained in a 10k-word train doc scores ~0.01 Jaccard
+    but 1.0 containment. (Same asymmetric-resemblance measure as
+    Broder's containment; the LSH-Ensemble literature indexes it
+    approximately — at benchmark-sized eval sets the exact join is
+    cheaper than the sketch.)
+
+    Scale shape: the eval side is a benchmark, so its (eval_doc_id,
+    shingle-hash) set and per-doc sizes broadcast; the 100 TB training
+    side gets one scan + one broadcast join + one (train,eval)-keyed
+    aggregate whose cardinality is bounded by actual overlaps, never
+    all-pairs."""
+    ev = shingles(eval_set, n=n).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.xxhash64("shingle").alias("sh"),
+    )
+    ev_sizes = ev.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("eval_shingles")
+    )
+    tr = shingles(train, n=n).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.xxhash64("shingle").alias("sh"),
+    )
+    inter = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return inter.join(F.broadcast(ev_sizes), "eval_doc_id").select(
+        "train_doc_id",
+        "eval_doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.expr(
+            "CAST(n_shared * 1000000 AS BIGINT) div eval_shingles"
+        ).alias("containment_ppm"),
+    )
+
+
+@register(
+    "decontaminate_containment",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             ((((doc_id % 100003) * 2654435761 + 7919) % 2147483648)
+              % 10000) AS bucket
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT doc_id AS eval_doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket < 200) t
+    ),
+    ev_sizes AS (
+      SELECT eval_doc_id, count(*) AS eval_shingles
+      FROM ev GROUP BY eval_doc_id
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id AS train_doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM bucketed WHERE bucket >= 200) t
+    ),
+    inter AS (
+      SELECT tr.train_doc_id, ev.eval_doc_id, count(*) AS n_shared
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT i.train_doc_id, i.eval_doc_id,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(i.n_shared * 1000000 AS BIGINT) // s.eval_shingles
+             AS containment_ppm
+    FROM inter i JOIN ev_sizes s USING (eval_doc_id)
+    ORDER BY containment_ppm DESC, i.train_doc_id, i.eval_doc_id
+    LIMIT 50
+    """,
+    description="containment decontamination: top (train, eval) pairs "
+    "by the fraction of the EVAL doc's distinct word trigrams present "
+    "in the train doc (integer ppm, engine-exact) — the asymmetric "
+    "statistic that catches an eval doc embedded inside a much larger "
+    "training doc, which Jaccard's union denominator dilutes to "
+    "near-zero. Eval shingles + sizes broadcast; one training-corpus "
+    "scan; pair cardinality bounded by real overlaps.",
+    tags=("dedup", "llm-pipeline", "decontamination"),
+)
+def decontaminate_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    scores = containment_scores(
+        docs.where(bucket >= 200), docs.where(bucket < 200), n=3
+    )
+    return scores.orderBy(
+        F.col("containment_ppm").desc(), "train_doc_id", "eval_doc_id"
+    ).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring decontamination (character-gram positional match)
 # ---------------------------------------------------------------------------

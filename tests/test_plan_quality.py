@@ -252,6 +252,16 @@ class TestLlmOpsPlans:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_containment_decontaminate_broadcasts_eval(self, spark):
+        # eval shingle hashes AND per-eval-doc sizes broadcast; the
+        # training shingle stream (the 100 TB side) must never be
+        # sort-merge shuffled, and the top-50 must be TakeOrdered
+        plan = plan_of(spark, "decontaminate_containment", execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_winnowing_fingerprints_computed_once(self, spark):
         # the winnowing pass feeds 3 branches (hot filter + self-join
         # sides); the checkpoint must collapse them to ONE scan of the
