@@ -9,9 +9,13 @@ from pyspark.sql import functions as F
 
 from mongodb_cdc_delta_spark.sinks import LakeTable
 from mongodb_cdc_delta_spark.sinks.datasource import (
+
     LakeTableBatchReader,
     register_lake_source,
 )
+
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module", autouse=True)

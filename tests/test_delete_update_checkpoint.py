@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 from mongodb_cdc_delta_spark.sinks import LakeTable
 from mongodb_cdc_delta_spark.sinks.table import CHECKPOINT_INTERVAL, _LOG_DIR
 
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def lake(tmp_path):

@@ -29,6 +29,9 @@ from mongodb_cdc_delta_spark.sinks.delta_export import (
 )
 from mongodb_cdc_delta_spark.sinks.table import LakeTable
 
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def lake(spark, tmp_path):

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from mongodb_cdc_delta_spark.schema import MergeMode, SchemaEvolutionError
 from mongodb_cdc_delta_spark.sinks import ConcurrentWriteError, LakeTable
 
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def lake(tmp_path):

@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 from mongodb_cdc_delta_spark.sinks import LakeTable
 from mongodb_cdc_delta_spark.sinks.maintenance import (
     auto_maintain,
     maintenance_plan,
 )
+
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _df(spark, rows, schema):

@@ -13,6 +13,11 @@ from mongodb_cdc_delta_spark.streaming.maintenance_loop import (
     MaintenanceLoop,
 )
 
+import pytest
+
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 T0 = 1_700_000_000  # fixed epoch; minute-aligned enough for cron math
 
 

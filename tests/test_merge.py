@@ -21,6 +21,9 @@ from mongodb_cdc_delta_spark.reconcile import (
 )
 from mongodb_cdc_delta_spark.sinks import LakeTable
 
+# deep storage-layer e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def lake(tmp_path):
