@@ -56,6 +56,53 @@ class TestContainmentScores:
         [r] = containment_scores(train, ev).collect()
         assert r.n_shared == 1 and r.containment_ppm == 1_000_000
 
+    def test_random_corpora_match_python_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        word = st.integers(min_value=0, max_value=11).map(lambda i: f"w{i}")
+        doc = st.lists(word, min_size=0, max_size=25).map(" ".join)
+
+        def ref_trigrams(text):
+            toks = text.split(" ")
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            st.lists(doc, min_size=1, max_size=5),
+            st.lists(doc, min_size=1, max_size=3),
+        )
+        def run(train_texts, eval_texts):
+            train = _docs(spark, list(enumerate(train_texts)))
+            ev = _docs(
+                spark, [(1000 + i, t) for i, t in enumerate(eval_texts)]
+            )
+            got = {
+                (r.train_doc_id, r.eval_doc_id): (
+                    r.n_shared,
+                    r.containment_ppm,
+                )
+                for r in containment_scores(train, ev).collect()
+            }
+            expect = {}
+            for ti, tt in enumerate(train_texts):
+                for ei, et in enumerate(eval_texts):
+                    inter = len(ref_trigrams(tt) & ref_trigrams(et))
+                    if inter:
+                        expect[(ti, 1000 + ei)] = (
+                            inter,
+                            inter * 1_000_000 // len(ref_trigrams(et)),
+                        )
+            assert got == expect, (got, expect)
+
+        run()
+
     def test_catches_embedding_jaccard_misses(self, spark):
         # the motivating asymmetry: eval fully inside a 200-word train
         # doc scores 1.0 containment while trigram-Jaccard is far below
