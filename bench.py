@@ -152,6 +152,7 @@ HEADLINE = [
     "session_first_touch_attribution",
     "purchase_attribution_linear",
     "purchase_attribution_u_shaped",
+    "purchase_attribution_time_decay",
     "rolling_active_users",
     "dau_wau_stickiness",
     "doc_novelty_fraction",

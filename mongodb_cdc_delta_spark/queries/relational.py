@@ -3306,6 +3306,122 @@ def purchase_attribution_u_shaped(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_time_decay",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id AS ch_user_id, event_type AS channel,
+             epoch_us(ts) AS ch_us
+      FROM events WHERE event_type <> 'purchase'
+    ), pu AS (
+      SELECT user_id, event_id, epoch_us(ts) AS p_us,
+             CAST(CAST(value AS DECIMAL(18,4)) * 1000000 AS BIGINT)
+               AS rev_micros
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT pu.user_id, pu.event_id, pu.rev_micros, ch.channel,
+             CASE (pu.p_us - ch.ch_us) // CAST(900000000 AS BIGINT)
+               WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4
+               WHEN 3 THEN 2 ELSE 1
+             END AS w
+      FROM pu JOIN ch
+        ON ch.ch_user_id = pu.user_id
+       AND ch.ch_us <= pu.p_us
+       AND ch.ch_us >= pu.p_us - CAST(3600000000 AS BIGINT)
+    ), weighted AS (
+      SELECT *, sum(w) OVER (PARTITION BY user_id, event_id) AS sum_w
+      FROM touches
+    ), credited AS (
+      SELECT channel, user_id, event_id,
+             (rev_micros * w) // sum_w AS credit_micros
+      FROM weighted
+      UNION ALL
+      SELECT 'direct', user_id, event_id, rev_micros
+      FROM pu
+      WHERE NOT EXISTS (SELECT 1 FROM touches t
+                        WHERE t.user_id = pu.user_id
+                          AND t.event_id = pu.event_id)
+    )
+    SELECT channel,
+           CAST(count(DISTINCT (user_id, event_id)) AS BIGINT)
+             AS n_purchases,
+           round(CAST(sum(credit_micros) AS DOUBLE) / 1000000.0, 4)
+             AS attributed_revenue
+    FROM credited GROUP BY channel
+    """,
+    description="time-decay attribution: touches in the 1-hour lookback "
+    "weighted by recency with a 15-minute half-life — the standard "
+    "recency-biased model completing the last/linear/U-shaped family. "
+    "Decay is stepped per 15-min bucket with exact dyadic weights "
+    "(16/8/4/2/1), so shares are integer micro-unit arithmetic end to "
+    "end: no pow()/exp() whose last ulp differs across engines, and "
+    "rollups never depend on float aggregation order. Same single "
+    "user-keyed band join + one (user,purchase) window as the rest of "
+    "the family — no self-join amplification, bounded by touches per "
+    "purchase-hour.",
+    tags=("events", "attribution", "join", "window"),
+)
+def purchase_attribution_time_decay(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    ev = load(spark, sf, "events")
+    ch = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("ch_user_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("ch_us"),
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("p_us"),
+        (_dec(F.col("value")) * 1_000_000)
+        .cast("long")
+        .alias("rev_micros"),
+    )
+    bucket = F.expr("(p_us - ch_us) div 900000000")
+    w = (
+        F.when(bucket == 0, 16)
+        .when(bucket == 1, 8)
+        .when(bucket == 2, 4)
+        .when(bucket == 3, 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    touches = pu.join(
+        ch,
+        (F.col("ch_user_id") == F.col("user_id"))
+        & (F.col("ch_us") <= F.col("p_us"))
+        & (F.col("ch_us") >= F.col("p_us") - F.lit(3_600_000_000)),
+    ).select("user_id", "event_id", "rev_micros", "channel", w.alias("w"))
+    weighted = touches.withColumn(
+        "sum_w",
+        F.sum("w").over(Window.partitionBy("user_id", "event_id")),
+    )
+    credited = weighted.select(
+        "channel",
+        "user_id",
+        "event_id",
+        F.expr("(rev_micros * w) div sum_w").alias("credit_micros"),
+    ).unionByName(
+        pu.join(
+            touches.select("user_id", "event_id").distinct(),
+            ["user_id", "event_id"],
+            "left_anti",
+        ).select(
+            F.lit("direct").alias("channel"),
+            "user_id",
+            "event_id",
+            F.col("rev_micros").alias("credit_micros"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.countDistinct("user_id", "event_id").alias("n_purchases"),
+        F.round(
+            F.sum("credit_micros").cast("double") / 1_000_000.0, 4
+        ).alias("attributed_revenue"),
+    )
+
+
+@register(
     "session_first_touch_attribution",
     oracle="""
     WITH ordered AS (

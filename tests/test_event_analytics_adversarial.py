@@ -317,3 +317,39 @@ class TestAttributionAdversarial:
         assert got["click"] == (3, 1.0 + 7.0 + 3.0)  # u1 mid + u2 + u3
         assert got["signup"] == (1, 1.0)  # u1 mid
         assert got["direct"] == (1, 9.0)
+
+    def test_time_decay_bucket_edges(self, spark, tmp_path):
+        rows = [
+            # u1, purchase rev 10 at t=3600: touches at Δ=0 (bucket 0,
+            # w16), Δ=exactly 900 s (bucket 1, w8 — the 15-min boundary
+            # must fall DOWN-weight), Δ=exactly 3600 s (lookback edge
+            # inclusive, bucket 4, w1); sum_w=25
+            (1, _sec(0), 1, "signup", 1.0),
+            (2, _sec(2700), 1, "click", 1.0),
+            (3, _sec(3600), 1, "view", 1.0),
+            (4, _sec(3600), 1, "purchase", 10.0),
+            # u2: Δ=899 s stays bucket 0; Δ=3601 s is OUTSIDE the
+            # lookback and earns nothing
+            (5, _sec(399), 2, "error", 1.0),
+            (6, _sec(3101), 2, "click", 1.0),
+            (7, _sec(4000), 2, "purchase", 5.0),
+            # u3: no touches → direct
+            (8, _sec(0), 3, "purchase", 9.0),
+            # u4: two touches in the SAME bucket (Δ=1800 and Δ=2699 are
+            # both bucket 2) split evenly
+            (9, _sec(1200), 4, "view", 1.0),
+            (10, _sec(301), 4, "click", 1.0),
+            (11, _sec(3000), 4, "purchase", 7.0),
+        ]
+        _write_events(tmp_path / "events.parquet", rows)
+        s, d = _run_both(
+            spark, "purchase_attribution_time_decay", str(tmp_path)
+        )
+        assert s == d
+        got = {c: (n, r) for c, n, r in s}
+        # u1: 10*16/25=6.4, 10*8/25=3.2, 10*1/25=0.4
+        assert got["view"] == (2, round(6.4 + 3.5, 4))
+        assert got["click"] == (3, round(3.2 + 5.0 + 3.5, 4))
+        assert got["signup"] == (1, 0.4)
+        assert got["direct"] == (1, 9.0)
+        assert "error" not in got  # beyond-lookback touch invisible

@@ -448,6 +448,14 @@ class TestAttributionPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert not _global_window_sites(plan)
 
+    def test_time_decay_attribution_user_keyed_band_join(self, spark):
+        plan = plan_of(
+            spark, "purchase_attribution_time_decay", execute=True
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not _global_window_sites(plan)
+
     def test_last_touch_single_user_shuffle(self, spark):
         plan = plan_of(spark, "purchase_attribution_last_touch", execute=True)
         assert "CartesianProduct" not in plan
