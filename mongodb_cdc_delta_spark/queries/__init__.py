@@ -211,9 +211,11 @@ def all_queries() -> dict[str, Query]:
 # the window remains covered by the in-repo parity suite
 # (tests/test_oracle_parity.py — strictly harsher than the driver's hash).
 # r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
-# r5 rotation: NOTES_r5.md — after this window, ~143 of 165 names will
+# r5 rotation: NOTES_r5.md — after this window, ~143 of 167 names will
 # have had a driver row across rounds; the remaining never-checked names
-# (TPC-H breadth analogues + three sampling shapes) rotate in at r6.
+# (TPC-H breadth analogues, three sampling shapes, and the round-5
+# additions decontaminate_containment / purchase_attribution_time_decay)
+# rotate in at r6.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
