@@ -454,6 +454,56 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot:
 # ---------------------------------------------------------------------------
 # Data read (pyarrow; no Spark)
 # ---------------------------------------------------------------------------
+def _physical_type_ok(delta_type: Any, pa_type) -> bool:
+    """At protocol 1/2 a data file's physical column type must already
+    MATCH the table schema ("Schema Serialization Format"; changing a
+    column's type requires rewriting the files, and reading widened
+    files under a narrower/wider declared type is gated behind the
+    typeWidening reader feature, which this reader refuses). Benign
+    parquet-level representation differences (large_string, timestamp
+    timezone annotation) are accepted; a genuine type mismatch means
+    the writer published a lying log and must be an error, not a cast —
+    silently casting would hide exactly the exporter bug this reader
+    exists to catch (un-rewritten legacy-schema files)."""
+    import pyarrow as pa
+
+    if not isinstance(delta_type, str):
+        kind = delta_type.get("type")
+        return (
+            (kind == "struct" and pa.types.is_struct(pa_type))
+            or (kind == "array" and (pa.types.is_list(pa_type)
+                                     or pa.types.is_large_list(pa_type)))
+            or (kind == "map" and pa.types.is_map(pa_type))
+        )
+    m = _DECIMAL_RE.match(delta_type)
+    if m:
+        return (
+            pa.types.is_decimal(pa_type)
+            and pa_type.precision == int(m.group(1))
+            and pa_type.scale == int(m.group(2))
+        )
+    checks = {
+        "string": lambda t: pa.types.is_string(t)
+        or pa.types.is_large_string(t),
+        "long": pa.types.is_int64,
+        "integer": pa.types.is_int32,
+        "short": pa.types.is_int16,
+        "byte": pa.types.is_int8,
+        "float": pa.types.is_float32,
+        "double": pa.types.is_float64,
+        "boolean": pa.types.is_boolean,
+        "binary": lambda t: pa.types.is_binary(t)
+        or pa.types.is_large_binary(t),
+        "date": lambda t: pa.types.is_date32(t) or pa.types.is_date64(t),
+        "timestamp": pa.types.is_timestamp,
+        "timestamp_ntz": lambda t: pa.types.is_timestamp(t)
+        and t.tz is None,
+        "variant": lambda t: True,  # opaque at this layer
+    }
+    fn = checks.get(delta_type)
+    return bool(fn and fn(pa_type))
+
+
 def read_rows(root: str, version: int | None = None) -> list[dict]:
     """Read the full table as a list of row dicts in schema column
     order. Per "Add File": partition column values come from
@@ -501,6 +551,14 @@ def read_rows(root: str, version: int | None = None) -> list[dict]:
                 f"{tbl.num_rows} rows"
             )
         present_cols = [c for c in data_cols if c in have]
+        for c in present_cols:
+            ftype = tbl.schema.field(c).type
+            if not _physical_type_ok(col_types[c], ftype):
+                raise DeltaReadError(
+                    f"{fpath}: column {c!r} is {ftype} on disk but the "
+                    f"schema declares {col_types[c]!r} — protocol 1/2 "
+                    "type changes require file rewrite"
+                )
         null_fill = {c: None for c in absent}
         for rec in tbl.select(present_cols).to_pylist():
             rec.update(pvals)

@@ -312,6 +312,45 @@ class TestSpecGating:
         with pytest.raises(dr.DeltaReadError):
             dr.load_snapshot(dest)
 
+    def test_refuses_physical_type_mismatch(self, tmp_path):
+        # hand-built table whose log declares `long` but whose parquet
+        # holds int32 — exactly the bug class (un-rewritten file after a
+        # type change) the reader exists to catch; protocol 1/2 requires
+        # rewrite, so this must refuse, not cast
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path / "bad"
+        (root / "_delta_log").mkdir(parents=True)
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2], pa.int32())}),
+            str(root / "part-0.parquet"),
+        )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "t", "format": {"provider": "parquet",
+                                      "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {},
+            }},
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(root / "part-0.parquet"),
+                     "dataChange": True}},
+        ]
+        with open(root / "_delta_log" / f"{0:020d}.json", "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(dr.DeltaReadError, match="rewrite"):
+            dr.read_rows(str(root))
+
     def test_refuses_stats_row_count_mismatch(self, spark, lake, tmp_path):
         dest = str(tmp_path / "delta")
         export_delta(lake, dest)
