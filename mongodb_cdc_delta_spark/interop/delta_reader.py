@@ -315,11 +315,15 @@ class _State:
             )
 
 
-def _discover(log_dir: str) -> tuple[list[int], dict[int, str]]:
+def _discover(log_dir: str) -> tuple[list[int], dict[int, list[str]]]:
+    """List commit versions and checkpoint file-name groups (a classic
+    checkpoint is a one-element group; multi-part groups are validated
+    for completeness)."""
     if not os.path.isdir(log_dir):
         raise DeltaReadError(f"no {_LOG_DIR} at {os.path.dirname(log_dir)}")
     commits: list[int] = []
-    ckpts: dict[int, str] = {}
+    ckpts: dict[int, list[str]] = {}
+    parts: dict[int, list[str]] = {}
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
@@ -327,12 +331,22 @@ def _discover(log_dir: str) -> tuple[list[int], dict[int, str]]:
             continue
         m = _CKPT_RE.match(name)
         if m:
-            ckpts[int(m.group(1))] = name
+            ckpts[int(m.group(1))] = [name]
             continue
-        if _CKPT_PART_RE.match(name):
-            raise UnsupportedDeltaTable(
-                f"multi-part checkpoint {name!r} not supported"
+        m = _CKPT_PART_RE.match(name)
+        if m:
+            # "Checkpoints": multi-part checkpoints are named
+            # {n}.checkpoint.{p}.{t}.parquet — part p of t; a reader
+            # must load ALL t parts (rows are split arbitrarily)
+            parts.setdefault(int(m.group(1)), []).append(name)
+    for v, names in parts.items():
+        declared = {int(_CKPT_PART_RE.match(n).group(3)) for n in names}
+        if len(declared) != 1 or len(names) != declared.pop():
+            raise DeltaReadError(
+                f"multi-part checkpoint at version {v} is incomplete: "
+                f"{sorted(names)}"
             )
+        ckpts.setdefault(v, sorted(names))
     return sorted(commits), ckpts
 
 
@@ -381,8 +395,32 @@ def _read_checkpoint_actions(path: str) -> list[dict]:
     return actions
 
 
-def load_snapshot(root: str, version: int | None = None) -> Snapshot:
-    """Build the table snapshot at ``version`` (default latest).
+def _commit_timestamp_ms(log_dir: str, v: int) -> int:
+    """Commit timestamp for time travel. Per "Commit Provenance
+    Information"/timestamp semantics: without the inCommitTimestamps
+    feature the commit's timestamp is its log file's modification time;
+    when commitInfo carries a ``timestamp`` field (best-effort
+    provenance most writers emit first in the commit), prefer it — it
+    survives file copies that reset mtimes."""
+    path = os.path.join(log_dir, f"{v:020d}.json")
+    try:
+        with open(path) as fh:
+            first = json.loads(fh.readline())
+        ts = first.get("commitInfo", {}).get("timestamp")
+        if isinstance(ts, int):
+            return ts
+    except (OSError, json.JSONDecodeError):
+        pass
+    return int(os.path.getmtime(path) * 1000)
+
+
+def load_snapshot(
+    root: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> Snapshot:
+    """Build the table snapshot at ``version`` (default latest), or at
+    the latest version whose commit timestamp is <= ``timestamp_ms``.
 
     Per "Delta Log Entries" + "Checkpoints": start from the newest
     usable checkpoint at or below the target version, then replay JSON
@@ -395,6 +433,17 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot:
     if not commits and not ckpts:
         raise DeltaReadError(f"empty delta log at {root}")
     latest = max(commits + list(ckpts))
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        eligible = [
+            v for v in commits if _commit_timestamp_ms(log_dir, v) <= timestamp_ms
+        ]
+        if not eligible:
+            raise DeltaReadError(
+                f"no commit at or before timestamp {timestamp_ms}"
+            )
+        version = max(eligible)
     target = latest if version is None else version
     if target > latest or target < 0:
         raise DeltaReadError(f"version {target} not in log (latest {latest})")
@@ -404,10 +453,11 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot:
     usable = [v for v in ckpts if v <= target]
     if usable:
         ckpt_v = max(usable)
-        for action in _read_checkpoint_actions(
-            os.path.join(log_dir, ckpts[ckpt_v])
-        ):
-            state.apply(action, f"checkpoint@{ckpt_v}")
+        for fname in ckpts[ckpt_v]:
+            for action in _read_checkpoint_actions(
+                os.path.join(log_dir, fname)
+            ):
+                state.apply(action, f"checkpoint@{ckpt_v}:{fname}")
         start = ckpt_v + 1
 
     tail = [v for v in commits if start <= v <= target]
@@ -579,3 +629,37 @@ def read_table(root: str, version: int | None = None):
     if not rows:
         return pa.table({c: [] for c in order})
     return pa.Table.from_pylist(rows)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m mongodb_cdc_delta_spark.interop.delta_reader PATH
+    [--version N]`` — print a snapshot summary + row count, as a quick
+    external-reader smoke check of any Delta table on disk."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("path")
+    ap.add_argument("--version", type=int, default=None)
+    ap.add_argument("--timestamp-ms", type=int, default=None)
+    args = ap.parse_args(argv)
+    snap = load_snapshot(args.path, args.version, args.timestamp_ms)
+    rows = read_rows(args.path, snap.version)
+    print(
+        json.dumps(
+            {
+                "version": snap.version,
+                "protocol": snap.protocol,
+                "columns": [f["name"] for f in snap.schema["fields"]],
+                "partition_columns": snap.partition_columns,
+                "files": len(snap.files),
+                "tombstones": len(snap.tombstones),
+                "txns": snap.txns,
+                "rows": len(rows),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -235,6 +235,82 @@ class TestCheckpointPath:
         snap = dr.load_snapshot(dest)
         assert snap.version == 1
 
+    def test_multipart_checkpoint_read(self, spark, lake, tmp_path):
+        # split a classic checkpoint into the spec's multi-part form
+        # ({v}.checkpoint.{p}.{t}.parquet) — the reader must load ALL
+        # parts and reconstruct the same state
+        import pyarrow.parquet as pq
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        lake.delete_where("bucket = 2")
+        sync_delta(lake, dest)
+        write_checkpoint(dest)
+        expect = _reader_rows(dest)
+        log = os.path.join(dest, "_delta_log")
+        single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+        tbl = pq.read_table(single)
+        half = tbl.num_rows // 2
+        pq.write_table(
+            tbl.slice(0, half),
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+            ),
+        )
+        pq.write_table(
+            tbl.slice(half),
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+            ),
+        )
+        os.unlink(single)
+        for v in (0, 1):  # force the checkpoint path
+            os.unlink(os.path.join(log, f"{v:020d}.json"))
+        assert _reader_rows(dest) == expect
+
+    def test_incomplete_multipart_checkpoint_refused(
+        self, spark, lake, tmp_path
+    ):
+        import pyarrow.parquet as pq
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        write_checkpoint(dest)
+        log = os.path.join(dest, "_delta_log")
+        single = os.path.join(log, f"{0:020d}.checkpoint.parquet")
+        tbl = pq.read_table(single)
+        pq.write_table(
+            tbl.slice(0, 1),
+            os.path.join(
+                log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+            ),
+        )  # declares 2 parts, only part 1 present
+        os.unlink(single)
+        with pytest.raises(dr.DeltaReadError, match="incomplete"):
+            dr.load_snapshot(dest)
+
+    def test_timestamp_time_travel(self, spark, lake, tmp_path):
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)
+        v0_rows = _reader_rows(dest)
+        t0 = dr._commit_timestamp_ms(
+            os.path.join(dest, "_delta_log"), 0
+        )
+        lake.delete_where("bucket = 0")
+        # ensure a strictly-later commit timestamp (ms granularity)
+        import time as _time
+
+        _time.sleep(0.01)
+        sync_delta(lake, dest)
+        snap = dr.load_snapshot(dest, timestamp_ms=t0)
+        assert snap.version == 0
+        assert _reader_rows(dest, snap.version) == v0_rows
+        assert dr.load_snapshot(dest).version == 1
+        with pytest.raises(dr.DeltaReadError, match="timestamp"):
+            dr.load_snapshot(dest, timestamp_ms=t0 - 10_000)
+        with pytest.raises(ValueError):
+            dr.load_snapshot(dest, version=0, timestamp_ms=t0)
+
     def test_checkpoint_tombstones_visible(self, spark, lake, tmp_path):
         dest = str(tmp_path / "delta")
         export_delta(lake, dest)
