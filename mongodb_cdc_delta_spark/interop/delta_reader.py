@@ -50,6 +50,7 @@ __all__ = [
     "load_snapshot",
     "read_rows",
     "read_table",
+    "read_changes",
 ]
 
 
@@ -629,6 +630,105 @@ def read_table(root: str, version: int | None = None):
     if not rows:
         return pa.table({c: [] for c in order})
     return pa.Table.from_pylist(rows)
+
+
+def read_changes(
+    root: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> list[dict]:
+    """Change Data Feed read per the "Add CDC File" spec section: for a
+    commit containing ``cdc`` actions, that commit's changes are EXACTLY
+    the rows of its cdc files (``_change_type`` column inside); for a
+    commit without them, adds with dataChange=true are inserts and
+    removes with dataChange=true are deletes of the removed file's rows.
+    Requires ``delta.enableChangeDataFeed`` in the table configuration
+    ("Change Data Files": readers must not derive CDF from tables that
+    never promised it). Emits data columns + ``_change_type`` +
+    ``_commit_version`` + ``_commit_timestamp`` (ms)."""
+    import pyarrow.parquet as pq
+
+    snap = load_snapshot(root)
+    cfg = snap.metadata.get("configuration") or {}
+    if cfg.get("delta.enableChangeDataFeed") != "true":
+        raise UnsupportedDeltaTable(
+            "delta.enableChangeDataFeed is not set on this table"
+        )
+    end = snap.version if ending_version is None else ending_version
+    log_dir = os.path.join(root, _LOG_DIR)
+    commits, _ckpts = _discover(log_dir)
+    span = [v for v in commits if starting_version <= v <= end]
+    if span != list(range(starting_version, end + 1)):
+        raise DeltaReadError(
+            f"CDF needs the JSON commits {starting_version}..{end}; "
+            f"have {span} (checkpoint cleanup removed them?)"
+        )
+    col_types = {f["name"]: f["type"] for f in snap.schema["fields"]}
+
+    def file_rows(rel: str, pvals_ser: dict, extra: dict) -> list[dict]:
+        fpath = snap.data_path(rel)
+        if not os.path.exists(fpath):
+            raise DeltaReadError(
+                f"CDF-referenced file missing on disk: {fpath}"
+            )
+        if pvals_ser is None:
+            # remove actions may omit partitionValues ("these fields are
+            # optional on remove"); the hive path carries the same facts
+            pvals_ser = {}
+            for seg in urllib.parse.unquote(rel).split("/")[:-1]:
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    pvals_ser[k] = val
+        tbl = pq.read_table(fpath)
+        pvals = {
+            c: parse_partition_value(
+                (pvals_ser or {}).get(c), col_types[c]
+            )
+            for c in snap.partition_columns
+            if c in col_types
+        }
+        out = []
+        for rec in tbl.to_pylist():
+            rec.update(pvals)
+            rec.update(extra)
+            out.append(rec)
+        return out
+
+    rows: list[dict] = []
+    for v in span:
+        ts = _commit_timestamp_ms(log_dir, v)
+        meta = {"_commit_version": v, "_commit_timestamp": ts}
+        actions = []
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            actions = [json.loads(x) for x in fh if x.strip()]
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            for c in cdc:
+                # _change_type comes from inside the cdc file
+                rows.extend(
+                    file_rows(c["path"], c.get("partitionValues"), meta)
+                )
+        else:
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange"):
+                    rows.extend(
+                        file_rows(
+                            a["add"]["path"],
+                            a["add"].get("partitionValues"),
+                            {**meta, "_change_type": "insert"},
+                        )
+                    )
+                elif "remove" in a and a["remove"].get(
+                    "dataChange", True
+                ):
+                    rows.extend(
+                        file_rows(
+                            a["remove"]["path"],
+                            a["remove"].get("partitionValues"),
+                            {**meta, "_change_type": "delete"},
+                        )
+                    )
+    return rows
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -104,7 +104,10 @@ def _write_commit(dest: str, version: int, actions: list[dict]) -> str:
 
 
 def _metadata_action(
-    schema: StructType, partition_by: list[str], table_id: str
+    schema: StructType,
+    partition_by: list[str],
+    table_id: str,
+    configuration: dict[str, str] | None = None,
 ) -> dict:
     return {
         "metaData": {
@@ -112,7 +115,7 @@ def _metadata_action(
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema.jsonValue()),
             "partitionColumns": list(partition_by),
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": int(time.time() * 1000),
         }
     }
@@ -320,11 +323,111 @@ def _norm_schema(schema_json: dict | None) -> dict | None:
 
 
 class DeltaExporter:
-    """Exports LakeTable snapshots to a Delta-protocol table directory."""
+    """Exports LakeTable snapshots to a Delta-protocol table directory.
 
-    def __init__(self, table: LakeTable, dest: str):
+    ``change_data=True`` additionally publishes the Delta Change Data
+    Feed contract: ``delta.enableChangeDataFeed`` in the table
+    configuration, and per-sync ``cdc`` actions pointing at
+    ``_change_data/`` parquet files carrying the exact row-level
+    changes (from ``LakeTable.read_changes``) with ``_change_type``.
+    CDF-aware readers then tail changes at sync granularity; commits
+    whose add/remove churn is pure file rearrangement (OPTIMIZE swaps)
+    carry an EMPTY cdc file, which per the protocol overrides
+    add/remove derivation — so compaction never masquerades as
+    delete+insert downstream."""
+
+    def __init__(
+        self, table: LakeTable, dest: str, change_data: bool = False
+    ):
         self.table = table
         self.dest = dest
+        self.change_data = change_data
+
+    def _configuration(self) -> dict[str, str]:
+        return (
+            {"delta.enableChangeDataFeed": "true"}
+            if self.change_data
+            else {}
+        )
+
+    def _write_change_data(
+        self, snap: Snapshot, from_lake_v: int, to_lake_v: int
+    ) -> list[dict]:
+        """Write this sync's row-level changes under ``_change_data/``
+        and return the ``cdc`` actions. One hive-partitioned batched
+        write — cost is O(changed rows), the same data sync's rewrites
+        would touch. An empty change set still writes one empty cdc
+        file: per the protocol a commit containing ANY cdc action is
+        described by its cdc files alone, which is exactly what makes a
+        rearrangement-only sync read as 'no changes'."""
+        changes = self.table.read_changes(from_lake_v, to_lake_v).drop(
+            "_commit_version", "_commit_timestamp"
+        )
+        part_cols = [
+            c
+            for c in snap.partition_by
+            if snap.schema is not None and c in snap.schema.names
+        ]
+        stage = os.path.join(self.dest, "_tmp_cdc", uuid.uuid4().hex)
+        writer = changes.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(stage)
+        actions: list[dict] = []
+        for dirpath, _dirs, names in sorted(os.walk(stage)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_rel = os.path.join(
+                    "_change_data",
+                    rel_dir,
+                    f"cdc-{uuid.uuid4().hex}.parquet",
+                ) if rel_dir else os.path.join(
+                    "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+                )
+                dst = os.path.join(self.dest, new_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(dirpath, name), dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": _delta_path(new_rel),
+                            "partitionValues": _partition_values(new_rel),
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        shutil.rmtree(
+            os.path.join(self.dest, "_tmp_cdc"), ignore_errors=True
+        )
+        if not actions:
+            # partitionBy of an empty frame writes nothing: emit one
+            # empty unpartitioned cdc file so the action set is non-empty
+            empty_rel = os.path.join(
+                "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+            )
+            dst = os.path.join(self.dest, empty_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"_change_type": pa.array([], pa.string())}), dst
+            )
+            actions.append(
+                {
+                    "cdc": {
+                        "path": _delta_path(empty_rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+        return actions
 
     # -- internals ---------------------------------------------------------
 
@@ -459,7 +562,10 @@ class DeltaExporter:
                 }
             },
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            _metadata_action(snap.schema, snap.partition_by, table_id),
+            _metadata_action(
+                snap.schema, snap.partition_by, table_id,
+                self._configuration(),
+            ),
             {"txn": {"appId": _TXN_APP, "version": snap.version}},
             *adds,
         ]
@@ -589,7 +695,14 @@ class DeltaExporter:
         if schema_changed:
             actions.append(
                 _metadata_action(
-                    snap.schema, snap.partition_by, state["table_id"]
+                    snap.schema, snap.partition_by, state["table_id"],
+                    self._configuration(),
+                )
+            )
+        if self.change_data:
+            actions.extend(
+                self._write_change_data(
+                    snap, state["lake_version"] + 1, snap.version
                 )
             )
         actions.extend(removes)
@@ -627,14 +740,19 @@ def export_delta(
     dest: str,
     version_as_of: int | None = None,
     timestamp_as_of: str | int | None = None,
+    change_data: bool = False,
 ) -> dict[str, Any]:
     """One-shot snapshot export (see :class:`DeltaExporter`)."""
-    return DeltaExporter(table, dest).export(version_as_of, timestamp_as_of)
+    return DeltaExporter(table, dest, change_data=change_data).export(
+        version_as_of, timestamp_as_of
+    )
 
 
-def sync_delta(table: LakeTable, dest: str) -> dict[str, Any]:
+def sync_delta(
+    table: LakeTable, dest: str, change_data: bool = False
+) -> dict[str, Any]:
     """Incremental export advance (see :meth:`DeltaExporter.sync`)."""
-    return DeltaExporter(table, dest).sync()
+    return DeltaExporter(table, dest, change_data=change_data).sync()
 
 
 def vacuum_export(

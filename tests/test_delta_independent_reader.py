@@ -323,6 +323,94 @@ class TestCheckpointPath:
         assert snap.tombstones, "recent removes must survive checkpointing"
 
 
+class TestChangeDataFeed:
+    """CDF export (cdc actions + _change_data files) read back through
+    the independent reader and compared by value against the lake's own
+    read_changes."""
+
+    def _lake_changes(self, lake, from_v, to_v):
+        df = lake.read_changes(from_v, to_v).drop(
+            "_commit_version", "_commit_timestamp"
+        )
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(_canon_cell(r[c]) for c in cols) for r in df.collect()
+        )
+
+    def _reader_changes(self, dest, from_v, to_v):
+        rows = dr.read_changes(dest, from_v, to_v)
+        for r in rows:
+            r.pop("_commit_version"), r.pop("_commit_timestamp")
+        if not rows:
+            return []
+        cols = sorted(rows[0])
+        return sorted(
+            tuple(_canon_cell(r[c]) for c in cols) for r in rows
+        )
+
+    def test_flag_in_configuration_and_no_cdc_at_convert(
+        self, spark, lake, tmp_path
+    ):
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        snap = dr.load_snapshot(dest)
+        assert (
+            snap.metadata["configuration"]["delta.enableChangeDataFeed"]
+            == "true"
+        )
+        log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        assert not any("cdc" in json.loads(x) for x in open(log))
+
+    def test_sync_changes_match_lake_cdf(self, spark, lake, tmp_path):
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        v0 = lake.version()
+        more = spark.range(100, 130).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("bucket"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+            F.lit("2024-01-04").alias("_ingestion_date"),
+        )
+        lake.append(more, partition_by=["_ingestion_date"])
+        lake.delete_where("bucket = 3")
+        sync_delta(lake, dest, change_data=True)
+        got = self._reader_changes(dest, 1, 1)
+        expect = self._lake_changes(lake, v0 + 1, lake.version())
+        assert got == expect
+        assert got, "change set must be non-empty"
+        # snapshot reads are unaffected by cdc actions
+        _assert_round_trip(lake, dest)
+
+    def test_rearrangement_sync_reads_as_zero_changes(
+        self, spark, lake, tmp_path
+    ):
+        # OPTIMIZE swaps files (dataChange adds+removes in the sync
+        # commit) but moves no rows: the EMPTY cdc file must override
+        # add/remove derivation so downstream sees no changes
+        for i in range(3):
+            lake.append(
+                spark.range(200 + i * 10, 210 + i * 10).select(
+                    F.col("id"),
+                    (F.col("id") % 5).alias("bucket"),
+                    F.concat(F.lit("v"), F.col("id")).alias("val"),
+                    F.lit("2024-01-05").alias("_ingestion_date"),
+                )
+            )
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        lake.optimize()
+        res = sync_delta(lake, dest, change_data=True)
+        assert res["added"] > 0 and res["removed"] > 0
+        assert self._reader_changes(dest, 1, 1) == []
+        _assert_round_trip(lake, dest)
+
+    def test_reader_refuses_cdf_without_flag(self, spark, lake, tmp_path):
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest)  # change_data NOT enabled
+        with pytest.raises(dr.UnsupportedDeltaTable, match="ChangeData"):
+            dr.read_changes(dest, 0)
+
+
 class TestSpecGating:
     """The reader must refuse what it cannot faithfully read."""
 
