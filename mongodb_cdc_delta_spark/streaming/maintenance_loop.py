@@ -104,6 +104,7 @@ class MaintenanceLoop:
         dest: str,
         cron: str = "*/5 * * * *",
         vacuum_retention_hours: float | None = 168.0,
+        change_data: bool = False,
     ) -> None:
         """Keep a Delta-protocol export of ``table`` fresh: first fire
         runs the full export, every later fire appends one Delta commit
@@ -116,7 +117,7 @@ class MaintenanceLoop:
         the writer format."""
         from ..sinks.delta_export import DeltaExporter, vacuum_export
 
-        exporter = DeltaExporter(table, dest)
+        exporter = DeltaExporter(table, dest, change_data=change_data)
 
         def action() -> dict:
             import os
