@@ -784,10 +784,38 @@ def vacuum_export(
             continue
         os.remove(path)
         deleted.append(rel)
+    # Change-data files age on the same retention as tombstones (Delta
+    # VACUUM's rule for `_change_data`): a cdc file belongs to exactly
+    # one commit; once that commit is older than the window no CDF
+    # reader is entitled to it, and without this sweep a change_data
+    # export grows without bound (O(total changes ever), a real
+    # steady-state leak at CDC rates).
+    cdc_deleted = 0
+    log_dir = os.path.join(dest, _LOG)
+    for n in sorted(os.listdir(log_dir)):
+        if not (n.endswith(".json") and n[:-5].isdigit()):
+            continue
+        commit_ts = None
+        with open(os.path.join(log_dir, n)) as fh:
+            actions = [json.loads(x) for x in fh if x.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                commit_ts = a["commitInfo"].get("timestamp")
+        if commit_ts is None or commit_ts > cutoff_ms:
+            continue
+        for a in actions:
+            if "cdc" in a:
+                p = os.path.join(
+                    dest, urllib.parse.unquote(a["cdc"]["path"])
+                )
+                if os.path.exists(p):
+                    os.remove(p)
+                    cdc_deleted += 1
     return {
         "deleted": len(deleted),
         "retained": len(kept),
         "live": len(live),
+        "cdc_deleted": cdc_deleted,
     }
 
 

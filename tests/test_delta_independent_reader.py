@@ -404,6 +404,29 @@ class TestChangeDataFeed:
         assert self._reader_changes(dest, 1, 1) == []
         _assert_round_trip(lake, dest)
 
+    def test_vacuum_sweeps_expired_cdc_files_only(
+        self, spark, lake, tmp_path
+    ):
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            vacuum_export,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        lake.delete_where("bucket = 1")
+        sync_delta(lake, dest, change_data=True)
+        # within retention: everything stays readable
+        res = vacuum_export(dest, retention_hours=168.0)
+        assert res["cdc_deleted"] == 0
+        assert self._reader_changes(dest, 1, 1)
+        # retention 0: the commit's cdc files age out; CDF read now
+        # fails LOUDLY (file listed but gone), snapshot reads unaffected
+        res = vacuum_export(dest, retention_hours=0.0)
+        assert res["cdc_deleted"] > 0
+        with pytest.raises(dr.DeltaReadError, match="missing"):
+            dr.read_changes(dest, 1, 1)
+        _assert_round_trip(lake, dest)
+
     def test_reader_refuses_cdf_without_flag(self, spark, lake, tmp_path):
         dest = str(tmp_path / "delta")
         export_delta(lake, dest)  # change_data NOT enabled
