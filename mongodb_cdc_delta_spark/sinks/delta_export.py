@@ -334,7 +334,15 @@ class DeltaExporter:
     whose add/remove churn is pure file rearrangement (OPTIMIZE swaps)
     carry an EMPTY cdc file, which per the protocol overrides
     add/remove derivation — so compaction never masquerades as
-    delete+insert downstream."""
+    delete+insert downstream.
+
+    Granularity note: one sync = one Delta commit = one CDF
+    transaction. Lake versions folded into the same sync window lose
+    their relative order (the same multiset-per-commit semantics as a
+    single large MERGE commit in Delta itself); a consumer that needs
+    per-lake-version ordering should sync per version — the scheduled
+    exporter at a short cadence approximates that, and sync is
+    idempotent so over-calling is free."""
 
     def __init__(
         self, table: LakeTable, dest: str, change_data: bool = False
