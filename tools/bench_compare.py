@@ -68,6 +68,15 @@ def main() -> None:
             f"WARNING: different scale factors ({da.get('sf')} vs "
             f"{db.get('sf')}) — deltas reflect data size, not plans"
         )
+    ca, cb = da.get("calib_cpu_sec"), db.get("calib_cpu_sec")
+    if ca and cb and not (0.5 < ca / cb < 2.0):
+        print(
+            f"WARNING: calibration differs {round(max(ca, cb) / min(ca, cb), 1)}x "
+            "between runs — the single-thread GEMM calibration does not "
+            "scale linearly to 32-thread Spark work at large load "
+            "swings, so normalized deltas overcorrect; compare the raw "
+            "`queries` values too before calling a regression"
+        )
     shared = sorted(set(a) & set(b))
     only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
     flagged = []
