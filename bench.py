@@ -82,6 +82,7 @@ HEADLINE = [
     "training_mix_pipeline",
     "repetition_signals",
     "doc_chunking",
+    "context_truncation_report",
     "unigram_logprob_score",
     "semantic_cluster_assign",
     "knn_cosine_topk_int8",

@@ -513,3 +513,79 @@ def bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+_CTX_LENGTHS = (512, 1024, 2048, 4096)
+
+
+@register(
+    "context_truncation_report",
+    oracle="""
+    WITH toks AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), lens AS (
+      SELECT unnest([512, 1024, 2048, 4096]) AS context_len
+    ), rep AS (
+      SELECT l.context_len, t.n_tokens FROM lens l CROSS JOIN toks t
+    )
+    SELECT CAST(context_len AS BIGINT) AS context_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens > context_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_truncated,
+           CAST(sum(greatest(n_tokens - context_len, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST(sum(CASE WHEN n_tokens > context_len THEN 1 ELSE 0 END)
+                * 1000000 AS BIGINT) // count(*) AS docs_truncated_ppm,
+           CAST(sum(greatest(n_tokens - context_len, 0)) * 1000000
+                AS BIGINT) // CAST(sum(n_tokens) AS BIGINT)
+             AS tokens_lost_ppm
+    FROM rep GROUP BY context_len
+    """,
+    description="context-length truncation report: for each candidate "
+    "training context length (512/1024/2048/4096 tokens), how many "
+    "documents exceed it and what fraction of corpus tokens a "
+    "truncate-at-L policy would discard (integer ppm, engine-exact) — "
+    "the one-scan table that decides packing vs chunking vs truncation "
+    "for a corpus. Token counts computed once, replicated across the 4 "
+    "constant lengths by explode, then a 4-group partial aggregate: "
+    "map-side combine reduces everything to 4 rows before the shuffle.",
+    tags=("llm-pipeline", "report", "agg"),
+)
+def context_truncation_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    rep = toks.select(
+        F.explode(
+            F.array(*[F.lit(x) for x in _CTX_LENGTHS])
+        ).alias("context_len"),
+        "n_tokens",
+    )
+    over = (F.col("n_tokens") > F.col("context_len")).cast("long")
+    lost = F.greatest(
+        F.col("n_tokens") - F.col("context_len"), F.lit(0)
+    ).cast("long")
+    return (
+        rep.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(over).alias("docs_truncated"),
+            F.sum(lost).alias("tokens_lost"),
+        )
+        .select(
+            F.col("context_len").cast("long"),
+            "n_docs",
+            "total_tokens",
+            "docs_truncated",
+            "tokens_lost",
+            F.expr("docs_truncated * 1000000 div n_docs").alias(
+                "docs_truncated_ppm"
+            ),
+            F.expr("tokens_lost * 1000000 div total_tokens").alias(
+                "tokens_lost_ppm"
+            ),
+        )
+    )

@@ -345,6 +345,79 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    cc AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    counted AS (
+      SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id
+    ),
+    totals AS (SELECT count(*) AS n FROM documents),
+    clustered AS (SELECT count(*) AS m FROM cc)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM counted GROUP BY sz
+    UNION ALL
+    SELECT 1, CAST(n - m AS BIGINT), CAST(n - m AS BIGINT)
+    FROM totals, clustered WHERE n > m
+    """,
+    description="near-dup cluster-size distribution: one row per distinct "
+    "cluster size with cluster and document counts, singletons included — "
+    "the dataset-card number that says how template-heavy a corpus is and "
+    "how many docs dedup will drop (sum of (size-1)*n_clusters). Reuses "
+    "the exact trigram-Jaccard + connected-components machinery; the "
+    "profile itself adds only two tiny aggregates over cluster labels.",
+    tags=("dedup", "iterative", "report"),
+)
+def dedup_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=100)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    dist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n"))
+    clustered = cc.agg(F.count(F.lit(1)).alias("m"))
+    singles = (
+        totals.crossJoin(F.broadcast(clustered))
+        .where(F.col("n") > F.col("m"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n") - F.col("m")).cast("long").alias("n_clusters"),
+            (F.col("n") - F.col("m")).cast("long").alias("n_docs"),
+        )
+    )
+    return dist.unionByName(singles)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (non-SQL-expressible → rows-only oracle; accuracy is
 # validated against exact Jaccard in tests/test_dedup.py)
