@@ -427,6 +427,56 @@ class TestChangeDataFeed:
             dr.read_changes(dest, 1, 1)
         _assert_round_trip(lake, dest)
 
+    def test_cdf_replication_converges_to_snapshot(
+        self, spark, lake, tmp_path
+    ):
+        """The full point of the CDF export: a downstream replica that
+        only ever sees the change feed (apply deletes-then-inserts per
+        commit, the standard CDF merge recipe) must converge to the
+        exported snapshot through appends, deletes, updates and a
+        compaction."""
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+
+        def apply_commit(replica, version):
+            changes = dr.read_changes(dest, version, version)
+            meta = {"_change_type", "_commit_version", "_commit_timestamp"}
+            key = lambda r: tuple(
+                _canon_cell(r[c]) for c in sorted(r) if c not in meta
+            )
+            for r in changes:
+                if r["_change_type"] == "delete":
+                    replica.discard(key(r))
+            for r in changes:
+                if r["_change_type"] == "insert":
+                    replica.add(key(r))
+
+        # seed the replica from the initial snapshot (commit 0 is the
+        # CONVERT; its adds are the initial inserts)
+        replica: set = set()
+        apply_commit(replica, 0)
+        steps = [
+            lambda: lake.append(
+                spark.range(100, 120).select(
+                    F.col("id"),
+                    (F.col("id") % 5).alias("bucket"),
+                    F.concat(F.lit("v"), F.col("id")).alias("val"),
+                    F.lit("2024-01-06").alias("_ingestion_date"),
+                )
+            ),
+            lambda: lake.delete_where("bucket = 4"),
+            lambda: lake.update_where("bucket = 1", {"val": "'updated'"}),
+            lambda: lake.optimize(),
+        ]
+        v = 0
+        for step in steps:
+            step()
+            res = sync_delta(lake, dest, change_data=True)
+            v = res["delta_version"]
+            apply_commit(replica, v)
+        expect = set(_spark_rows(lake.read()))
+        assert replica == expect
+
     def test_reader_refuses_cdf_without_flag(self, spark, lake, tmp_path):
         dest = str(tmp_path / "delta")
         export_delta(lake, dest)  # change_data NOT enabled
