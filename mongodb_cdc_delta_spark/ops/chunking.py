@@ -589,3 +589,208 @@ def context_truncation_report(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+TRIGRAM_CAP = 200_000
+_BACKOFF = 0.4  # Brants et al. 2007's fixed stupid-backoff alpha
+
+
+@register(
+    "trigram_backoff_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(ts) AS tok FROM toks) WHERE tok <> '' GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni
+    ), vocab AS (
+      SELECT tok, n FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+        FROM uni) WHERE rk <= {VOCAB_CAP}
+    ), bge AS (
+      SELECT doc_id, e.p AS p, e.c AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(ts)),
+                      i -> struct_pack(p := ts[i-1], c := ts[i]))) AS e
+        FROM toks)
+      WHERE e.p <> '' AND e.c <> ''
+    ), bcounts AS (
+      SELECT p, c, n FROM (
+        SELECT p, c, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, p ASC, c ASC)
+                 AS rk
+        FROM bge GROUP BY p, c) WHERE rk <= {BIGRAM_CAP}
+    ), tge AS (
+      SELECT doc_id, e.p2 AS p2, e.p1 AS p1, e.c AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(3, len(ts)),
+                      i -> struct_pack(p2 := ts[i-2], p1 := ts[i-1],
+                                       c := ts[i]))) AS e
+        FROM toks)
+      WHERE e.p2 <> '' AND e.p1 <> '' AND e.c <> ''
+    ), tcounts AS (
+      SELECT p2, p1, c, n FROM (
+        SELECT p2, p1, c, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, p2 ASC, p1 ASC,
+                                  c ASC) AS rk
+        FROM tge GROUP BY p2, p1, c) WHERE rk <= {TRIGRAM_CAP}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(sum(ln(
+             CASE WHEN t3.n IS NOT NULL AND bctx.n IS NOT NULL
+                  THEN CAST(t3.n AS DOUBLE) / bctx.n
+                  ELSE {_BACKOFF} * (
+                    CASE WHEN bbak.n IS NOT NULL AND vp.n IS NOT NULL
+                         THEN CAST(bbak.n AS DOUBLE) / vp.n
+                         ELSE {_BACKOFF} * coalesce(vc.n, 1)
+                              / (SELECT t FROM total)
+                    END)
+             END)) / count(*), 6) AS avg_logprob
+    FROM tge
+    LEFT JOIN tcounts t3
+           ON t3.p2 = tge.p2 AND t3.p1 = tge.p1 AND t3.c = tge.c
+    LEFT JOIN bcounts bctx ON bctx.p = tge.p2 AND bctx.c = tge.p1
+    LEFT JOIN bcounts bbak ON bbak.p = tge.p1 AND bbak.c = tge.c
+    LEFT JOIN vocab vp ON vp.tok = tge.p1
+    LEFT JOIN vocab vc ON vc.tok = tge.c
+    GROUP BY doc_id
+    """,
+    description="stupid-backoff trigram LM score (Brants et al. 2007, the "
+    "canonical distributed web-scale LM): per-doc mean ln S(w|w-2,w-1) "
+    "with S = count3/count2ctx, backing off at alpha=0.4 to the bigram "
+    "relative frequency and then to the floored unigram. All three model "
+    "tables are deterministically capped (50k/200k/200k by count-desc "
+    "then lexicographic) so they BROADCAST at any corpus size; scoring "
+    "is one scan with four broadcast hash joins — no shuffle of text, "
+    "ever. The three-tier CASE is textually identical in both engines so "
+    "the only cross-engine drift is sum order, absorbed by round(.,6).",
+    tags=("llm-pipeline", "textstats"),
+)
+def trigram_backoff_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    total = uni.agg(F.sum("n").cast("double").alias("t"))
+    # all caps via orderBy+limit → TakeOrdered (distributed tree top-K);
+    # a row_number window would single-partition the distinct-gram set.
+    vocab = (
+        uni.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_CAP)
+        .select("tok", "n")
+    )
+    bge = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, size(ts) - 1),"
+                    " slice(ts, 2, size(ts) - 1),"
+                    " (x, y) -> struct(x as p, y as c))"
+                )
+            ).alias("e"),
+        )
+        .select(F.col("e.p").alias("p"), F.col("e.c").alias("c"))
+        .where((F.col("p") != "") & (F.col("c") != ""))
+    )
+    bcounts = (
+        bge.groupBy("p", "c")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("p").asc(), F.col("c").asc())
+        .limit(BIGRAM_CAP)
+    )
+    tge = (
+        # size guard: sequence(0, n) DESCENDS when n < 0, so a 1-2 token
+        # doc would index out of bounds (caught by the seeded edge test)
+        toks.where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> struct(ts[i] as p2, ts[i+1] as p1,"
+                    " ts[i+2] as c))"
+                )
+            ).alias("e"),
+        )
+        .select(
+            "doc_id",
+            F.col("e.p2").alias("p2"),
+            F.col("e.p1").alias("p1"),
+            F.col("e.c").alias("c"),
+        )
+        .where(
+            (F.col("p2") != "") & (F.col("p1") != "") & (F.col("c") != "")
+        )
+    )
+    tcounts = (
+        tge.groupBy("p2", "p1", "c")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("p2").asc(),
+            F.col("p1").asc(),
+            F.col("c").asc(),
+        )
+        .limit(TRIGRAM_CAP)
+        .select(
+            F.col("p2").alias("t2"),
+            F.col("p1").alias("t1"),
+            F.col("c").alias("tc"),
+            F.col("n").alias("n3"),
+        )
+    )
+    bctx = bcounts.select(
+        F.col("p").alias("xp"), F.col("c").alias("xc"), F.col("n").alias("n2ctx")
+    )
+    bbak = bcounts.select(
+        F.col("p").alias("yp"), F.col("c").alias("yc"), F.col("n").alias("n2bak")
+    )
+    vp = vocab.select(F.col("tok").alias("vtp"), F.col("n").alias("p1n"))
+    vc = vocab.select(F.col("tok").alias("vtc"), F.col("n").alias("cn"))
+    scored = (
+        tge.join(
+            F.broadcast(tcounts),
+            (F.col("p2") == F.col("t2"))
+            & (F.col("p1") == F.col("t1"))
+            & (F.col("c") == F.col("tc")),
+            "left",
+        )
+        .join(
+            F.broadcast(bctx),
+            (F.col("p2") == F.col("xp")) & (F.col("p1") == F.col("xc")),
+            "left",
+        )
+        .join(
+            F.broadcast(bbak),
+            (F.col("p1") == F.col("yp")) & (F.col("c") == F.col("yc")),
+            "left",
+        )
+        .join(F.broadcast(vp), F.col("p1") == F.col("vtp"), "left")
+        .join(F.broadcast(vc), F.col("c") == F.col("vtc"), "left")
+        .crossJoin(F.broadcast(total))
+    )
+    bigram_rel = (
+        F.lit(_BACKOFF)
+        * F.when(
+            F.col("n2bak").isNotNull() & F.col("p1n").isNotNull(),
+            F.col("n2bak").cast("double") / F.col("p1n"),
+        ).otherwise(
+            F.lit(_BACKOFF) * F.coalesce(F.col("cn"), F.lit(1)) / F.col("t")
+        )
+    )
+    score = F.when(
+        F.col("n3").isNotNull() & F.col("n2ctx").isNotNull(),
+        F.col("n3").cast("double") / F.col("n2ctx"),
+    ).otherwise(bigram_rel)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.sum(F.log(score)) / F.count("*"), 6).alias("avg_logprob"),
+    )

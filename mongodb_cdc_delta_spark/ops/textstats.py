@@ -745,3 +745,103 @@ def compression_ratios(docs: DataFrame, level: int = 6) -> DataFrame:
 )
 def compression_ratio_score(spark: SparkSession, sf: str) -> DataFrame:
     return compression_ratios(load(spark, sf, "documents"))
+
+
+# Gopher quality-filter rule battery (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1 — public). The two line-shape rules
+# (>90% bullet-started lines, >30% ellipsis-ended lines) are inapplicable
+# to this corpus shape (single-line whitespace token streams) and are
+# documented out rather than emitted as constant-false columns.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GSTOP_SQL = "('" + "', '".join(_GOPHER_STOPS) + "')"
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x)))
+                  AS BIGINT) AS sum_word_chars,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+             len(list_filter(toks,
+                 x -> contains(x, '#') OR contains(x, '...')))
+               AS n_symbol_words,
+             len(list_filter(toks, x -> x IN {_GSTOP_SQL}))
+               AS n_required_stops
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words < 50 OR n_words > 100000) AS flag_word_count,
+           (sum_word_chars < 3 * n_words
+            OR sum_word_chars > 10 * n_words) AS flag_mean_word_len,
+           (10 * n_symbol_words > n_words) AS flag_symbol_ratio,
+           (5 * n_alpha_words < 4 * n_words) AS flag_alpha_fraction,
+           (n_required_stops < 2) AS flag_stopwords,
+           CASE WHEN (n_words < 50 OR n_words > 100000)
+                  OR (sum_word_chars < 3 * n_words
+                      OR sum_word_chars > 10 * n_words)
+                  OR (10 * n_symbol_words > n_words)
+                  OR (5 * n_alpha_words < 4 * n_words)
+                  OR (n_required_stops < 2)
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM s
+    """,
+    description="full Gopher rule battery (Rae et al. 2021 A1.1) as "
+    "per-doc flags: word count in [50,100k], mean word length in [3,10], "
+    "symbol-to-word ratio <=0.1 ('#'/'...'), >=80% alphabetic words, "
+    ">=2 required stopwords; verdict = keep iff no flag fires. Every "
+    "ratio test is an integer cross-multiplication (5*n_alpha < "
+    "4*n_words, not a float divide) so the flags are engine-exact. One "
+    "scan, zero shuffle: all five signals come from higher-order array "
+    "functions on the token array inside whole-stage codegen.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_word_chars"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))
+        ).cast("long").alias("n_alpha_words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        ).cast("long").alias("n_symbol_words"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        ).cast("long").alias("n_required_stops"),
+    )
+    f_wc = (F.col("n_words") < 50) | (F.col("n_words") > 100_000)
+    f_mwl = (F.col("sum_word_chars") < 3 * F.col("n_words")) | (
+        F.col("sum_word_chars") > 10 * F.col("n_words")
+    )
+    f_sym = 10 * F.col("n_symbol_words") > F.col("n_words")
+    f_alpha = 5 * F.col("n_alpha_words") < 4 * F.col("n_words")
+    f_stop = F.col("n_required_stops") < 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_fraction"),
+        f_stop.alias("flag_stopwords"),
+        F.when(f_wc | f_mwl | f_sym | f_alpha | f_stop, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
