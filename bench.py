@@ -161,6 +161,8 @@ HEADLINE = [
     "basket_part_pairs",
     "fulfillment_latency_profile",
     "supplier_concentration_hhi",
+    "gopher_quality_flags",
+    "trigram_backoff_score",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -671,6 +671,10 @@ _BACKOFF = 0.4  # Brants et al. 2007's fixed stupid-backoff alpha
 )
 def trigram_backoff_score(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
+    # no spread() here: A/B at sf0.1 measured the round-robin exchange
+    # as a net loss (2.6 s vs 1.6-2.0 s warm) — the gram explodes are
+    # cheap relative to the capped-table TakeOrdereds, and the extra
+    # Exchange is not reused across all four consumer branches.
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
     uni = (
         toks.select(F.explode("ts").alias("tok"))
