@@ -163,6 +163,7 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "gopher_quality_flags",
     "trigram_backoff_score",
+    "matryoshka_recall_report",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

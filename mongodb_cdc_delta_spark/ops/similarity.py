@@ -794,3 +794,121 @@ def mine_hard_negatives(
         .where(F.col("rnk") <= k)
         .select("qid", "neg_id", "neg_label", "cos_sim", F.col("rnk").cast("int"))
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+_MRL_DIMS_SQL = "[" + ", ".join(str(d) for d in _MRL_DIMS) + "]"
+
+
+@register(
+    "matryoshka_recall_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), nq AS (
+      SELECT count(*) AS n FROM q
+    ), dims AS (
+      SELECT CAST(unnest({_MRL_DIMS_SQL}) AS INT) AS trunc_dim
+    ), scored AS (
+      SELECT d.trunc_dim, q.qid, e.vec_id,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[])[1:d.trunc_dim],
+               q.qv[1:d.trunc_dim]), 6) AS cos
+      FROM embeddings e
+      JOIN q ON e.vec_id >= 10
+      CROSS JOIN dims d
+    ), ranked AS (
+      SELECT trunc_dim, qid, vec_id,
+             row_number() OVER (PARTITION BY trunc_dim, qid
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored
+    ), top AS (
+      SELECT trunc_dim, qid, vec_id FROM ranked WHERE rnk <= {_MRL_K}
+    ), truth AS (
+      SELECT qid, vec_id FROM top WHERE trunc_dim = {max(_MRL_DIMS)}
+    ), hits AS (
+      SELECT t.trunc_dim, count(*) AS total_overlap
+      FROM top t JOIN truth u
+        ON t.qid = u.qid AND t.vec_id = u.vec_id
+      GROUP BY t.trunc_dim
+    )
+    SELECT d.trunc_dim,
+           CAST((SELECT n FROM nq) AS BIGINT) AS n_queries,
+           CAST(coalesce(h.total_overlap, 0) AS BIGINT) AS total_overlap,
+           CAST(coalesce(h.total_overlap, 0) * 1000000 AS BIGINT)
+             // ((SELECT n FROM nq) * {_MRL_K}) AS recall_ppm
+    FROM dims d LEFT JOIN hits h ON h.trunc_dim = d.trunc_dim
+    """,
+    description="matryoshka-truncation recall report (MRL, Kusupati et "
+    "al. 2022): for each truncated embedding prefix (8/16/32/64 dims), "
+    "cosine top-10 per query vs the full-dim top-10 ground truth → "
+    "recall@10 as integer ppm. The serving question this answers: how "
+    "many dims can the ANN index store before recall degrades. Query "
+    "batch broadcasts (10 vectors); one corpus scan scores all four "
+    "truncations via array-slice columns; per-(dim,query) top-k is a "
+    "bounded window over the scored candidates — at 100 TB the "
+    "candidate set per query comes from the ANN shortlist (IVF/PQ), "
+    "same downstream shape as hard_negative_mining.",
+    tags=("similarity", "embedding", "llm-pipeline", "report"),
+)
+def matryoshka_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    nq = q.agg(F.count("*").alias("n"))
+    dims = spark.createDataFrame(
+        [(d,) for d in _MRL_DIMS], "trunc_dim int"
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= 10)
+        .join(F.broadcast(q))
+        .join(F.broadcast(dims))
+        .select(
+            "trunc_dim",
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_col(
+                    F.expr("slice(embedding, 1, trunc_dim)"),
+                    F.expr("slice(qv, 1, trunc_dim)"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("trunc_dim", "qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+    )
+    top = (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _MRL_K)
+        .select("trunc_dim", "qid", "vec_id")
+    )
+    truth = top.where(F.col("trunc_dim") == max(_MRL_DIMS)).select(
+        "qid", "vec_id"
+    )
+    hits = top.join(F.broadcast(truth), ["qid", "vec_id"]).groupBy(
+        "trunc_dim"
+    ).agg(F.count("*").alias("total_overlap"))
+    return (
+        dims.join(hits, "trunc_dim", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "trunc_dim",
+            F.col("n").cast("long").alias("n_queries"),
+            F.coalesce(F.col("total_overlap"), F.lit(0))
+            .cast("long")
+            .alias("total_overlap"),
+            F.expr(
+                f"cast(coalesce(total_overlap, 0) * 1000000 as bigint)"
+                f" div (n * {_MRL_K})"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -216,7 +216,8 @@ def all_queries() -> dict[str, Query]:
 # (TPC-H breadth analogues, three sampling shapes, and the round-5
 # additions decontaminate_containment / purchase_attribution_time_decay /
 # dedup_cluster_profile / context_truncation_report /
-# gopher_quality_flags / trigram_backoff_score) rotate in at r6.
+# gopher_quality_flags / trigram_backoff_score /
+# matryoshka_recall_report) rotate in at r6.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
