@@ -1837,9 +1837,53 @@ _SHINGLE_POLY = (
 )
 
 
-@register(
-    "dedup_minhash_lsh_portable",
-    oracle="""
+def _portable_sigs_cands(docs: DataFrame):
+    """Shared portable-minhash pipeline: distinct shingle hashes per doc,
+    32-perm signatures (cached — feeds banding AND per-pair estimate),
+    and the 8x4-banded LSH candidate pairs. Returns (sh, sigs, cand)."""
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.expr(_SHINGLE_POLY).alias("ph")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("ph") + F.lit(b)) % F.lit(_MERSENNE)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PORTABLE_COEFFS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins).cache()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"h{4 * b + r}") for r in range(4)]
+            )
+            for b in range(8)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return sh, sigs, cand
+
+
+#: shared CTE prefix for the portable-minhash oracles: coeffs, distinct
+#: shingles, polynomial hash, 32-perm signatures, 8x4 band keys and the
+#: LSH candidate pairs. Extended by dedup_minhash_lsh_portable (estimate
+#: + threshold) and minhash_estimate_error (estimate vs exact Jaccard).
+_MH_PORTABLE_PREFIX_SQL = """
     WITH coeffs(i, a, b) AS (VALUES
       (0, 2075443165, 1671098287),
       (1, 946466064, 250934579),
@@ -1899,6 +1943,12 @@ _SHINGLE_POLY = (
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=_MH_PORTABLE_PREFIX_SQL + """
     SELECT c.doc_a, c.doc_b,
            round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 6)
              AS est_jaccard
@@ -1918,41 +1968,7 @@ _SHINGLE_POLY = (
 )
 def dedup_minhash_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=3).select(
-        "doc_id", F.expr(_SHINGLE_POLY).alias("ph")
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("ph") + F.lit(b)) % F.lit(_MERSENNE)).alias(
-            f"h{i}"
-        )
-        for i, (a, b) in enumerate(_MH_PORTABLE_COEFFS)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*mins).cache()
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"h{4 * b + r}") for r in range(4)]
-            )
-            for b in range(8)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
-    )
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    _sh, sigs, cand = _portable_sigs_cands(docs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(32)],
@@ -1974,6 +1990,115 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
             F.round(eq / F.lit(32.0), 6).alias("est_jaccard"),
         )
         .where(eq / F.lit(32.0) >= 0.2)
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_MH_PORTABLE_PREFIX_SQL + """,
+    dph AS (
+      SELECT DISTINCT doc_id, ph FROM ph
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM dph GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN dph pa ON pa.doc_id = c.doc_a
+      JOIN dph pb ON pb.doc_id = c.doc_b AND pb.ph = pa.ph
+      GROUP BY c.doc_a, c.doc_b
+    ), est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                  * 1000000 AS BIGINT) // 32 AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_ppm,
+           CAST(coalesce(i.i, 0) * 1000000 AS BIGINT)
+             // (za.n + zb.n - coalesce(i.i, 0)) AS exact_ppm,
+           abs(e.est_ppm
+               - CAST(coalesce(i.i, 0) * 1000000 AS BIGINT)
+                 // (za.n + zb.n - coalesce(i.i, 0))) AS abs_err_ppm
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sz za ON za.doc_id = e.doc_a
+    JOIN sz zb ON zb.doc_id = e.doc_b
+    """,
+    description="MinHash estimator calibration: for EVERY LSH candidate "
+    "pair (no threshold), the 32-perm signature estimate vs the exact "
+    "shingle Jaccard, both as integer ppm, plus the absolute error — "
+    "the table that justifies the band/row configuration and the 0.2 "
+    "cutoff empirically. Exact Jaccard is computed ONLY for LSH "
+    "candidates (bucketed, never all-pairs): the intersection join is "
+    "keyed on (doc, shingle-hash) restricted to candidate docs, and "
+    "|A∪B| = |A|+|B|-|A∩B| comes from per-doc distinct counts, so no "
+    "shingle set is ever materialized per pair. Scale: identical "
+    "shuffle shape to the LSH dedup itself plus one candidate-keyed "
+    "aggregate.",
+    tags=("dedup", "lsh", "report"),
+)
+def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh, sigs, cand = _portable_sigs_cands(docs)
+    dph = sh.distinct()
+    sz = dph.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = dph.select(F.col("doc_id").alias("doc_a"), "ph")
+    pb = dph.select(F.col("doc_id").alias("docb"), F.col("ph").alias("phb"))
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(
+            pb,
+            (F.col("doc_b") == F.col("docb"))
+            & (F.col("ph") == F.col("phb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(32)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(32)],
+    )
+    eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(32)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq.cast("bigint") * 1_000_000)
+            .cast("bigint")
+            .alias("eqm"),
+        )
+        .select(
+            "doc_a", "doc_b", F.expr("eqm div 32").alias("est_ppm")
+        )
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact_ppm = F.expr(
+        "cast(coalesce(i, 0) * 1000000 as bigint)"
+        " div (na + nb - coalesce(i, 0))"
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            exact_ppm.alias("exact_ppm"),
+            F.abs(F.col("est_ppm") - exact_ppm).alias("abs_err_ppm"),
+        )
     )
 
 
