@@ -165,6 +165,7 @@ HEADLINE = [
     "trigram_backoff_score",
     "matryoshka_recall_report",
     "minhash_estimate_error",
+    "tokenizer_fertility_by_lang",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -845,3 +845,50 @@ def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '{_BPE_PATTERN.replace("'", "''")}')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe) * 1000000 AS BIGINT)
+             // CAST(sum(n_words) AS BIGINT) AS fertility_ppm
+    FROM t GROUP BY lang
+    """,
+    description="tokenizer fertility by language: BPE-ish pre-tokenizer "
+    "tokens per whitespace word as integer ppm — the standard metric "
+    "for how expensively a tokenizer fragments each language (fertility "
+    "near 1.0 = efficient; >>1 = over-fragmented, that language pays "
+    "more context budget per word). One scan, two regexp/array counts "
+    "in codegen, partial-aggregated to one row per language.",
+    tags=("text", "tokens", "llm-pipeline", "report"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    base = docs.select(
+        "lang",
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("n_words"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.expr(
+            "cast(sum(n_bpe) * 1000000 as bigint)"
+            " div cast(sum(n_words) as bigint)"
+        ).alias("fertility_ppm"),
+    )
