@@ -252,3 +252,52 @@ class TestTrigramBackoffAdversarial:
         # docs 4 (<3 tokens) and 5 (all grams span an empty token)
         # produce no row in either engine or the reference
         assert 4 not in by_id and 5 not in by_id
+
+
+class TestTrigramBackoffProperty:
+    """Random-corpus property check of the ORACLE against the pure-Python
+    stupid-backoff reference, DuckDB-only (no Spark session per example,
+    so max_examples can be generous). Spark == oracle is already
+    hash-proven at two SFs by the parity suite; oracle == reference here
+    closes the triangle Spark == reference."""
+
+    def test_oracle_matches_reference_on_random_corpora(self):
+        import pandas as pd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        oracle = REG["trigram_backoff_score"].oracle
+        word = st.integers(min_value=0, max_value=6).map(
+            lambda i: f"w{i}"
+        )
+        doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def run(texts):
+            docs = list(enumerate(texts))
+            con = duckdb.connect()
+            con.register(
+                "documents",
+                pd.DataFrame(
+                    {
+                        "doc_id": [d for d, _ in docs],
+                        "text": [t for _, t in docs],
+                    }
+                ),
+            )
+            got = {
+                r[0]: (r[1], r[2])
+                for r in con.execute(oracle).fetchall()
+            }
+            from tests.test_text_ops_adversarial import (
+                _backoff_reference,
+            )
+            want = _backoff_reference(docs)
+            assert set(got) == set(want)
+            for doc_id, (n, lp) in want.items():
+                gn, glp = got[doc_id]
+                assert gn == n
+                assert abs(glp - lp) <= 2e-6, (doc_id, glp, lp)
+
+        run()
