@@ -898,7 +898,9 @@ def matryoshka_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         "trunc_dim"
     ).agg(F.count("*").alias("total_overlap"))
     return (
-        dims.join(hits, "trunc_dim", "left")
+        # hits is ≤ len(_MRL_DIMS) rows — broadcast, else this 4x4 join
+        # compiles to a full SortMergeJoin exchange pair
+        dims.join(F.broadcast(hits), "trunc_dim", "left")
         .crossJoin(F.broadcast(nq))
         .select(
             "trunc_dim",
