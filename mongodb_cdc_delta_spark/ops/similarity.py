@@ -277,6 +277,38 @@ def semantic_cluster_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def assign_to_centroids(vecs: DataFrame, centroids) -> DataFrame:
+    """Nearest-centroid assignment with LITERAL centroids: a per-row
+    argmax over inlined arrays — one zero-shuffle scan regardless of
+    corpus size. ``centroids`` is a bounded sequence of (centroid_id,
+    vector); ties break to the LOWEST centroid id (argmax over
+    (sim, -cid) structs). Shared by the SemDeDup stage-1 assignment and
+    the incremental IVF index (streaming/ann_index.py), so index
+    contents are bit-identical to a batch rebuild."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_col(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in v]),
+                    ),
+                    6,
+                ).alias("sim"),
+                F.lit(-int(cid)).cast("long").alias("neg_cid"),
+            )
+            for cid, v in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return vecs.select(
+        "vec_id",
+        "embedding",
+        (-best["neg_cid"]).cast("long").alias("centroid_id"),
+        best["sim"].alias("cos_sim"),
+    )
+
+
 def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup stage 1: nearest of 8 fixed centroids, per-row argmax.
 
@@ -290,27 +322,8 @@ def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )  # bounded: 8 rows; becomes literals in the plan (broadcast-by-value)
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_col(
-                        F.col("embedding"),
-                        F.array(*[F.lit(float(x)) for x in r["embedding"]]),
-                    ),
-                    6,
-                ).alias("sim"),
-                F.lit(-r["vec_id"]).cast("long").alias("neg_cid"),
-            )
-            for r in cents
-        ]
-    )
-    best = F.array_max(scored)
-    return emb.select(
-        "vec_id",
-        "embedding",
-        (-best["neg_cid"]).cast("long").alias("centroid_id"),
-        best["sim"].alias("cos_sim"),
+    return assign_to_centroids(
+        emb, [(r["vec_id"], r["embedding"]) for r in cents]
     )
 
 

@@ -1,0 +1,165 @@
+"""Incremental IVF index: equivalence with a full rebuild after every
+corpus mutation, exactly-once refresh, and probe-path correctness
+(nprobe == ncells degrades to exact brute force)."""
+
+from __future__ import annotations
+
+from mongodb_cdc_delta_spark.ops.similarity import assign_to_centroids
+from mongodb_cdc_delta_spark.sinks import LakeTable
+from mongodb_cdc_delta_spark.streaming.aggregates import ChangeFeedTail
+from mongodb_cdc_delta_spark.streaming.ann_index import IncrementalIvfIndex
+
+# three well-separated unit-ish cells in 4-d
+CENTROIDS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (2, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
+def _vec(cell, eps, fourth=0.1):
+    v = [0.0, 0.0, 0.0, fourth]
+    v[cell] = 1.0
+    v[(cell + 1) % 3] = eps
+    return v
+
+
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _mk(spark, tmp_path):
+    corpus = LakeTable(spark, str(tmp_path / "corpus"))
+    idx = IncrementalIvfIndex(
+        LakeTable(spark, str(tmp_path / "ivf")), CENTROIDS
+    )
+    tail = ChangeFeedTail(corpus, from_version=-1)
+    return corpus, idx, tail
+
+
+def _index_state(idx):
+    return {
+        (r.vec_id, r.centroid_id) for r in idx.postings().collect()
+    }
+
+
+def _rebuild_state(idx, corpus):
+    return {
+        (r.vec_id, r.centroid_id)
+        for r in assign_to_centroids(
+            corpus.read().select("vec_id", "embedding"), CENTROIDS
+        ).collect()
+    }
+
+
+def test_incremental_matches_full_rebuild_through_mutations(
+    spark, tmp_path
+):
+    corpus, idx, tail = _mk(spark, tmp_path)
+
+    # 1: initial append — one vector per cell
+    corpus.append(
+        _vecs_df(
+            spark,
+            [(1, _vec(0, 0.1)), (2, _vec(1, 0.2)), (3, _vec(2, 0.1))],
+        )
+    )
+    idx.maintain(tail)
+    assert _index_state(idx) == _rebuild_state(idx, corpus)
+    assert (1, 0) in _index_state(idx)
+
+    # 2: update vector 3 into cell 0 (COW delete+insert, same vec_id)
+    corpus.update_where(
+        "vec_id = 3", {"embedding": "array(1.0f, 0.1f, 0.0f, 0.1f)"}
+    )
+    idx.maintain(tail)
+    st = _index_state(idx)
+    assert st == _rebuild_state(idx, corpus)
+    assert (3, 0) in st and (3, 2) not in st
+
+    # 3: delete vector 2 → its posting disappears
+    corpus.delete_where("vec_id = 2")
+    idx.maintain(tail)
+    st = _index_state(idx)
+    assert st == _rebuild_state(idx, corpus)
+    assert all(v != 2 for v, _ in st)
+
+    # 4: append two more vectors → postings only grow by those
+    corpus.append(
+        _vecs_df(spark, [(4, _vec(1, 0.0)), (5, _vec(2, 0.3))])
+    )
+    idx.maintain(tail)
+    assert _index_state(idx) == _rebuild_state(idx, corpus)
+
+
+def test_replayed_batch_is_exactly_once(spark, tmp_path):
+    corpus, idx, _tail = _mk(spark, tmp_path)
+    corpus.append(
+        _vecs_df(spark, [(1, _vec(0, 0.1)), (2, _vec(1, 0.1))])
+    )
+    changes = corpus.read_changes(0)
+    idx.apply_changes(changes, batch_id=0)
+    v = idx.index.version()
+    idx.apply_changes(changes, batch_id=0)  # redelivered
+    assert idx.index.version() == v
+    assert idx.postings().count() == 2
+
+
+def test_probe_path_with_all_cells_is_exact_brute_force(spark, tmp_path):
+    corpus, idx, tail = _mk(spark, tmp_path)
+    rows = [
+        (i, _vec(i % 3, 0.01 * i, fourth=0.05 * (i % 4)))
+        for i in range(1, 13)
+    ]
+    corpus.append(_vecs_df(spark, rows))
+    idx.maintain(tail)
+    q = _vec(0, 0.15)
+    # nprobe = all cells -> must equal exact brute-force over the corpus
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in idx.topk_for(q, k=5, nprobe=len(CENTROIDS)).collect()
+    ]
+    from mongodb_cdc_delta_spark.ops.similarity import cosine_col
+    from pyspark.sql import functions as F
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    brute = [
+        (r.vec_id, r.cos_sim)
+        for r in corpus.read()
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qlit), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert got == brute
+
+    # nprobe=1 probes only the query's own cell: results are a subset of
+    # that cell, still exactly ranked
+    got1 = [r.vec_id for r in idx.topk_for(q, k=5, nprobe=1).collect()]
+    cell0 = {
+        r.vec_id
+        for r in idx.postings().where("centroid_id = 0").collect()
+    }
+    assert set(got1) <= cell0 and len(got1) > 0
+
+
+def test_update_that_crosses_cells_moves_exactly_one_posting(
+    spark, tmp_path
+):
+    corpus, idx, tail = _mk(spark, tmp_path)
+    corpus.append(_vecs_df(spark, [(7, _vec(1, 0.0))]))
+    idx.maintain(tail)
+    assert _index_state(idx) == {(7, 1)}
+    corpus.update_where(
+        "vec_id = 7", {"embedding": "array(0.0f, 0.0f, 1.0f, 0.0f)"}
+    )
+    idx.maintain(tail)
+    assert _index_state(idx) == {(7, 2)}
+    assert idx.postings().count() == 1
