@@ -469,3 +469,52 @@ class TestAttributionPlans:
         assert not _global_window_sites(plan)
         final = plan.split("== Initial Plan ==")[0]
         assert count(r"Exchange hashpartitioning", final) <= 2
+
+
+class TestRound5LateOpsPlans:
+    """Plan gates for the round-5 late operators (trigram backoff LM,
+    Gopher flags, matryoshka recall, MinHash calibration, tokenizer
+    fertility)."""
+
+    def test_trigram_backoff_all_model_joins_broadcast(self, spark):
+        # three capped model tables + two unigram lookups: every scoring
+        # join must broadcast; the trigram stream (the 100 TB side) must
+        # never be sort-merge shuffled, and the caps must be TakeOrdered
+        plan = plan_of(spark, "trigram_backoff_score", execute=True)
+        assert count(r"BroadcastHashJoin", plan) >= 5
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert not _global_window_sites(plan)
+
+    def test_gopher_flags_zero_shuffle(self, spark):
+        # five signals from higher-order array functions: one scan, no
+        # Exchange at all
+        plan = plan_of(spark, "gopher_quality_flags", execute=True)
+        assert "Exchange" not in plan
+
+    def test_fertility_single_partial_aggregate(self, spark):
+        # per-lang rollup: map-side combine before the one shuffle
+        plan = plan_of(spark, "tokenizer_fertility_by_lang", execute=True)
+        assert "partial" in plan.lower()
+        final = plan.split("== Initial Plan ==")[0]
+        assert count(r"Exchange hashpartitioning", final) == 1
+
+    def test_matryoshka_windows_are_group_limited(self, spark):
+        # the per-(dim,query) top-10 must compile to WindowGroupLimit
+        # Partial/Final (map-side partial top-k before the shuffle) —
+        # never a global window, never a sort-merge join
+        plan = plan_of(spark, "matryoshka_recall_report", execute=True)
+        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_minhash_error_no_cartesian_pair_keyed_smj_ok(self, spark):
+        # candidate generation is bucketed (band, bkey); exact-Jaccard
+        # never goes all-pairs. The est⋈inter SortMergeJoin on
+        # (doc_a, doc_b) is DELIBERATE (both sides candidate-pair-sized
+        # at web scale) — gate cartesians and global windows only.
+        plan = plan_of(spark, "minhash_estimate_error", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not _global_window_sites(plan)
