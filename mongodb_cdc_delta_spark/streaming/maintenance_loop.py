@@ -86,6 +86,28 @@ class MaintenanceLoop:
         self.add(MaintenanceJob(job_id, cron, action))
         return tail
 
+    def add_index_maintenance(
+        self,
+        job_id: str,
+        source: LakeTable,
+        index,
+        cron: str = "* * * * *",
+        from_version: int | None = None,
+    ) -> ChangeFeedTail:
+        """Register an incremental-index refresh job for any index with a
+        ``maintain(tail) -> int`` method (IncrementalLshIndex,
+        IncrementalIvfIndex). Returns the tail (exposes the version
+        cursor for checkpointing), same contract as add_mv_refresh."""
+        start = source.version() if from_version is None else from_version
+        tail = ChangeFeedTail(source, from_version=start)
+
+        def action() -> dict:
+            n = index.maintain(tail)
+            return {"versions_processed": n, "cursor": tail.last_seen}
+
+        self.add(MaintenanceJob(job_id, cron, action))
+        return tail
+
     def add_table_maintenance(
         self,
         job_id: str,

@@ -163,3 +163,33 @@ def test_update_that_crosses_cells_moves_exactly_one_posting(
     idx.maintain(tail)
     assert _index_state(idx) == {(7, 2)}
     assert idx.postings().count() == 1
+
+
+def test_maintenance_loop_drives_index_refresh(spark, tmp_path):
+    """Cron-driven refresh through MaintenanceLoop.add_index_maintenance:
+    the index tracks corpus mutations tick by tick, exactly-once."""
+    import time as _time
+
+    from mongodb_cdc_delta_spark.streaming.maintenance_loop import (
+        MaintenanceLoop,
+    )
+
+    corpus, idx, _ = _mk(spark, tmp_path)
+    corpus.append(_vecs_df(spark, [(1, _vec(0, 0.1))]))
+    t0 = _time.mktime((2026, 8, 15, 12, 0, 0, 0, 0, -1))
+    clock = {"t": t0}
+    loop = MaintenanceLoop(clock=lambda: clock["t"])
+    loop.add_index_maintenance(
+        "ivf", corpus, idx, cron="* * * * *", from_version=-1
+    )
+    clock["t"] = t0 + 60
+    loop.tick()
+    assert _index_state(idx) == {(1, 0)}
+    # a tick with no corpus change is a recorded no-op
+    clock["t"] = t0 + 120
+    loop.tick()
+    assert _index_state(idx) == {(1, 0)}
+    corpus.append(_vecs_df(spark, [(2, _vec(2, 0.0))]))
+    clock["t"] = t0 + 180
+    loop.tick()
+    assert _index_state(idx) == {(1, 0), (2, 2)}
