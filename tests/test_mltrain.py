@@ -1,0 +1,129 @@
+"""In-engine classifier training: exact-integer equivalence with a pure
+Python reference (same hash, same floor-division, same update rule),
+run-to-run determinism, and real learning on a separable seeded corpus.
+
+The driver corpus is deliberately untrainable (shared uniform vocab —
+see ops/mltrain.py docstring), so the seeds construct two disjoint token
+vocabularies: positives drawn from quality-words, negatives from
+junk-words. Three iterations must reach perfect training accuracy, and
+the Spark weight vector must equal the reference bit for bit."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from mongodb_cdc_delta_spark.ops.mltrain import (
+    PPM,
+    score_with_weights,
+    train_quality_classifier,
+)
+
+DIM = 64
+GOOD = ["insightful", "thorough", "rigorous", "clear", "grounded"]
+JUNK = ["zzspam", "qqjunk", "xxnoise", "wwfluff", "vvblah"]
+
+
+def _poly(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 131 + ord(ch)) % 2147483647
+    return h
+
+
+def _fdiv(a: int, b: int) -> int:
+    return (a - (((a % b) + b) % b)) // b
+
+
+def _reference_train(rows, dim=DIM, iters=3, inv_lr=50):
+    data = []
+    for _doc_id, text, label in rows:
+        toks = [t for t in text.split(" ") if t]
+        cnt = Counter(_poly(t) % dim for t in toks)
+        data.append((cnt, len(toks), label * PPM))
+    n_docs = len(data)
+    w = [0] * dim
+    for _ in range(iters):
+        grad = [0] * dim
+        for cnt, n, y in data:
+            s = sum(nb * w[b] for b, nb in cnt.items())
+            m = _fdiv(s, n)
+            p = max(0, min(PPM, PPM // 2 + _fdiv(m, 4)))
+            r = p - y
+            for b, nb in cnt.items():
+                grad[b] += nb * r
+        for b in range(dim):
+            w[b] -= _fdiv(grad[b], n_docs * inv_lr)
+    return w
+
+
+def _corpus():
+    rows = []
+    for i in range(12):
+        text = " ".join(GOOD[(i + j) % len(GOOD)] for j in range(8))
+        rows.append((i, text, 1))
+    for i in range(12, 24):
+        text = " ".join(JUNK[(i + j) % len(JUNK)] for j in range(8))
+        rows.append((i, text, 0))
+    # two mixed docs exercise partial-overlap margins
+    rows.append((24, " ".join(GOOD[:4] + JUNK[:2]), 1))
+    rows.append((25, " ".join(JUNK[:4] + GOOD[:2]), 0))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    )
+
+
+def test_spark_weights_equal_python_reference_exactly(spark):
+    rows = _corpus()
+    got = train_quality_classifier(_df(spark, rows), dim=DIM, iters=3)
+    want = _reference_train(rows, dim=DIM, iters=3)
+    assert got == want  # bit-exact integers, not approximately
+
+
+def test_training_is_run_to_run_deterministic(spark):
+    rows = _corpus()
+    df = _df(spark, rows).repartition(7)  # partitioning must not matter
+    w1 = train_quality_classifier(df, dim=DIM, iters=2)
+    w2 = train_quality_classifier(df.repartition(3), dim=DIM, iters=2)
+    assert w1 == w2
+
+
+def test_learns_separable_corpus_to_full_accuracy(spark):
+    rows = _corpus()
+    df = _df(spark, rows)
+    w = train_quality_classifier(df, dim=DIM, iters=3)
+    scored = {
+        r.doc_id: r.keep
+        for r in score_with_weights(
+            df.select("doc_id", "text"), w
+        ).collect()
+    }
+    labels = {doc_id: lab for doc_id, _t, lab in rows}
+    acc = sum(
+        1 for d, k in scored.items() if k == labels[d]
+    ) / len(scored)
+    assert acc == 1.0
+    # and the margins are actually separated, not borderline
+    margins = {
+        r.doc_id: r.margin_ppm
+        for r in score_with_weights(
+            df.select("doc_id", "text"), w
+        ).collect()
+    }
+    assert min(margins[d] for d in range(12)) > 0
+    assert max(margins[d] for d in range(12, 24)) < 0
+
+
+def test_negative_weight_floor_division_edges(spark):
+    """Weights go negative during training; the floor-division must
+    floor (not truncate) on negative operands in BOTH the reference and
+    Spark — a truncating div would round toward zero and diverge."""
+    assert _fdiv(-7, 2) == -4  # floor, not -3
+    rows = [(0, " ".join(JUNK), 0), (1, " ".join(GOOD), 1)]
+    got = train_quality_classifier(_df(spark, rows), dim=DIM, iters=1)
+    want = _reference_train(rows, dim=DIM, iters=1)
+    assert got == want
+    assert any(x < 0 for x in got)  # negatives actually occurred
