@@ -766,8 +766,8 @@ _GSTOP_SQL = "('" + "', '".join(_GOPHER_STOPS) + "')"
     ), s AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             CAST(list_sum(list_transform(toks, x -> len(x)))
-                  AS BIGINT) AS sum_word_chars,
+             CAST(coalesce(list_sum(list_transform(toks, x -> len(x))),
+                           0) AS BIGINT) AS sum_word_chars,
              len(list_filter(toks,
                  x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
              len(list_filter(toks,

@@ -301,3 +301,48 @@ class TestTrigramBackoffProperty:
                 assert abs(glp - lp) <= 2e-6, (doc_id, glp, lp)
 
         run()
+
+
+class TestGopherFlagsProperty:
+    """Random-corpus property check of the Gopher ORACLE against the
+    pure-Python rule battery, DuckDB-only (same triangle-closing logic
+    as TestTrigramBackoffProperty: Spark == oracle is hash-proven by the
+    parity suite; oracle == reference here)."""
+
+    def test_oracle_matches_reference_on_random_corpora(self):
+        import pandas as pd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        oracle = REG["gopher_quality_flags"].oracle
+        word = st.one_of(
+            st.sampled_from(
+                ["the", "of", "and", "ab", "abcdefghijkl", "#tag",
+                 "wait...", "12345", "plainword", ""]
+            ),
+            st.text(
+                alphabet="abc123#.", min_size=0, max_size=14
+            ),
+        )
+        doc = st.lists(word, min_size=0, max_size=70).map(" ".join)
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=5))
+        def run(texts):
+            docs = list(enumerate(texts))
+            con = duckdb.connect()
+            con.register(
+                "documents",
+                pd.DataFrame(
+                    {
+                        "doc_id": [d for d, _ in docs],
+                        "text": [t for _, t in docs],
+                    }
+                ),
+            )
+            got = {r[0]: tuple(r) for r in con.execute(oracle).fetchall()}
+            for doc_id, text in docs:
+                want = _gopher_reference(doc_id, text)
+                assert got[doc_id] == want, (text, got[doc_id], want)
+
+        run()
