@@ -2488,3 +2488,104 @@ def decontaminate_bloom_portable(spark: SparkSession, sf: str) -> DataFrame:
     return bloom_decontaminate_flags(
         docs.where(bucket >= 200), docs.where(bucket < 200), portable=True
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    jp AS (
+      SELECT doc_a, doc_b,
+             CAST(n_inter * 1000000 AS BIGINT)
+               // (sa.n_sh + sb.n_sh - n_inter) AS j_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= 0.05
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS source_lo,
+           greatest(a.source, b.source) AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(j_ppm) AS BIGINT) // count(*) AS mean_jaccard_ppm
+    FROM jp
+    JOIN src a ON a.doc_id = jp.doc_a
+    JOIN src b ON b.doc_id = jp.doc_b
+    GROUP BY 1, 2
+    """,
+    description="cross-source duplication matrix: near-dup pairs "
+    "(trigram Jaccard >= 0.05) rolled up by unordered source pair — "
+    "the who-copies-from-whom table a corpus report leads with "
+    "(diagonal = intra-source template reuse, off-diagonal = mirror/"
+    "scrape relationships). Pair Jaccard is quantized to integer ppm "
+    "BEFORE averaging so the mean is exact integer arithmetic in both "
+    "engines. Scale: inherits the capped shingle self-join (df cap "
+    "bounds pair blowup); the rollup adds one pair-keyed source join "
+    "and a tiny (n_sources²) aggregate.",
+    tags=("dedup", "report"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 100)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh", "left_semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jp = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.05
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "cast(n_inter * 1000000 as bigint)"
+                " div (na + nb - n_inter)"
+            ).alias("j_ppm"),
+        )
+    )
+    src_a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    src_b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        jp.join(src_a, "doc_a")
+        .join(src_b, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr(
+                "cast(sum(j_ppm) as bigint) div count(*)"
+            ).alias("mean_jaccard_ppm"),
+        )
+    )

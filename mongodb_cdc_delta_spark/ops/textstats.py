@@ -892,3 +892,83 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
             " div cast(sum(n_words) as bigint)"
         ).alias("fertility_ppm"),
     )
+
+
+_COV_KS = (100, 1_000, 10_000)
+_COV_KMAX = max(_COV_KS)
+_COV_KS_SQL = "[" + ", ".join(str(k) for k in _COV_KS) + "]"
+
+
+@register(
+    "token_coverage_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+    ), top AS (
+      SELECT tok, n, rk FROM (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+        FROM counts) WHERE rk <= {_COV_KMAX}
+    ), ks AS (
+      SELECT CAST(unnest({_COV_KS_SQL}) AS INT) AS k
+    )
+    SELECT ks.k,
+           CAST(sum(top.n) AS BIGINT) AS covered_tokens,
+           CAST((SELECT t FROM total) AS BIGINT) AS total_tokens,
+           CAST(sum(top.n) * 1000000 AS BIGINT)
+             // (SELECT t FROM total) AS coverage_ppm
+    FROM ks JOIN top ON top.rk <= ks.k
+    GROUP BY ks.k
+    """,
+    description="vocabulary coverage curve: fraction of all corpus "
+    "token occurrences covered by the top-K tokens for K in 100/1k/10k "
+    "— the table that sizes a tokenizer vocabulary (where the curve "
+    "flattens, extra vocab buys nothing). The distinct-token set is "
+    "first capped to the top-10k by a DISTRIBUTED TakeOrdered; the "
+    "rank window then runs over that BOUNDED 10k-row table only (the "
+    "repo's no-global-window policy forbids windows over unbounded "
+    "inputs — a bounded-by-construction literal-sized input is the "
+    "documented exception, same class as the PQ seed window). Exact "
+    "integer ppm in both engines.",
+    tags=("text", "tokens", "report", "llm-pipeline"),
+)
+def token_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("t"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(_COV_KMAX)
+    )
+    # window input is bounded to _COV_KMAX rows by the TakeOrdered above
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+        ),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    return (
+        ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            F.col("t").alias("total_tokens"),
+            F.expr(
+                "cast(covered_tokens * 1000000 as bigint) div t"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -218,7 +218,8 @@ def all_queries() -> dict[str, Query]:
 # dedup_cluster_profile / context_truncation_report /
 # gopher_quality_flags / trigram_backoff_score /
 # matryoshka_recall_report / minhash_estimate_error /
-# tokenizer_fertility_by_lang) rotate in at r6.
+# tokenizer_fertility_by_lang / dedup_cross_source_matrix /
+# token_coverage_curve) rotate in at r6.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query

@@ -518,3 +518,17 @@ class TestRound5LateOpsPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert not _global_window_sites(plan)
+
+    def test_coverage_curve_window_is_bounded_by_take_ordered(self, spark):
+        # the rank window is legal ONLY because a TakeOrdered cap bounds
+        # its input to 10k rows first — gate that the cap is in the plan
+        plan = plan_of(spark, "token_coverage_curve", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cross_source_matrix_no_cartesian(self, spark):
+        # pair generation inherits the df-capped shingle self-join;
+        # source rollup adds keyed joins only
+        plan = plan_of(spark, "dedup_cross_source_matrix", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
