@@ -1370,60 +1370,56 @@ def contamination_eval_report(spark: SparkSession, sf: str) -> DataFrame:
              max(tpos) + {_SR_L} AS e
       FROM runs GROUP BY doc_id, eval_doc, diag, island
     ),
-    g1 AS (
-      SELECT doc_id, s, e,
-             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS prev_e
-      FROM spans0
+    cov AS (
+      -- window-free interval merge: expand spans to DISTINCT covered
+      -- positions. The previous formulation (running-max + running-sum
+      -- ROWS-framed windows) is MISEVALUATED INTERMITTENTLY by parallel
+      -- DuckDB 1.0 at sf0.1 row counts (same query, same data, chars_cut
+      -- flips between runs; single-threaded always agrees with Spark) —
+      -- the oracle only needs to be correct, not scale, so it uses the
+      -- positional formulation instead.
+      SELECT DISTINCT doc_id, pos
+      FROM spans0, LATERAL unnest(generate_series(s, e - 1)) AS u(pos)
     ),
-    g2 AS (
-      SELECT doc_id, s, e,
-             sum(CASE WHEN s > coalesce(prev_e, 0) THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                     ROWS UNBOUNDED PRECEDING) AS grp
-      FROM g1
+    starts AS (
+      -- group starts: covered positions whose predecessor is uncovered
+      -- (EXCEPT, not an outer join: DuckDB 1.0 cannot decorrelate a
+      -- LEFT JOIN adjacent to the LATERAL unnests above)
+      SELECT doc_id, pos FROM cov
+      EXCEPT
+      SELECT doc_id, pos + 1 FROM cov
     ),
-    merged AS (
-      SELECT doc_id, grp, min(s) AS s, max(e) AS e
-      FROM g2 GROUP BY doc_id, grp
-    ),
-    docs_hit AS (
-      SELECT DISTINCT merged.doc_id, b.text
-      FROM merged JOIN bucketed b USING (doc_id)
-    ),
-    segs AS (
-      SELECT doc_id,
-             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
-               AS seg_start,
-             s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
-               AS seg_len
-      FROM merged
-      UNION ALL
-      SELECT doc_id, max(e) AS seg_start, NULL AS seg_len
-      FROM merged GROUP BY doc_id
-    ),
-    pieces AS (
-      SELECT s.doc_id, s.seg_start,
-             CASE WHEN s.seg_len IS NULL
-                  THEN substring(d.text, CAST(s.seg_start AS INT),
-                                 len(d.text) - CAST(s.seg_start AS INT) + 1)
-                  ELSE substring(d.text, CAST(s.seg_start AS INT),
-                                 CAST(s.seg_len AS INT)) END AS seg
-      FROM segs s JOIN docs_hit d USING (doc_id)
-    ),
-    stitched AS (
-      SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS clean_text
-      FROM pieces GROUP BY doc_id
+    scount AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut
+      FROM starts GROUP BY doc_id
     ),
     summary AS (
-      SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_spans_cut,
-             CAST(sum(e - s) AS BIGINT) AS chars_cut
-      FROM merged GROUP BY doc_id
+      SELECT cov.doc_id, sc.n_spans_cut,
+             CAST(count(*) AS BIGINT) AS chars_cut
+      FROM cov JOIN scount sc USING (doc_id)
+      GROUP BY cov.doc_id, sc.n_spans_cut
+    ),
+    allpos AS (
+      SELECT b.doc_id, u.pos
+      FROM bucketed b
+      JOIN (SELECT DISTINCT doc_id FROM spans0) h USING (doc_id),
+           LATERAL unnest(generate_series(1, len(b.text))) AS u(pos)
+    ),
+    keptpos AS (
+      SELECT doc_id, pos FROM allpos
+      EXCEPT
+      SELECT doc_id, pos FROM cov
+    ),
+    stitched AS (
+      SELECT k.doc_id,
+             string_agg(substring(b.text, k.pos, 1), ''
+                        ORDER BY k.pos) AS clean_text
+      FROM keptpos k JOIN bucketed b USING (doc_id)
+      GROUP BY k.doc_id
     )
-    SELECT summary.doc_id, n_spans_cut, chars_cut, clean_text
-    FROM summary JOIN stitched USING (doc_id)
+    SELECT summary.doc_id, n_spans_cut, chars_cut,
+           coalesce(clean_text, '') AS clean_text
+    FROM summary LEFT JOIN stitched USING (doc_id)
     """,
     description="contamination span surgery: remove every verbatim "
     ">=20-char run shared with the eval slice from the training text — "

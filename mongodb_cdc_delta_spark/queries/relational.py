@@ -1510,16 +1510,24 @@ def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         JOIN orders_q21_tmp o    ON o.o_orderkey = l1.l_orderkey
         WHERE o.o_orderstatus = 'F'
           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
-          AND EXISTS (SELECT 1 FROM lineitem_q21_tmp l2
+          AND EXISTS (SELECT /*+ MERGE(l2) */ 1
+                      FROM lineitem_q21_tmp l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem_q21_tmp l3
+          AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1
+                          FROM lineitem_q21_tmp l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate >
                                 o.o_orderdate + INTERVAL 60 DAYS)
         GROUP BY s.s_name
         """
+        # MERGE hints on the EXISTS/NOT-EXISTS sides: both are LINEITEM
+        # (the fact table) — a broadcast there only fits while the whole
+        # fact fits in driver memory, which is exactly the assumption a
+        # 100 TB deployment breaks (and a default-memory driver at sf0.1
+        # breaks today: the estimate slips under the 64 MB threshold and
+        # the build OOMs). Fact-fact semi/anti joins shuffle on the key.
     )
 
 
@@ -1886,18 +1894,29 @@ def part_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "window_rank_family",
     oracle="""
-    SELECT c_custkey, c_nationkey,
-           ntile(4) OVER w AS bal_quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey
-                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    WITH r AS (
+      SELECT c_custkey, c_nationkey,
+             ntile(4) OVER w AS bal_quartile,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY c_nationkey) AS cnt
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal ASC, c_custkey ASC)
+    )
+    SELECT c_custkey, c_nationkey, bal_quartile,
+           CASE WHEN cnt = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST((rn - 1) * 1000000 AS BIGINT) // (cnt - 1)
+           END AS pct_rank_ppm,
+           CAST(rn * 1000000 AS BIGINT) // cnt AS cume_ppm
+    FROM r
     """,
     description="ranking-window family (ntile/percent_rank/cume_dist) "
     "sharing ONE window spec — a single sort within each partition "
-    "computes all three; total order via the custkey tiebreak keeps "
-    "every engine's quartile assignment identical",
+    "computes all three. The custkey tiebreak makes the order TOTAL, so "
+    "percent_rank == (rownum-1)/(n-1) and cume_dist == rownum/n exactly "
+    "— emitted as integer ppm from rank/count windows because the raw "
+    "doubles land on round-half midpoints (k/n = 0.0640625 at sf0.1) "
+    "where Spark HALF_UP and DuckDB disagree in the 6th decimal",
     tags=("window", "rank"),
 )
 def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
@@ -1906,12 +1925,32 @@ def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
-    return load(spark, sf, "customer").select(
-        "c_custkey",
-        "c_nationkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    n = F.count("*").over(Window.partitionBy("c_nationkey"))
+    rn = F.row_number().over(w)
+    return (
+        load(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            rn.alias("rn"),
+            n.alias("cnt"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "bal_quartile",
+            F.when(F.col("cnt") == 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "cast((rn - 1) * 1000000 as bigint) div (cnt - 1)"
+                )
+            )
+            .alias("pct_rank_ppm"),
+            F.expr("cast(rn * 1000000 as bigint) div cnt").alias(
+                "cume_ppm"
+            ),
+        )
     )
 
 

@@ -162,6 +162,12 @@ class TestTpchBreadthPlans:
         assert "LeftSemi" in plan
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+        # the semi/anti sides are LINEITEM (fact-fact): they must SHUFFLE,
+        # never broadcast — a broadcast there OOMs any driver whose memory
+        # is smaller than the fact table (found live at sf0.1 on a
+        # default-memory session; MERGE hints pin the safe strategy)
+        assert count(r"SortMergeJoin.*LeftSemi", plan) >= 1
+        assert count(r"SortMergeJoin.*LeftAnti", plan) >= 1
 
     def test_promo_part_suppliers_chained_semi_joins(self, spark):
         plan = plan_of(spark, "promo_part_suppliers", execute=True)
