@@ -168,6 +168,8 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "dedup_cross_source_matrix",
     "token_coverage_curve",
+    "k_anonymity_report",
+    "psi_drift_report",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

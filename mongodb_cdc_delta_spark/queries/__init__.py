@@ -179,6 +179,7 @@ def all_queries() -> dict[str, Query]:
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
     from ..ops import sampling, skew, chunking, bpe, graph, report  # noqa: F401
+    from ..ops import governance  # noqa: F401
 
     # The driver checks ~50 queries per round in registration order, so the
     # first 50 are chosen to cover EVERY operator family (relational core,
@@ -219,7 +220,8 @@ def all_queries() -> dict[str, Query]:
 # gopher_quality_flags / trigram_backoff_score /
 # matryoshka_recall_report / minhash_estimate_error /
 # tokenizer_fertility_by_lang / dedup_cross_source_matrix /
-# token_coverage_curve) rotate in at r6.
+# token_coverage_curve / k_anonymity_report / psi_drift_report)
+# rotate in at r6.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
