@@ -170,6 +170,7 @@ HEADLINE = [
     "token_coverage_curve",
     "k_anonymity_report",
     "psi_drift_report",
+    "dedup_threshold_sensitivity",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -2585,3 +2585,124 @@ def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_jaccard_ppm"),
         )
     )
+
+
+_THRESH_PPMS = (50_000, 100_000, 200_000, 300_000, 500_000, 700_000,
+                900_000)
+_THRESH_SQL = "[" + ", ".join(str(t) for t in _THRESH_PPMS) + "]"
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    jp AS (
+      SELECT doc_a, doc_b,
+             CAST(n_inter * 1000000 AS BIGINT)
+               // (sa.n_sh + sb.n_sh - n_inter) AS j_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    th AS (
+      SELECT CAST(unnest({_THRESH_SQL}) AS BIGINT) AS threshold_ppm
+    ),
+    hits AS (
+      SELECT th.threshold_ppm, jp.doc_a, jp.doc_b
+      FROM th JOIN jp ON jp.j_ppm >= th.threshold_ppm
+    ),
+    docs_at AS (
+      SELECT threshold_ppm, doc_id FROM (
+        SELECT threshold_ppm, doc_a AS doc_id FROM hits
+        UNION
+        SELECT threshold_ppm, doc_b AS doc_id FROM hits
+      )
+    )
+    SELECT th.threshold_ppm,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_involved
+    FROM th
+    LEFT JOIN (SELECT threshold_ppm, count(*) AS n_pairs
+               FROM hits GROUP BY 1) p USING (threshold_ppm)
+    LEFT JOIN (SELECT threshold_ppm, count(*) AS n_docs
+               FROM docs_at GROUP BY 1) d USING (threshold_ppm)
+    """,
+    description="dedup threshold sensitivity curve: near-dup pair count "
+    "and distinct docs involved at each candidate Jaccard cutoff "
+    "(0.05-0.9 as integer ppm) — the dataset-card table that picks the "
+    "dedup threshold (where the curve elbows, tightening buys little). "
+    "Pair Jaccard quantized to integer ppm so threshold comparisons are "
+    "engine-exact; ONE pass computes the pair table (df-capped shingle "
+    "self-join, bounded as everywhere in the dedup family), then a "
+    "7-row constant threshold table replicates it — never 7 rescans.",
+    tags=("dedup", "report"),
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 100)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh", "left_semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    jp = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "cast(n_inter * 1000000 as bigint)"
+                " div (na + nb - n_inter)"
+            ).alias("j_ppm"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _THRESH_PPMS], "threshold_ppm long"
+    )
+    hits = th.join(
+        jp, F.col("j_ppm") >= F.col("threshold_ppm")
+    ).select("threshold_ppm", "doc_a", "doc_b")
+    pairs = hits.groupBy("threshold_ppm").agg(
+        F.count("*").alias("n_pairs")
+    )
+    docs_at = (
+        hits.select(
+            "threshold_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold_ppm")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        th.join(F.broadcast(pairs), "threshold_ppm", "left")
+        .join(F.broadcast(docs_at), "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_involved"),
+        )
+    )

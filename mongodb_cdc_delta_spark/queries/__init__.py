@@ -220,8 +220,8 @@ def all_queries() -> dict[str, Query]:
 # gopher_quality_flags / trigram_backoff_score /
 # matryoshka_recall_report / minhash_estimate_error /
 # tokenizer_fertility_by_lang / dedup_cross_source_matrix /
-# token_coverage_curve / k_anonymity_report / psi_drift_report)
-# rotate in at r6.
+# token_coverage_curve / k_anonymity_report / psi_drift_report /
+# dedup_threshold_sensitivity) rotate in at r6.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
