@@ -676,6 +676,11 @@ def trigram_backoff_score(spark: SparkSession, sf: str) -> DataFrame:
     # cheap relative to the capped-table TakeOrdereds, and the extra
     # Exchange is not reused across all four consumer branches.
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    # deliberately NOT cached: uni feeds four consumers, but A/B at
+    # sf0.1 measured .cache() as a net loss (2.0-2.6 s vs 1.6-2.0 s
+    # warm) — materializing the FULL distinct-token table costs more
+    # than the re-derivations, whose shuffles Spark already reuses
+    # (ReusedExchange) across the broadcast builds
     uni = (
         toks.select(F.explode("ts").alias("tok"))
         .where(F.col("tok") != "")

@@ -166,6 +166,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _jaccard_pair_counts(
+    docs: DataFrame, n: int = 3, max_shingle_df: int | None = 100
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, na, nb): the capped trigram-shingle pair
+    pipeline shared by every Jaccard-derived operator (pairs, the
+    cross-source matrix, the threshold-sensitivity curve) — ONE place
+    owns the df cap, the 8-byte shingle-hash join key, and the
+    intersection/size joins, mirroring the SQL side's _JACCARD_CTES."""
+    sh = shingles(docs, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -181,38 +219,12 @@ def ngram_jaccard_pairs(
     shingle with document frequency d emits d²/2 candidate pairs, so
     without the cap one boilerplate phrase shared by 1M docs produces
     5·10¹¹ pairs regardless of corpus size."""
-    # join on the 8-byte xxhash64 of each shingle, not the ~20-byte string:
-    # the self-join's shuffle writes shrink ~3x and key comparison is a
-    # single long compare (collision odds at 2^64 are negligible next to
-    # the driver's value-hash tolerance)
-    sh = shingles(docs, n=n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_shingle_df)
-            .select("sh")
-        )
-        # semi-join on the already-shuffled key: one extra exchange on `sh`
-        # in place of an unbounded d² join output
-        sh = sh.join(keep, "sh", "left_semi")
-    sh = sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # the pair pipeline joins on the 8-byte xxhash64 of each shingle,
+    # not the ~20-byte string: shuffle writes shrink ~3x and the key
+    # compare is a single long (collision odds at 2^64 are negligible
+    # next to the driver's value-hash tolerance)
     jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _jaccard_pair_counts(docs, n=n, max_shingle_df=max_shingle_df)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -2523,34 +2535,8 @@ def decontaminate_bloom_portable(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=3).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= 100)
-        .select("sh")
-    )
-    sh = sh.join(keep, "sh", "left_semi").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-    )
     jp = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _jaccard_pair_counts(docs)
         .where(
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter"))
@@ -2639,34 +2625,8 @@ _THRESH_SQL = "[" + ", ".join(str(t) for t in _THRESH_PPMS) + "]"
 )
 def dedup_threshold_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    sh = shingles(docs, n=3).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= 100)
-        .select("sh")
-    )
-    sh = sh.join(keep, "sh", "left_semi").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-    )
     jp = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _jaccard_pair_counts(docs)
         .select(
             "doc_a",
             "doc_b",

@@ -35,8 +35,13 @@ _KS_SQL = "[" + ", ".join(str(k) for k in _KS) + "]"
     "k_anonymity_report",
     oracle=f"""
     WITH released AS (
+      -- day-of-week via epoch days, NOT the engines' dayofweek(): Spark
+      -- numbers Sun..Sat as 1..7, DuckDB as 0..6 — today the shift is
+      -- bijective (classes identical), but any extension surfacing dow
+      -- would silently diverge. (epoch_day + 4) % 7 with Sunday = 0 is
+      -- engine-neutral (1970-01-01 was a Thursday = 4).
       SELECT event_type,
-             CAST(dayofweek(ts) AS BIGINT) AS dow,
+             (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
              CAST(floor(value / 50) AS BIGINT) AS value_band
       FROM events
     ), classes AS (
@@ -72,7 +77,10 @@ def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
     classes = (
         ev.select(
             "event_type",
-            F.dayofweek("ts").cast("long").alias("dow"),
+            # engine-neutral dow — see the oracle comment
+            (
+                (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+            ).cast("long").alias("dow"),
             F.floor(F.col("value") / 50).cast("long").alias("value_band"),
         )
         .groupBy("event_type", "dow", "value_band")

@@ -133,8 +133,9 @@ def train_quality_classifier(
         )  # bounded: at most `dim` rows — the gradient IS the tiny output
         denom = n_docs * inv_lr
         for row in grad:
-            g = int(row["g"])
-            w[row["bucket"]] -= (g - (((g % denom) + denom) % denom)) // denom
+            # Python's // is already floor-signed — this IS the floor
+            # division _fdiv_sql emulates on the SQL side
+            w[row["bucket"]] -= int(row["g"]) // denom
     base.unpersist()
     return w
 
@@ -143,8 +144,16 @@ def score_with_weights(
     docs: DataFrame, weights: list[int], dim: int | None = None
 ) -> DataFrame:
     """(doc_id, margin_ppm, p_ppm, keep) under the trained weights —
-    the serving pass, same arithmetic as training (weights broadcast)."""
-    dim = len(weights) if dim is None else dim
+    the serving pass, same arithmetic as training (weights broadcast).
+
+    ``dim`` is derivable from ``weights``; if passed it must agree —
+    a mismatched dim would silently rehash tokens into the wrong
+    bucket space and score with a model that was never trained."""
+    if dim is not None and dim != len(weights):
+        raise ValueError(
+            f"dim={dim} disagrees with len(weights)={len(weights)}"
+        )
+    dim = len(weights)
     spark = docs.sparkSession
     wtab = spark.createDataFrame(
         [(b, int(weights[b])) for b in range(dim)], "bucket int, wt long"

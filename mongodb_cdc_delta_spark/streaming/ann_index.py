@@ -74,20 +74,38 @@ class IncrementalIvfIndex:
     def apply_changes(self, changes: DataFrame, batch_id: int) -> dict:
         """Fold one change-feed batch (LakeTable.read_changes output).
 
-        An updated vector arrives as delete(pre)+insert(post) with the
-        same vec_id — the upsert row wins because pure deletes are
-        computed as ``deleted MINUS inserted`` ids first."""
-        inserted = changes.where(
-            F.col("_change_type") == "insert"
-        ).select("vec_id", "embedding")
-        deleted_ids = (
-            changes.where(F.col("_change_type") == "delete")
-            .select("vec_id")
-            .distinct()
-            .join(
-                inserted.select("vec_id").distinct(), "vec_id", "left_anti"
-            )
+        A batch may span MULTIPLE commit versions (ChangeFeedTail.poll
+        returns every unpolled version at once), so changes are first
+        collapsed to the LATEST state per key by ``_commit_version``:
+        the newest insert wins over older deletes, a newer delete wins
+        over older inserts, and within one version (an update = delete
+        of the pre-image + insert of the post-image) the insert wins.
+        Without the collapse, insert-then-delete across versions would
+        resurrect the vector and update-then-update would leave two
+        postings — the multi-version fold bug a cron-driven refresh
+        hits on its very first busy tick."""
+        ins = changes.where(F.col("_change_type") == "insert").select(
+            "vec_id", "embedding", "_commit_version"
         )
+        dels = changes.where(F.col("_change_type") == "delete").select(
+            "vec_id", "_commit_version"
+        )
+        last_ins = ins.groupBy("vec_id").agg(
+            F.max("_commit_version").alias("iv"),
+            F.max_by("embedding", "_commit_version").alias("embedding"),
+        )
+        last_del = dels.groupBy("vec_id").agg(
+            F.max("_commit_version").alias("dv")
+        )
+        state = last_ins.join(last_del, "vec_id", "full_outer")
+        inserted = state.where(
+            F.col("iv").isNotNull()
+            & (F.col("dv").isNull() | (F.col("iv") >= F.col("dv")))
+        ).select("vec_id", "embedding")
+        deleted_ids = state.where(
+            F.col("dv").isNotNull()
+            & (F.col("iv").isNull() | (F.col("dv") > F.col("iv")))
+        ).select("vec_id")
         upserts = self.assignments_for(inserted).withColumn(
             "op", F.lit("upsert")
         )

@@ -87,20 +87,37 @@ class IncrementalLshIndex:
     def apply_changes(self, changes: DataFrame, batch_id: int) -> dict:
         """Fold one change-feed batch (LakeTable.read_changes output).
 
-        An updated doc arrives as delete(pre)+insert(post) with the same
-        doc_id — the upsert row wins by construction because pure deletes
-        are computed as ``deleted MINUS inserted`` ids first."""
-        inserted = changes.where(
-            F.col("_change_type") == "insert"
-        ).select("doc_id", "text")
-        deleted_ids = (
-            changes.where(F.col("_change_type") == "delete")
-            .select("doc_id")
-            .distinct()
-            .join(
-                inserted.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
+        A batch may span MULTIPLE commit versions (ChangeFeedTail.poll
+        returns every unpolled version at once), so changes are first
+        collapsed to the LATEST state per key by ``_commit_version``:
+        newest insert beats older deletes, newer delete beats older
+        inserts, and within one version (update = delete(pre) +
+        insert(post)) the insert wins. Without the collapse,
+        insert-then-delete across versions resurrects the doc and
+        update-then-update indexes the STALE text (multiple signature
+        rows per (doc, band) key collide in the merge)."""
+        ins = changes.where(F.col("_change_type") == "insert").select(
+            "doc_id", "text", "_commit_version"
         )
+        dels = changes.where(F.col("_change_type") == "delete").select(
+            "doc_id", "_commit_version"
+        )
+        last_ins = ins.groupBy("doc_id").agg(
+            F.max("_commit_version").alias("iv"),
+            F.max_by("text", "_commit_version").alias("text"),
+        )
+        last_del = dels.groupBy("doc_id").agg(
+            F.max("_commit_version").alias("dv")
+        )
+        state = last_ins.join(last_del, "doc_id", "full_outer")
+        inserted = state.where(
+            F.col("iv").isNotNull()
+            & (F.col("dv").isNull() | (F.col("iv") >= F.col("dv")))
+        ).select("doc_id", "text")
+        deleted_ids = state.where(
+            F.col("dv").isNotNull()
+            & (F.col("iv").isNull() | (F.col("dv") > F.col("iv")))
+        ).select("doc_id")
         upserts = self.postings_for(inserted).withColumn(
             "op", F.lit("upsert")
         )

@@ -193,3 +193,41 @@ def test_maintenance_loop_drives_index_refresh(spark, tmp_path):
     clock["t"] = t0 + 180
     loop.tick()
     assert _index_state(idx) == {(1, 0), (2, 2)}
+
+
+def test_multi_version_batch_folds_to_latest_state(spark, tmp_path):
+    """A single poll spanning several commits must fold to the LATEST
+    state per key: insert-then-delete across versions must NOT resurrect
+    the vector, and update-then-update must leave exactly one posting
+    with the newest embedding. (Regression: the previous
+    'deleted MINUS inserted' logic failed both.)"""
+    corpus, idx, tail = _mk(spark, tmp_path)
+    # v0: insert vecs 1, 2   v1: delete vec 1   v2: update vec 2 to cell 2
+    corpus.append(
+        _vecs_df(spark, [(1, _vec(0, 0.1)), (2, _vec(1, 0.1))])
+    )
+    corpus.delete_where("vec_id = 1")
+    corpus.update_where(
+        "vec_id = 2", {"embedding": "array(0.0f, 0.0f, 1.0f, 0.1f)"}
+    )
+    # ONE poll sees all three versions
+    n = idx.maintain(tail)
+    assert n == 1  # single multi-version batch
+    st = _index_state(idx)
+    assert st == {(2, 2)}, st          # vec 1 gone, vec 2 in its NEW cell
+    assert idx.postings().count() == 1  # no duplicate postings
+    # and the index still equals a full rebuild of the current corpus
+    assert st == _rebuild_state(idx, corpus)
+
+
+def test_multi_version_delete_then_reinsert_survives(spark, tmp_path):
+    """delete in v1, re-insert in v2, folded in one poll: newest insert
+    wins — the vector must be present with its new assignment."""
+    corpus, idx, tail = _mk(spark, tmp_path)
+    corpus.append(_vecs_df(spark, [(5, _vec(0, 0.0))]))
+    idx.maintain(tail)                      # index at v0
+    corpus.delete_where("vec_id = 5")       # v1
+    corpus.append(_vecs_df(spark, [(5, _vec(2, 0.0))]))  # v2, new cell
+    idx.maintain(tail)                      # folds v1+v2 together
+    assert _index_state(idx) == {(5, 2)}
+    assert idx.postings().count() == 1

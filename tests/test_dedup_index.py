@@ -102,3 +102,19 @@ def test_probe_new_docs_against_index(spark, tmp_path):
     }
     assert (100, 1) in got
     assert all(p != 101 for p, _ in got)
+
+
+def test_multi_version_batch_folds_to_latest_state(spark, tmp_path):
+    """One poll spanning insert+delete+update commits must fold to the
+    latest state: deleted docs stay deleted, updated docs index the NEW
+    text only (regression for the multi-version fold bug)."""
+    corpus, idx, tail = _mk(spark, tmp_path)
+    corpus.append(_docs_df(spark, [(1, DUP_A), (2, OTHER)]))
+    corpus.delete_where("doc_id = 1")
+    corpus.update_where("doc_id = 2", {"text": f"'{DUP_B}'"})
+    n = _refresh(idx, tail)
+    assert n == 1  # single multi-version batch
+    assert _index_pairs(idx) == _batch_pairs(spark, corpus)
+    post = idx.postings()
+    assert post.where("doc_id = 1").count() == 0        # not resurrected
+    assert post.where("doc_id = 2").count() == idx.bands  # exactly one set
