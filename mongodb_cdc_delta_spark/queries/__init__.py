@@ -47,6 +47,14 @@ def register(
     tags: tuple[str, ...] = (),
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # A plain-dict overwrite would silently shadow the earlier
+            # definition (r5 verdict found exactly that: a dead duplicate
+            # of small_qty_part_revenue). Fail loudly at import instead.
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered from {REGISTRY[name].fn.__module__})"
+            )
         REGISTRY[name] = Query(name, fn, oracle, description, tags)
         return fn
 
@@ -212,16 +220,12 @@ def all_queries() -> dict[str, Query]:
 # the window remains covered by the in-repo parity suite
 # (tests/test_oracle_parity.py — strictly harsher than the driver's hash).
 # r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
-# r5 rotation: NOTES_r5.md — after this window, ~143 of 167 names will
-# have had a driver row across rounds; the remaining never-checked names
-# (TPC-H breadth analogues, three sampling shapes, and the round-5
-# additions decontaminate_containment / purchase_attribution_time_decay /
-# dedup_cluster_profile / context_truncation_report /
-# gopher_quality_flags / trigram_backoff_score /
-# matryoshka_recall_report / minhash_estimate_error /
-# tokenizer_fertility_by_lang / dedup_cross_source_matrix /
-# token_coverage_curve / k_anonymity_report / psi_drift_report /
-# dedup_threshold_sensitivity) rotate in at r6.
+# r5 rotation: NOTES_r5.md. r6 rotation (this one): the 35 slots take
+# never-driver-checked oracle names from the NOTES_r5 §"r6 driver-window
+# rotation plan" list — after this window, only ~12 oracle-checked names
+# (plus the 12 rows-only sketches, which the driver would record
+# rows-only anyway) remain never-checked; r7 completes full-registry
+# driver coverage.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
@@ -239,48 +243,46 @@ _DRIVER_PRIORITY = (
     "dedup_connected_components",  # graph clustering
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- r5 rotation: never driver-checked before this round ---
-    # attribution / engagement / LTV family (new in r4)
-    "purchase_attribution_last_touch",
-    "purchase_attribution_linear",
-    "purchase_attribution_u_shaped",
-    "session_first_touch_attribution",
-    "rolling_active_users",
-    "dau_wau_stickiness",
-    "cohort_ltv_curve",
-    # r4 analytics additions
-    "basket_part_pairs",
-    "supplier_concentration_hhi",
-    "fulfillment_latency_profile",
-    "doc_novelty_fraction",
-    # contamination surgery family (new in r4)
-    "decontaminate_suffix_runs",
-    "decontaminate_cut_spans",
-    "contamination_eval_report",
-    # time-series / window breadth
-    "time_series_cv_splits",
-    "hierarchical_time_rollup",
-    "user_value_mad_outliers",
-    "value_histogram",
-    # quality / SQL-API surface
-    "quality_constraint_suite",
-    "sql_api_orders_by_nation",
-    # dedup / similarity breadth
-    "dedup_ensemble_flags",
-    "dedup_triangle_counts",
-    "semantic_cluster_assign",
-    "hard_negative_mining",
-    "fuzzy_levenshtein_pairs",
-    # text stats / sketches
-    "hll_distinct_tokens",
-    "char_entropy_score",
-    "source_quality_profile",
-    "corpus_report",
-    "doc_chunking",
-    # sampling / mixing
-    "stratified_sample",
-    "lang_temperature_mix",
-    "importance_weighted_sample",
-    "dataset_three_way_split",
-    "skew_salted_join_agg",
+    # --- r6 rotation: never driver-checked before this round ---
+    # window / cube / pivot / percentile breadth
+    "window_lag_delta",
+    "cube_status_priority",
+    "pivot_segment_status",
+    "unpivot_customer_metrics",
+    "moving_hour_stats",
+    "exact_percentiles",
+    "exact_distinct",
+    # attribution (r5 completion) + quality transform
+    "purchase_attribution_time_decay",
+    "quality_rename_dateconvert",
+    # dedup / decontamination / similarity breadth
+    "dedup_exact",
+    "decontaminate_containment",
+    "minhash_estimate_error",
+    "matryoshka_recall_report",
+    "dedup_threshold_sensitivity",
+    # text / tokenizer / governance (r5 additions)
+    "text_token_stats",
+    "gopher_quality_flags",
+    "trigram_backoff_score",
+    "context_truncation_report",
+    "k_anonymity_report",
+    "psi_drift_report",
+    # UDF / multimodal / sampling surface
+    "multimodal_metadata",
+    "pandas_udf_scalar",
+    "deterministic_sample",
+    # TPC-H breadth analogues (never driver-checked)
+    "dormant_customers",
+    "large_volume_customers",
+    "promo_revenue_share",
+    "banded_discount_revenue",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "small_qty_part_revenue",
+    "waiting_suppliers",
+    "top_revenue_parts",
+    "promo_part_suppliers",
+    "part_value_share",
+    "disjunctive_predicate_revenue",
 )

@@ -1432,10 +1432,12 @@ def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q17-style: small-quantity-order revenue (correlated avg subquery)
+# TPC-H Q17-style: small-quantity-order revenue (correlated avg subquery,
+# SQL-API variant — Catalyst decorrelates it; the DataFrame-decorrelated
+# sibling `small_qty_part_revenue` below targets a different brand)
 # ---------------------------------------------------------------------------
 @register(
-    "small_qty_part_revenue",
+    "small_qty_revenue_subquery_sql",
     oracle="""
     SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
                      AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
@@ -1446,13 +1448,15 @@ def customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
                           WHERE l2.l_partkey = p.p_partkey)
     """,
     description="TPC-H Q17-style: revenue lost if sub-20%-of-average-"
-    "quantity orders were dropped, one brand. Catalyst decorrelates the "
-    "per-part avg into one aggregate + join; quantities are integer-valued "
-    "doubles so the avg is exact (integer-sum in double) and the "
-    "threshold compare is engine-independent",
-    tags=("q4", "join", "agg", "subquery", "tpch"),
+    "quantity orders were dropped, one brand — written as the literal "
+    "correlated scalar subquery through spark.sql so Catalyst's "
+    "decorrelation is what gets exercised (the DataFrame sibling "
+    "small_qty_part_revenue hand-decorrelates). Quantities are "
+    "integer-valued doubles so the avg is exact (integer-sum in double) "
+    "and the threshold compare is engine-independent",
+    tags=("q4", "join", "agg", "subquery", "sql-api", "tpch"),
 )
-def small_qty_part_revenue(spark: SparkSession, sf: str) -> DataFrame:
+def small_qty_revenue_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q17_tmp")
     load(spark, sf, "part").createOrReplaceTempView("part_q17_tmp")
     return spark.sql(
