@@ -52,6 +52,7 @@ import urllib.parse
 import uuid
 from typing import Any
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .table import LakeTable, Snapshot, _collect_file_stats, _partition_values
@@ -371,6 +372,32 @@ class DeltaExporter:
         changes = self.table.read_changes(from_lake_v, to_lake_v).drop(
             "_commit_version", "_commit_timestamp"
         )
+        if to_lake_v > from_lake_v:
+            # A multi-version sync window collapses N lake commits into
+            # ONE delta commit, and a delta commit's cdc files describe a
+            # SINGLE state transition — the rows carry no ordering. Raw
+            # concatenation would emit both the insert and the delete of
+            # a row churned inside the window (insert@v1, delete@v2) and
+            # a consumer folding the commit could resurrect it. The
+            # spec-correct content is the commit's NET effect: multiset
+            # difference of the window's inserts and deletes (equal-value
+            # pairs cancel regardless of intra-window order, because
+            # presence before/after the window is what the delta commit
+            # actually changes). Single-version windows are already net
+            # by construction (read_changes exceptAlls within a commit).
+            ins = changes.where(
+                F.col("_change_type") == "insert"
+            ).drop("_change_type")
+            dels = changes.where(
+                F.col("_change_type") == "delete"
+            ).drop("_change_type")
+            changes = ins.exceptAll(dels).select(
+                "*", F.lit("insert").alias("_change_type")
+            ).unionByName(
+                dels.exceptAll(ins).select(
+                    "*", F.lit("delete").alias("_change_type")
+                )
+            )
         part_cols = [
             c
             for c in snap.partition_by
@@ -707,15 +734,34 @@ class DeltaExporter:
                     self._configuration(),
                 )
             )
+        cdc_actions: list[dict] = []
         if self.change_data:
-            actions.extend(
-                self._write_change_data(
-                    snap, state["lake_version"] + 1, snap.version
-                )
+            cdc_actions = self._write_change_data(
+                snap, state["lake_version"] + 1, snap.version
             )
+            actions.extend(cdc_actions)
         actions.extend(removes)
         actions.extend(adds)
-        _write_commit(self.dest, delta_version, actions)
+        try:
+            _write_commit(self.dest, delta_version, actions)
+        except BaseException:
+            # cdc files are placed under _change_data/ BEFORE the publish
+            # and carry fresh uuid names, so a retried sync writes NEW
+            # ones — a failed publish would orphan this attempt's files
+            # forever. Best-effort removal here covers every in-process
+            # failure; a hard crash (kill -9) is covered by
+            # vacuum_export's unreferenced-cdc sweep.
+            for a in cdc_actions:
+                try:
+                    os.remove(
+                        os.path.join(
+                            self.dest,
+                            urllib.parse.unquote(a["cdc"]["path"]),
+                        )
+                    )
+                except OSError:
+                    pass
+            raise
         _save_state(
             self.dest,
             {
@@ -799,6 +845,7 @@ def vacuum_export(
     # export grows without bound (O(total changes ever), a real
     # steady-state leak at CDC rates).
     cdc_deleted = 0
+    cdc_referenced: set[str] = set()
     log_dir = os.path.join(dest, _LOG)
     for n in sorted(os.listdir(log_dir)):
         if not (n.endswith(".json") and n[:-5].isdigit()):
@@ -809,6 +856,9 @@ def vacuum_export(
         for a in actions:
             if "commitInfo" in a:
                 commit_ts = a["commitInfo"].get("timestamp")
+        for a in actions:
+            if "cdc" in a:
+                cdc_referenced.add(urllib.parse.unquote(a["cdc"]["path"]))
         if commit_ts is None or commit_ts > cutoff_ms:
             continue
         for a in actions:
@@ -819,6 +869,26 @@ def vacuum_export(
                 if os.path.exists(p):
                     os.remove(p)
                     cdc_deleted += 1
+    # UNREFERENCED cdc files: a sync that crashed between placing its
+    # _change_data files and publishing the commit leaves uuid-named
+    # files no commit will ever reference (the retry writes new ones).
+    # Sweep them on the same retention window — mtime-aged, because no
+    # commit timestamp exists for them; the window also protects the
+    # files of an in-flight concurrent sync.
+    cdc_dir = os.path.join(dest, "_change_data")
+    if os.path.isdir(cdc_dir):
+        for root_dir, _dirs, names in os.walk(cdc_dir):
+            for nme in names:
+                p = os.path.join(root_dir, nme)
+                rel = os.path.relpath(p, dest)
+                if rel in cdc_referenced:
+                    continue
+                try:
+                    if os.path.getmtime(p) * 1000 <= cutoff_ms:
+                        os.remove(p)
+                        cdc_deleted += 1
+                except OSError:
+                    pass
     return {
         "deleted": len(deleted),
         "retained": len(kept),

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import urllib.parse
 
@@ -601,3 +602,78 @@ class TestCrashSafety:
         # checkpoint-based external vacuum cannot treat them as untracked
         assert len(ck["tombstones"]) == res["removed"]
         assert not (set(ck["tombstones"]) & set(ck["files"]))
+
+
+class TestCdcOrphanCleanup:
+    """A sync that crashes between placing _change_data files and
+    publishing the commit must not leak them: in-process failures clean
+    up immediately; hard-crash leftovers (uuid-named, never referenced
+    by any commit) are swept by vacuum_export on the retention window."""
+
+    def _cdc_files(self, dest: str) -> set[str]:
+        cdir = os.path.join(dest, "_change_data")
+        out = set()
+        for root, _d, names in os.walk(cdir):
+            for n in names:
+                out.add(os.path.join(root, n))
+        return out
+
+    def test_failed_publish_removes_placed_cdc_files(
+        self, spark, lake, tmp_path
+    ):
+        from mongodb_cdc_delta_spark.sinks import delta_export as de
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        before = self._cdc_files(dest)
+        lake.delete_where("id < 5")
+        real = de._write_commit
+        de._write_commit = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("boom")
+        )
+        try:
+            with pytest.raises(RuntimeError):
+                sync_delta(lake, dest, change_data=True)
+        finally:
+            de._write_commit = real
+        assert self._cdc_files(dest) == before, (
+            "failed publish leaked this attempt's cdc files"
+        )
+        # retry converges and its cdc files are the referenced ones
+        res = sync_delta(lake, dest, change_data=True)
+        assert res["noop"] is False
+        assert _rows(_read_exported(spark, dest)) == _rows(lake.read())
+
+    def test_vacuum_sweeps_unreferenced_aged_cdc_files(
+        self, spark, lake, tmp_path
+    ):
+        from mongodb_cdc_delta_spark.sinks.delta_export import (
+            vacuum_export,
+        )
+
+        dest = str(tmp_path / "delta")
+        export_delta(lake, dest, change_data=True)
+        lake.delete_where("id < 5")
+        sync_delta(lake, dest, change_data=True)
+        # simulate a kill -9 leftover: unreferenced uuid-named cdc file
+        orphan = os.path.join(
+            dest, "_change_data", "cdc-deadbeefdeadbeef.parquet"
+        )
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
+        open(orphan, "wb").write(b"not-a-real-parquet")
+        fresh = vacuum_export(dest, retention_hours=168.0)
+        assert os.path.exists(orphan), (
+            "a fresh unreferenced file is inside the retention window "
+            "(could be an in-flight concurrent sync) - must be kept"
+        )
+        assert fresh["cdc_deleted"] == 0
+        # age it past the window: swept
+        old = time.time() - 200 * 3600
+        os.utime(orphan, (old, old))
+        res = vacuum_export(dest, retention_hours=168.0)
+        assert not os.path.exists(orphan)
+        assert res["cdc_deleted"] == 1
+        # referenced cdc files inside the window are untouched
+        from mongodb_cdc_delta_spark.interop import delta_reader as dr
+
+        assert dr.read_changes(dest, 1, 1)

@@ -361,7 +361,13 @@ class TestChangeDataFeed:
         log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
         assert not any("cdc" in json.loads(x) for x in open(log))
 
-    def test_sync_changes_match_lake_cdf(self, spark, lake, tmp_path):
+    def test_sync_changes_match_lake_cdf_net(self, spark, lake, tmp_path):
+        # A multi-version sync window folds into ONE delta commit, so
+        # the cdc content must be the window's NET effect: a row churned
+        # inside the window (inserted at v0+1, deleted at v0+2 — here
+        # every bucket=3 row of the append) appears in the lake's raw
+        # feed as insert+delete but must CANCEL in the export, or a
+        # consumer folding the unordered commit multiset resurrects it.
         dest = str(tmp_path / "delta")
         export_delta(lake, dest, change_data=True)
         v0 = lake.version()
@@ -375,9 +381,39 @@ class TestChangeDataFeed:
         lake.delete_where("bucket = 3")
         sync_delta(lake, dest, change_data=True)
         got = self._reader_changes(dest, 1, 1)
-        expect = self._lake_changes(lake, v0 + 1, lake.version())
+        raw = self._lake_changes(lake, v0 + 1, lake.version())
+        # expected = multiset difference of the raw window feed, keyed
+        # on the data columns. Canonical tuples order columns by sorted
+        # name, so locate _change_type positionally.
+        from collections import Counter
+
+        cols = sorted(
+            lake.read_changes(v0 + 1, lake.version())
+            .drop("_commit_version", "_commit_timestamp")
+            .columns
+        )
+        ct = cols.index("_change_type")
+
+        def split(t):
+            return t[ct], t[:ct] + t[ct + 1 :]
+
+        def rejoin(kind, data):
+            return data[:ct] + (kind,) + data[ct:]
+
+        ins = Counter(d for k, d in map(split, raw) if k == "insert")
+        dels = Counter(d for k, d in map(split, raw) if k == "delete")
+        expect = sorted(
+            [rejoin("insert", d) for d in (ins - dels).elements()]
+            + [rejoin("delete", d) for d in (dels - ins).elements()]
+        )
         assert got == expect
         assert got, "change set must be non-empty"
+        churned = ins & dels  # the intra-window insert+delete pairs
+        assert churned, "test must actually exercise window churn"
+        got_keys = {split(t)[1] for t in got}
+        assert not (set(churned) & got_keys), (
+            "rows churned inside the window must cancel in the export"
+        )
         # snapshot reads are unaffected by cdc actions
         _assert_round_trip(lake, dest)
 
