@@ -376,6 +376,206 @@ def streaming_lag_bench(spark, rate: int = 12_000, duration: float = 20.0):
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def multi_collection_lag_bench(
+    spark,
+    collections: int = 10,
+    rate_per: int = 1_000,
+    duration: float = 30.0,
+    trigger_seconds: float = 4.0,
+    mode: str = "routed",
+):
+    """Streaming-lag SLO at the reference's NORMAL-LOAD multi-collection
+    shape (spec.md:283-288: <=5k ev/s per collection across <=10
+    pipelines), measured in BOTH architectures:
+
+    - mode="routed" (this engine's design): ONE streaming query ingests
+      all collections; the P6 collection router fans out inside the
+      batch as narrow filters over one cached scan, per-collection
+      appends run from driver worker threads. One JVM, one driver loop.
+    - mode="per-pipeline" (the reference's deployment shape): one
+      CDCStreamPipeline per collection, each with its own source,
+      lake, and checkpoint. NOTE: one local JVM then hosts ten DRIVER
+      loops; the per-batch driver-side fixed cost (~1.1 s solo, ~3-5 s
+      under 10-way GIL/py4j contention) caps sustainable total around
+      ~5k ev/s and inflates lag — a real deployment runs one
+      application per pipeline, which this sandbox cannot.
+
+    Lag is measured POST-HOC from the lakes' own commit metadata: every
+    ingested row carries the event's ts_ms (_cdc_timestamp) and the
+    change feed attributes it to its commit's wall-clock timestamp, so
+    per-event lag = _commit_timestamp - event ts. In-run measurement
+    (the single-pipeline bench's per-batch histogram job) would add one
+    driver-serialized Spark job per micro-batch and become the
+    bottleneck it claims to observe. The summary reports the WORST
+    collection alongside the aggregate so one starved collection can't
+    hide in a global average."""
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_delta_spark.sinks.table import LakeTable
+    from mongodb_cdc_delta_spark.streaming.pipeline import CDCStreamPipeline
+
+    routed = mode == "routed"
+    base = tempfile.mkdtemp(prefix="bench-mlag-")
+    stop = threading.Event()
+    chunk = max(rate_per // 2, 1)  # 2 files/s/collection
+    produced = [0] * collections
+
+    def _src_dir(c: int) -> str:
+        return os.path.join(base, "src" if routed else f"src{c}")
+
+    def _lake_dir(c: int) -> str:
+        return os.path.join(base, "lake" if routed else f"lake{c}")
+
+    def producer(c: int) -> None:
+        src = _src_dir(c)
+        i = 0
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            now_ms = int(time.time() * 1000)
+            lines = "\n".join(
+                json.dumps(
+                    {
+                        "payload": {
+                            "op": "c",
+                            "ts_ms": now_ms,
+                            "source": {"db": "bench", "collection": f"col{c}"},
+                            "after": json.dumps({"_id": f"L{c}_{i + k}", "n": i + k}),
+                        }
+                    }
+                )
+                for k in range(chunk)
+            )
+            tmp = os.path.join(src, f".tmp-{c}-{i}")
+            with open(tmp, "w") as fh:
+                fh.write(lines + "\n")
+            os.rename(tmp, os.path.join(src, f"chunk-{c}-{i}.json"))
+            produced[c] += chunk
+            i += chunk
+            time.sleep(max(0.0, chunk / rate_per - (time.perf_counter() - t0)))
+
+    def _table(c: int) -> LakeTable:
+        return LakeTable(spark, os.path.join(_lake_dir(c), f"bench_col{c}"))
+
+    pipes, queries, threads = [], [], []
+    t_start = time.perf_counter()
+    try:
+        for c in range(1 if routed else collections):
+            os.makedirs(_src_dir(c), exist_ok=True)
+            pipe = CDCStreamPipeline(
+                spark, _lake_dir(c), trigger_seconds=trigger_seconds
+            )
+            # in-batch router appends collections from worker threads
+            pipe.ingestor.collection_parallelism = collections
+            pipes.append(pipe)
+        # start every pipeline BEFORE any producer: streaming queries
+        # initialize sequentially (seconds), and events produced into
+        # that window would be measured as startup backlog, not lag
+        for c, pipe in enumerate(pipes):
+            queries.append(
+                pipe.start(
+                    # catch-up cap sized to ~16-32 s of producer output
+                    # per trigger so a transient backlog drains in a few
+                    # batches instead of rate-limiting recovery
+                    pipe.from_files(
+                        _src_dir(c),
+                        max_files_per_trigger=64 * (collections if routed else 1),
+                    ),
+                    query_name=f"bench-mlag-{c}",
+                )
+            )
+        deadline = time.perf_counter() + 60
+        while time.perf_counter() < deadline:
+            if all(q.isActive for q in queries):
+                break
+            time.sleep(0.2)
+        t_start = time.perf_counter()
+        for c in range(collections):
+            th = threading.Thread(target=producer, args=(c,), daemon=True)
+            th.start()
+            threads.append(th)
+        time.sleep(duration)
+        stop.set()
+        for th in threads:
+            th.join(timeout=10)
+        # drain: poll committed row counts until every produced event
+        # landed (bounded); count() on these small tables is metadata-only
+        deadline = time.perf_counter() + 60
+        while time.perf_counter() < deadline:
+            try:
+                done = sum(
+                    _table(c).count() for c in range(collections)
+                ) >= sum(produced)
+            except Exception:
+                done = False
+            if done:
+                break
+            time.sleep(2)
+        wall = time.perf_counter() - t_start
+    finally:
+        stop.set()
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    # post-hoc lag: change feed attributes every row to its commit's
+    # wall-clock timestamp; event time rides in _cdc_timestamp
+    lag_frames = []
+    try:
+        for c in range(collections):
+            try:
+                ch = _table(c).read_changes(0)
+            except Exception:
+                continue
+            lag_frames.append(
+                ch.where(F.col("_change_type") == "insert").select(
+                    F.lit(c).alias("col_id"),
+                    (
+                        (
+                            F.col("_commit_timestamp")
+                            - F.unix_millis(F.col("_cdc_timestamp"))
+                        )
+                        / 1000.0
+                    ).alias("lag"),
+                )
+            )
+        if not lag_frames:
+            return {"error": "no events committed"}
+        lags = lag_frames[0]
+        for f in lag_frames[1:]:
+            lags = lags.unionByName(f)
+        pcts = F.expr("percentile(lag, array(0.5, 0.95, 0.99))")
+        per_rows = (
+            lags.groupBy("col_id")
+            .agg(F.count("*").alias("n"), pcts.alias("p"))
+            .collect()
+        )
+        agg_row = lags.agg(F.count("*").alias("n"), pcts.alias("p")).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    if not agg_row["n"]:
+        return {"error": "no events committed"}
+    p50s = sorted(round(r["p"][0], 3) for r in per_rows)
+    p95s = sorted(round(r["p"][1], 3) for r in per_rows)
+    return {
+        "mode": mode,
+        "collections": len(per_rows),
+        "events": agg_row["n"],
+        "events_per_sec": round(agg_row["n"] / wall),
+        "lag_p50_sec": round(agg_row["p"][0], 3),
+        "lag_p95_sec": round(agg_row["p"][1], 3),
+        "lag_p99_sec": round(agg_row["p"][2], 3),
+        "worst_collection_p50_sec": p50s[-1],
+        "worst_collection_p95_sec": p95s[-1],
+        "median_collection_p95_sec": p95s[len(p95s) // 2],
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
@@ -453,6 +653,15 @@ def main() -> None:
         lag = {}
         errors["streaming_lag"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Normal-load shape: 10 concurrent per-collection pipelines
+    # (reference spec.md:283-288 defines normal load as <=5k
+    # ev/s/collection across <=10 pipelines)
+    try:
+        lag_multi = multi_collection_lag_bench(spark)
+    except Exception as exc:
+        lag_multi = {}
+        errors["streaming_lag_multi"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Each query runs twice: the first run pays one-time Catalyst analysis +
     # whole-stage-codegen compilation (cached thereafter); the second run is
     # the steady-state throughput a long-lived cluster session sees, which
@@ -514,6 +723,7 @@ def main() -> None:
         "calib_ref_cpu_sec": CALIB_REF_CPU_SEC,
         "calib_cpu_sec": calib,
         "streaming_lag": lag,
+        "streaming_lag_multi": lag_multi,
         "cold_total_sec": round(cold_total, 3),
         "cdc_ingest_events_per_sec": ingest_rate,
         "cdc_ingest_events_per_sec_normalized": round(ingest_rate / scale)

@@ -570,19 +570,33 @@ class CDCIngestor:
         )
         parsed = parsed.persist()
         try:
-            # ONE aggregate job yields every collection in the batch AND its
-            # inferred doc schema (vs. one distinct + one inference job per
-            # collection): at N collections this is 1 pass over the batch,
-            # not N+1.
+            # ONE aggregate job yields every collection in the batch, its
+            # inferred doc schema, AND the DLQ row count (vs. one distinct
+            # + one inference job per collection + a separate dlq.count()):
+            # at N collections this is 1 pass over the batch, not N+2.
+            # Per-batch job count is the throughput ceiling when many
+            # pipelines share one driver (each job is a driver-serialized
+            # round trip), so the hot path keeps it minimal.
+            clean_doc = F.when(
+                F.col("_dlq_reason").isNull()
+                & F.col("_cdc_operation").isNotNull(),
+                F.col("doc"),
+            )
             inferred = (
-                clean.groupBy("db", "collection")
+                parsed.groupBy("db", "collection")
                 .agg(
                     F.schema_of_variant_agg(
-                        F.try_parse_json(F.col("doc"))
-                    ).alias("ddl")
+                        F.try_parse_json(clean_doc)
+                    ).alias("ddl"),
+                    F.sum(
+                        F.when(
+                            F.col("_dlq_reason").isNotNull(), 1
+                        ).otherwise(0)
+                    ).alias("n_dlq"),
                 )
                 .collect()
             )
+            n_dlq = sum(r["n_dlq"] for r in inferred)
             schemas: dict[tuple[str, str], tuple[StructType, StructType]] = {}
             for r in inferred:
                 ddl = r["ddl"]
@@ -623,7 +637,6 @@ class CDCIngestor:
                 stats.collections[table_name] = res
                 if evolved:
                     stats.schema_evolutions.append(table_name)
-            n_dlq = dlq.count()
             stats.dlq_rows = n_dlq
             if n_dlq:
                 # rate guard (reference dlq_writer.py:121-332 limits DLQ

@@ -100,11 +100,19 @@ class CDCStreamPipeline:
             reader = reader.option(k, v)
         return reader.load()
 
-    def from_files(self, source_dir: str) -> DataFrame:
-        """File source for tests/replay: each line one envelope JSON."""
+    def from_files(
+        self, source_dir: str, max_files_per_trigger: int = 16
+    ) -> DataFrame:
+        """File source for tests/replay: each line one envelope JSON.
+
+        ``max_files_per_trigger`` bounds per-batch input like the Kafka
+        source's maxOffsetsPerTrigger; it is also the CATCH-UP rate cap —
+        a pipeline that fell behind can only drain backlog this many
+        files per trigger, so size it to several seconds of producer
+        output when lag SLOs matter."""
         return (
             self.spark.readStream.format("text")
-            .option("maxFilesPerTrigger", 16)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .load(source_dir)
         )
 
