@@ -2111,6 +2111,155 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "lsh_band_sweep_recall",
+    oracle=_MH_PORTABLE_PREFIX_SQL + """,
+    dph AS (
+      SELECT DISTINCT doc_id, ph FROM ph
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM dph GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM dph a JOIN dph b ON a.ph = b.ph AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN sz za ON za.doc_id = s.doc_a
+      JOIN sz zb ON zb.doc_id = s.doc_b
+      WHERE 3 * s.i >= za.n + zb.n
+    ), bandcfg(r) AS (VALUES (2), (4), (8)),
+    bands_r AS (
+      SELECT r, doc_id, i // r AS band,
+             string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM sig CROSS JOIN bandcfg GROUP BY r, doc_id, i // r
+    ), cand_r AS (
+      SELECT DISTINCT a.r AS r, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_r a
+      JOIN bands_r b ON a.r = b.r AND a.band = b.band
+                    AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), caught AS (
+      SELECT c.r, count(*) AS n_caught
+      FROM cand_r c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY c.r
+    ), ncand AS (
+      SELECT r, count(*) AS n_cand FROM cand_r GROUP BY r
+    ), nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(b.r AS INT) AS rows_per_band,
+           CAST(32 // b.r AS INT) AS n_bands,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(c.n_caught, 0) AS BIGINT) AS n_caught,
+           CAST(coalesce(c.n_caught, 0) * 1000000
+                // greatest(n_truth, 1) AS BIGINT) AS recall_ppm
+    FROM bandcfg b
+    CROSS JOIN nt
+    LEFT JOIN ncand nc ON nc.r = b.r
+    LEFT JOIN caught c ON c.r = b.r
+    """,
+    description="LSH parameter sweep: candidate-pair count and recall of "
+    "true near-duplicates (exact shingle Jaccard >= 0.5) at band widths "
+    "r=2/4/8 over the same 32 portable-minhash permutations — the table "
+    "that picks a banding configuration empirically (the S-curve "
+    "steepens as r grows: fewer, longer bands trade recall for "
+    "precision). Truth pairs come from the shared-shingle join (any "
+    "pair with J >= 0.5 shares a shingle, so the join finds ALL of "
+    "them); the J >= 0.5 test is the integer cross-multiplication "
+    "3*|inter| >= |A|+|B| — no float Jaccard anywhere; recall is an "
+    "integer-ppm floor division guarded for an empty truth set. "
+    "Scale: one signature table feeds all three configs (the sig cache "
+    "is shared); each config's candidate join is band-bucketed exactly "
+    "like the production LSH path.",
+    tags=("dedup", "lsh", "report"),
+)
+def lsh_band_sweep_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh, sigs, _cand = _portable_sigs_cands(docs)
+    dph = sh.distinct()
+    sz = dph.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = dph.select(F.col("doc_id").alias("doc_a"), "ph")
+    pb = dph.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("phb"))
+    shared = (
+        pa.join(
+            pb,
+            (F.col("ph") == F.col("phb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    cand_parts = []
+    for r in (2, 4, 8):
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "_", *[F.col(f"h{r * b + j}") for j in range(r)]
+                )
+                for b in range(32 // r)
+            ]
+        )
+        banded = sigs.select(
+            "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+        )
+        cand_parts.append(
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bkey") == F.col("y.bkey"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.lit(r).alias("r"),
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    cand_r = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand_r = cand_r.unionByName(p)
+    cand_r = cand_r.cache()
+    ncand = cand_r.groupBy("r").agg(F.count("*").alias("n_cand"))
+    caught = (
+        cand_r.join(truth, ["doc_a", "doc_b"])
+        .groupBy("r")
+        .agg(F.count("*").alias("n_caught"))
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    cfg = spark.createDataFrame([(2,), (4,), (8,)], "r int")
+    return (
+        cfg.crossJoin(F.broadcast(nt))
+        .join(F.broadcast(ncand), "r", "left")
+        .join(F.broadcast(caught), "r", "left")
+        .select(
+            F.col("r").cast("int").alias("rows_per_band"),
+            (F.lit(32) / F.col("r")).cast("int").alias("n_bands"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_cand"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_caught"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught"),
+            F.expr(
+                "cast(coalesce(n_caught, 0) * 1000000"
+                " div greatest(n_truth, 1) as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+@register(
     "simhash_portable_fingerprints",
     oracle="""
     WITH toks AS (

@@ -87,6 +87,93 @@ def knn_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "knn_label_purity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.qid, q.qlab, e.vec_id, e.label,
+             round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT qid, CAST(qlab AS INT) AS query_label,
+           CAST(count(*) AS BIGINT) AS n_top,
+           CAST(sum(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS purity_ppm
+    FROM rk WHERE rk <= 10
+    GROUP BY qid, qlab
+    """,
+    description="embedding-quality eval without a judged set: for each "
+    "of 20 query vectors, the fraction of its cosine top-10 neighbors "
+    "sharing its label (kNN label purity, the standard intrinsic "
+    "check that an embedding space clusters by its supervision "
+    "signal). Ranking compares the ROUNDED cosine with a vec_id "
+    "tiebreak so cross-engine float ulps cannot flip an order; purity "
+    "is integer ppm. Scale: the query batch broadcasts, one corpus "
+    "scan scores all queries, per-query top-k is a bounded window — "
+    "at production size the candidate set per query comes from the "
+    "ANN shortlist (IVF/PQ) instead of the full scan.",
+    tags=("similarity", "topk", "report"),
+)
+def knn_label_purity(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            "vec_id",
+            "label",
+            F.round(cosine_col(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= 10)
+        .groupBy("qid", "qlab")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.sum(
+                (F.col("label") == F.col("qlab")).cast("int")
+            ).alias("nm"),
+        )
+        .select(
+            "qid",
+            F.col("qlab").cast("int").alias("query_label"),
+            F.col("n_top").cast("bigint").alias("n_top"),
+            F.col("nm").cast("bigint").alias("n_match"),
+            F.expr(
+                "cast(nm * 1000000 div n_top as bigint)"
+            ).alias("purity_ppm"),
+        )
+    )
+
+
+@register(
     "embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -292,6 +292,109 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_retrieval_topk",
+    oracle="""
+    WITH qt(term) AS (VALUES ('spark'), ('window'), ('customer')),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) JOIN qt ON tok = qt.term
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), term_scores AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1 + (n_docs - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+               * 1000000) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(s_micro) AS BIGINT) AS score_micro
+    FROM term_scores
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT 20
+    """,
+    description="BM25 top-20 retrieval (k1=1.2, b=0.75, "
+    "idf=ln(1+(N-df+0.5)/(df+0.5))) for a fixed 3-term query — the "
+    "standard sparse-retrieval primitive a training pipeline uses for "
+    "decontamination candidate search and RAG-corpus curation. "
+    "Per-(doc,term) scores are floor-scaled to integer micro-units "
+    "BEFORE the per-doc sum, so aggregation is exact integer addition "
+    "(order-free) and rounding midpoints cannot diverge between "
+    "engines; the final ranking is integer with a doc_id tiebreak. "
+    "Scale: tf aggregates map-side after a broadcast semi-join on the "
+    "query terms (the scan prunes to matching tokens); df and corpus "
+    "stats are tiny broadcasts; top-20 is TakeOrdered, no global sort.",
+    tags=("llm-pipeline", "textstats", "topk"),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf: str) -> DataFrame:
+    terms = ["spark", "window", "customer"]
+    docs = load(spark, sf, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    s_micro = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * F.col("tf")
+        * F.lit(2.2)
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+        * F.lit(1_000_000)
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum("s_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 _CLF_BUCKETS = 64
 
 

@@ -4042,3 +4042,84 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostics: the "should this join be salted?" report
+# ---------------------------------------------------------------------------
+_SKEW_SQL_BLOCK = """
+      SELECT '{name}' AS key_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+               AS top1_share_ppm,
+             CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1000000
+                  // sum(cnt) AS BIGINT) AS top10_share_ppm,
+             CAST(sum(cnt * cnt) * 1000000000
+                  // (sum(cnt) * sum(cnt)) AS BIGINT) AS hhi_ppb
+      FROM (
+        SELECT {col}, cnt,
+               row_number() OVER (ORDER BY cnt DESC, {col} ASC) AS rk
+        FROM (SELECT {col}, count(*) AS cnt
+              FROM lineitem GROUP BY {col})
+      )
+"""
+
+
+@register(
+    "key_skew_report",
+    oracle=" UNION ALL ".join(
+        _SKEW_SQL_BLOCK.format(name=c, col=c)
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    ),
+    description="join-key skew diagnostics over the fact table: per key "
+    "column, the distinct-key count, the hottest key's row share, the "
+    "top-10 keys' combined share, and the Herfindahl concentration of "
+    "the key distribution — the numbers that decide whether a join on "
+    "that key needs salting or AQE skew handling before it ships at "
+    "scale. Every share is an integer cross-multiplication (ppm/ppb "
+    "floor division), no float ratios. Scale: one groupBy per key "
+    "column (map-side combined), the rank window runs over the "
+    "already-aggregated per-key counts (|keys| rows, not |fact| rows)",
+    tags=("agg", "report", "skew"),
+)
+def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf, "lineitem")
+    parts = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        cnts = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        rk = F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col(col).asc())
+        )
+        ranked = cnts.select("cnt", rk.alias("rk"))
+        parts.append(
+            ranked.agg(
+                F.lit(col).alias("key_name"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.expr(
+                    "cast(max(cnt) * 1000000 div sum(cnt) as bigint)"
+                ).alias("top1_share_ppm"),
+                F.expr(
+                    "cast(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)"
+                    " * 1000000 div sum(cnt) as bigint)"
+                ).alias("top10_share_ppm"),
+                F.expr(
+                    "cast(sum(cnt * cnt) * 1000000000"
+                    " div (sum(cnt) * sum(cnt)) as bigint)"
+                ).alias("hhi_ppb"),
+            ).select(
+                "key_name",
+                "n_rows",
+                "n_keys",
+                "top1_share_ppm",
+                "top10_share_ppm",
+                "hhi_ppb",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
