@@ -174,6 +174,89 @@ def knn_label_purity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             CAST(floor(list_sum(list_transform(
+                    CAST(embedding AS DOUBLE[]), x -> x * x)) * 1000000)
+                  AS BIGINT) AS norm2_micro
+      FROM embeddings
+    ), stats AS (
+      SELECT label, count(*) AS n_vecs,
+             sum(norm2_micro) AS sum_n2
+      FROM norms GROUP BY label
+    )
+    SELECT CAST(s.label AS INT) AS label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(sum_n2 // n_vecs AS BIGINT) AS mean_norm2_micro,
+           CAST(sum(CASE WHEN norms.norm2_micro * n_vecs > 2 * sum_n2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_2x,
+           CAST(sum(CASE WHEN norms.norm2_micro * 2 * n_vecs < sum_n2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed_half
+    FROM norms JOIN stats s ON s.label = norms.label
+    GROUP BY s.label, n_vecs, sum_n2
+    """,
+    description="embedding-pipeline QA: per label, the vector count, "
+    "mean squared norm, and the counts of norm outliers (>2x the label "
+    "mean — an unnormalized or corrupted batch) and collapsed vectors "
+    "(<half the mean — zeroed/truncated embeddings). Exactly the two "
+    "failure modes an embedding ingestion job ships silently. Squared "
+    "norms are computed in double (float32 inputs widen exactly) and "
+    "floor-scaled to integer micro-units per ROW, so every aggregate "
+    "is exact integer arithmetic and the outlier tests are integer "
+    "cross-multiplications — no float mean, no add-order dependence. "
+    "Scale: one scan, one groupBy(label), one broadcast join back",
+    tags=("similarity", "report", "quality"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.floor(norm2 * F.lit(1_000_000)).cast("bigint").alias(
+            "norm2_micro"
+        ),
+    )
+    stats = norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("norm2_micro").alias("sum_n2"),
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label", "n_vecs", "sum_n2")
+        .agg(
+            F.sum(
+                (
+                    F.col("norm2_micro") * F.col("n_vecs")
+                    > 2 * F.col("sum_n2")
+                ).cast("int")
+            ).alias("out2x"),
+            F.sum(
+                (
+                    F.col("norm2_micro") * 2 * F.col("n_vecs")
+                    < F.col("sum_n2")
+                ).cast("int")
+            ).alias("outhalf"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.expr("cast(sum_n2 div n_vecs as bigint)").alias(
+                "mean_norm2_micro"
+            ),
+            F.col("out2x").cast("bigint").alias("n_outliers_2x"),
+            F.col("outhalf").cast("bigint").alias("n_collapsed_half"),
+        )
+    )
+
+
+@register(
     "embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

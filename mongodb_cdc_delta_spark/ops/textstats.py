@@ -293,6 +293,94 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ngram_novelty_curve",
+    oracle="""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    ), ph AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(shingle)),
+                                i -> CAST(ascii(shingle[i]) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS ph
+      FROM sh0
+    ), nd AS (SELECT count(*) AS n_docs FROM documents),
+    first_seen AS (
+      SELECT ph.ph, min(doc_id) AS first_doc FROM ph GROUP BY ph.ph
+    ), bucketed AS (
+      SELECT least(CAST(first_doc * 10 // n_docs AS INT), 9) AS decile,
+             count(*) AS n_first_seen
+      FROM first_seen CROSS JOIN nd
+      GROUP BY least(CAST(first_doc * 10 // n_docs AS INT), 9)
+    ), tot AS (SELECT sum(n_first_seen) AS total FROM bucketed)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_first_seen AS BIGINT) AS n_first_seen,
+           CAST(sum(n_first_seen) OVER (
+                  ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS cum_distinct,
+           CAST(n_first_seen * 1000000 // total AS BIGINT) AS share_ppm
+    FROM bucketed CROSS JOIN tot
+    """,
+    description="vocabulary-growth (Heaps' law) diagnostic: distinct "
+    "trigram shingles FIRST seen in each doc_id decile of the corpus, "
+    "cumulative distinct count, and each decile's share — the curve "
+    "that says whether the n-gram space is still growing (healthy "
+    "natural corpus) or saturating (tiny/templated vocabulary, the "
+    "regime where shared-shingle pair joins go superlinear — exactly "
+    "what the r6 10x scaling battery measured on the synthetic "
+    "corpus). Shingles are keyed by the portable polynomial hash; "
+    "first-seen is one min-aggregate; all shares are integer floor "
+    "divisions. Scale: one shingle pass, one groupBy(hash), a 10-row "
+    "window",
+    tags=("llm-pipeline", "textstats", "report"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import _SHINGLE_POLY, shingles
+
+    docs = load(spark, sf, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.expr(_SHINGLE_POLY).alias("ph")
+    )
+    first_seen = sh.groupBy("ph").agg(F.min("doc_id").alias("first_doc"))
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.least(
+                F.expr("cast(first_doc * 10 div n_docs as int)"), F.lit(9)
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+    tot = bucketed.agg(F.sum("n_first_seen").alias("total"))
+    cum = F.sum("n_first_seen").over(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_first_seen").cast("bigint").alias("n_first_seen"),
+            cum.cast("bigint").alias("cum_distinct"),
+            F.expr(
+                "cast(n_first_seen * 1000000 div total as bigint)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+@register(
     "bm25_retrieval_topk",
     oracle="""
     WITH qt(term) AS (VALUES ('spark'), ('window'), ('customer')),

@@ -249,3 +249,91 @@ class TestKeySkewAdversarial:
         assert pk[1:] == (10, 10, 100_000, 1_000_000, 100_000_000)
         sk = by_key["l_suppkey"]
         assert sk[1:] == (10, 1, 1_000_000, 1_000_000, 1_000_000_000)
+
+
+class TestNgramNoveltyAdversarial:
+    def test_saturating_vs_growing_corpus(self, spark, tmp_path):
+        # docs 0-4 all share ONE trigram vocabulary ("a b c d e" -> 3
+        # shingles, all first seen in decile of doc 0); docs 5-9 each
+        # introduce a fresh disjoint trigram set. With 10 docs, doc i
+        # lands in decile i exactly (i*10//10 = i).
+        rows = [(i, "a b c d e") for i in range(5)] + [
+            (5, "f g h"),
+            (6, "i j k"),
+            (7, "l m n"),
+            (8, "o p q"),
+            (9, "r s t"),
+        ]
+        _write_documents(tmp_path / "documents.parquet", rows)
+        s_rows, d_rows = _run_both(
+            spark, "ngram_novelty_curve", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        by_dec = {r[0]: r for r in s_rows}
+        # decile 0: the 3 shared shingles first appear at doc 0
+        assert by_dec[0][1] == 3
+        # deciles 1-4 introduce nothing new (pure repetition)
+        for d in (1, 2, 3, 4):
+            assert d not in by_dec
+        # deciles 5-9: one fresh shingle each
+        for d in (5, 6, 7, 8, 9):
+            assert by_dec[d][1] == 1
+        # cumulative reaches the full distinct count; shares sum ~1e6
+        assert by_dec[9][2] == 8
+        assert by_dec[0][3] == 3 * 1_000_000 // 8
+
+    def test_single_doc_short_text(self, spark, tmp_path):
+        # a 2-token doc yields no trigrams; a 3-token doc yields one
+        _write_documents(
+            tmp_path / "documents.parquet",
+            [(0, "x y"), (1, "a b c")],
+        )
+        s_rows, d_rows = _run_both(
+            spark, "ngram_novelty_curve", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        assert s_rows == [(5, 1, 1, 1_000_000)]  # doc 1 of 2 -> decile 5
+
+
+class TestEmbeddingNormOutliersAdversarial:
+    def test_outlier_and_collapsed_detection(self, spark, tmp_path):
+        # label 0: nine unit vectors + one 3x outlier — mean norm2
+        # (9+9)/10 = 1.8, so 9 > 3.6 flags ONLY the outlier and the
+        # units (1 > 0.9) stay unflagged; label 1: nine units + one
+        # 0.1-norm collapsed — mean (9+0.01)/10 = 0.901, so 0.01 <
+        # 0.4505 flags ONLY the collapsed one; label 2: uniform 2x
+        # vectors, no flags
+        unit = [1.0, 0.0, 0.0, 0.0]
+        vecs = (
+            [(i, unit, 0) for i in range(9)]
+            + [(9, [3.0, 0.0, 0.0, 0.0], 0)]
+            + [(10 + i, unit, 1) for i in range(9)]
+            + [(19, [0.1, 0.0, 0.0, 0.0], 1)]
+            + [(20, [2.0, 0.0, 0.0, 0.0], 2), (21, [0.0, 2.0, 0.0, 0.0], 2)]
+        )
+        _write_embeddings(tmp_path / "embeddings.parquet", vecs)
+        s_rows, d_rows = _run_both(
+            spark, "embedding_norm_outliers", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        by_label = {r[0]: r for r in s_rows}
+        n0 = by_label[0]
+        assert n0[1] == 10
+        assert n0[2] == 18_000_000 // 10
+        assert n0[3] == 1 and n0[4] == 0
+        n1 = by_label[1]
+        assert n1[1] == 10
+        assert n1[3] == 0 and n1[4] == 1
+        n2 = by_label[2]
+        assert n2[1:] == (2, 4_000_000, 0, 0)
+
+    def test_float32_widening_is_exact(self, spark, tmp_path):
+        # 0.1 is not exact in float32; both engines must widen the SAME
+        # float32 bits to double, so micro-norms agree exactly
+        vecs = [(i, [0.1, 0.2, 0.3], 0) for i in range(3)]
+        _write_embeddings(tmp_path / "embeddings.parquet", vecs)
+        s_rows, d_rows = _run_both(
+            spark, "embedding_norm_outliers", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        assert s_rows[0][3] == 0 and s_rows[0][4] == 0
