@@ -538,3 +538,56 @@ class TestRound5LateOpsPlans:
         plan = plan_of(spark, "dedup_cross_source_matrix", execute=True)
         assert "CartesianProduct" not in plan
         assert not _global_window_sites(plan)
+
+    def test_bm25_broadcasts_stats_take_ordered(self, spark):
+        # tf prunes to query terms at the scan; df and corpus stats are
+        # tiny broadcasts; top-20 is TakeOrdered — no sort-merge join,
+        # no global sort, no cartesian over the fact
+        plan = plan_of(spark, "bm25_retrieval_topk", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+        assert count(r"BroadcastExchange", plan) >= 2
+
+    def test_knn_label_purity_broadcast_query_batch(self, spark):
+        # query batch broadcasts against one corpus scan; per-query
+        # top-k compiles to a group-limited window, never global
+        plan = plan_of(spark, "knn_label_purity", execute=True)
+        assert "SortMergeJoin" not in plan
+        assert "WindowGroupLimit" in plan
+        assert not _global_window_sites(plan)
+
+    def test_lsh_band_sweep_bucketed_no_cartesian(self, spark):
+        # all three band configs and the truth join stay bucket-keyed;
+        # the only nested-loop joins are the 3-row config table against
+        # one-row broadcast aggregates (constant-table crosses, the
+        # documented OK shape) — never two data-sized sides
+        plan = plan_of(spark, "lsh_band_sweep_recall", execute=True)
+        assert "CartesianProduct" not in plan
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            ctx = plan[m.start() : m.start() + 60]
+            assert "BuildRight" in ctx or "IdentityBroadcast" in ctx
+
+    def test_key_skew_windows_run_over_aggregates(self, spark):
+        # the rank window's input is the per-key count table, never the
+        # fact: each key column contributes one partial-aggregated
+        # groupBy; window sites are allowed (single-partition over
+        # |keys| rows is the documented bounded exception) but the
+        # fact-table scan must feed ONLY aggregates
+        plan = plan_of(spark, "key_skew_report", execute=True)
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+
+    def test_novelty_curve_single_hash_aggregate_chain(self, spark):
+        # shingle -> min(doc_id) groupBy -> 10-row decile rollup; the
+        # only wide ops are keyed aggregates, and the cumulative window
+        # runs over <= 10 rows
+        plan = plan_of(spark, "ngram_novelty_curve", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_norm_outliers_broadcast_stats_join(self, spark):
+        # per-label stats broadcast back onto the row stream: one scan,
+        # two keyed aggregates, zero sort-merge joins
+        plan = plan_of(spark, "embedding_norm_outliers", execute=True)
+        assert "SortMergeJoin" not in plan
+        assert count(r"BroadcastExchange", plan) >= 1
