@@ -1,0 +1,151 @@
+"""LOCKED merge mode: schema pinned to the live table, no per-batch
+variant inference (the hot-path aggregate that is ~55% of batch cost).
+
+Contract under test:
+- a LOCKED batch over an existing table produces BIT-EQUAL rows to the
+  AUTO path on the same events (including $date in BOTH wire forms —
+  epoch-millis and ISO — which AUTO disambiguates via inference and
+  LOCKED via the digit-string cast rule);
+- unknown fields in incoming documents are ignored (documented LOCKED
+  semantics), never evolve the table;
+- a collection with no existing table raises a configuration error;
+- merge_schemas(LOCKED) raises on any schema difference.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
+from mongodb_cdc_delta_spark.schema import MergeMode
+from mongodb_cdc_delta_spark.schema.types import (
+    SchemaEvolutionError,
+    merge_schemas,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _event(i: int, coll: str = "items", extra: dict | None = None) -> tuple:
+    doc = {
+        "_id": {"$oid": f"{i:024x}"},
+        "n": i,
+        "name": f"row{i}",
+        "created": {"$date": {"$numberLong": str(1700000000000 + i)}},
+        "updated": {"$date": "2024-03-01T12:00:00Z"},
+    }
+    if extra:
+        doc.update(extra)
+    return (
+        json.dumps(
+            {
+                "payload": {
+                    "op": "c",
+                    "ts_ms": int(time.time() * 1000),
+                    "source": {"db": "d", "collection": coll},
+                    "after": json.dumps(doc),
+                }
+            }
+        ),
+    )
+
+
+def _events_df(spark, lo, hi, **kw):
+    return spark.createDataFrame(
+        [_event(i, **kw) for i in range(lo, hi)], "value string"
+    )
+
+
+def _rows(t):
+    return sorted(
+        tuple(r)
+        for r in t.read()
+        .select("_id", "n", "name", "created", "updated")
+        .collect()
+    )
+
+
+class TestLockedMode:
+    def test_locked_rows_equal_auto_rows(self, spark, tmp_path):
+        auto = CDCIngestor(spark, str(tmp_path / "auto"), mode=MergeMode.AUTO)
+        auto.ingest_batch(_events_df(spark, 0, 50), batch_id=0)
+        auto.ingest_batch(_events_df(spark, 50, 100), batch_id=1)
+
+        locked_root = str(tmp_path / "locked")
+        boot = CDCIngestor(spark, locked_root, mode=MergeMode.AUTO)
+        boot.ingest_batch(_events_df(spark, 0, 50), batch_id=0)
+        locked = CDCIngestor(spark, locked_root, mode=MergeMode.LOCKED)
+        locked.ingest_batch(_events_df(spark, 50, 100), batch_id=1)
+
+        ta, tl = auto.table("d_items"), locked.table("d_items")
+        assert tl.schema() == ta.schema()
+        assert _rows(tl) == _rows(ta)
+        # both $date wire forms landed as real timestamps
+        ts_types = {
+            f.name: f.dataType.typeName()
+            for f in tl.schema().fields
+            if f.name in ("created", "updated")
+        }
+        assert ts_types == {"created": "timestamp", "updated": "timestamp"}
+
+    def test_unknown_fields_are_ignored_not_evolved(self, spark, tmp_path):
+        root = str(tmp_path / "lake")
+        boot = CDCIngestor(spark, root, mode=MergeMode.AUTO)
+        boot.ingest_batch(_events_df(spark, 0, 10), batch_id=0)
+        before = boot.table("d_items").schema()
+
+        locked = CDCIngestor(spark, root, mode=MergeMode.LOCKED)
+        stats = locked.ingest_batch(
+            _events_df(spark, 10, 20, extra={"surprise": "xyz"}),
+            batch_id=1,
+        )
+        t = locked.table("d_items")
+        # pinned: same fields, same types (nullability normalizes to
+        # True on any post-create merge, same as the AUTO path)
+        assert [(f.name, f.dataType) for f in t.schema().fields] == [
+            (f.name, f.dataType) for f in before.fields
+        ]
+        assert "surprise" not in [f.name for f in t.schema().fields]
+        assert stats.schema_evolutions == []
+        assert t.read().count() == 20
+
+    def test_missing_table_is_a_config_error(self, spark, tmp_path):
+        locked = CDCIngestor(
+            spark, str(tmp_path / "lake"), mode=MergeMode.LOCKED
+        )
+        with pytest.raises(ValueError, match="LOCKED mode: no existing"):
+            locked.ingest_batch(
+                _events_df(spark, 0, 5, coll="never_seen"), batch_id=0
+            )
+
+    def test_dlq_still_counted_without_inference(self, spark, tmp_path):
+        root = str(tmp_path / "lake")
+        CDCIngestor(spark, root, mode=MergeMode.AUTO).ingest_batch(
+            _events_df(spark, 0, 5), batch_id=0
+        )
+        locked = CDCIngestor(spark, root, mode=MergeMode.LOCKED)
+        good = [_event(i) for i in range(5, 10)]
+        bad = [('{"payload": {"op": "c"}}',)]  # no source/db: CORRUPTED
+        df = spark.createDataFrame(good + bad, "value string")
+        stats = locked.ingest_batch(df, batch_id=1)
+        assert stats.dlq_rows == 1
+        assert locked.table("_dlq").read().count() == 1
+
+    def test_merge_schemas_locked_raises_on_difference(self):
+        s1 = StructType([StructField("a", LongType(), True)])
+        s2 = StructType(
+            [
+                StructField("a", LongType(), True),
+                StructField("b", StringType(), True),
+            ]
+        )
+        assert merge_schemas(s1, s1, MergeMode.LOCKED) == s1
+        with pytest.raises(SchemaEvolutionError, match="LOCKED"):
+            merge_schemas(s1, s2, MergeMode.LOCKED)
