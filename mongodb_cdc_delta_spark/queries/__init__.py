@@ -222,10 +222,18 @@ def all_queries() -> dict[str, Query]:
 # r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
 # r5 rotation: NOTES_r5.md. r6 rotation (this one): the 35 slots take
 # never-driver-checked oracle names from the NOTES_r5 §"r6 driver-window
-# rotation plan" list — after this window, only ~12 oracle-checked names
-# (plus the 12 rows-only sketches, which the driver would record
-# rows-only anyway) remain never-checked; r7 completes full-registry
-# driver coverage.
+# rotation plan" list. r7 plan: the remaining never-driver-checked
+# oracle names are the 12 deferred from the r6 plan (dedup_normalized,
+# dedup_cluster_profile, token_histogram, text_bpe_token_count,
+# tokenizer_fertility_by_lang, multimodal_features,
+# grouped_map_normalize, corpus_shard_shuffle, weighted_reservoir_sample,
+# corpus_prep_pipeline, dedup_cross_source_matrix, token_coverage_curve)
+# plus the r6 additions (small_qty_revenue_subquery_sql,
+# bm25_retrieval_topk, knn_label_purity, lsh_band_sweep_recall,
+# key_skew_report, ngram_novelty_curve, embedding_norm_outliers) —
+# 19 names, fitting one 35-slot window with room for r7's new ops;
+# that window completes full-registry driver coverage (the 12
+# rows-only sketches stay in the parity/bench lanes).
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
