@@ -171,6 +171,14 @@ HEADLINE = [
     "k_anonymity_report",
     "psi_drift_report",
     "dedup_threshold_sensitivity",
+    # r6 additions
+    "small_qty_revenue_subquery_sql",
+    "bm25_retrieval_topk",
+    "knn_label_purity",
+    "lsh_band_sweep_recall",
+    "key_skew_report",
+    "ngram_novelty_curve",
+    "embedding_norm_outliers",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

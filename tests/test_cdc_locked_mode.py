@@ -1,5 +1,6 @@
 """LOCKED merge mode: schema pinned to the live table, no per-batch
-variant inference (the hot-path aggregate that is ~55% of batch cost).
+variant inference (a schema-governance mode; measured hot-path saving
+~6% on small envelopes — see MergeMode.LOCKED's docstring).
 
 Contract under test:
 - a LOCKED batch over an existing table produces BIT-EQUAL rows to the
@@ -31,6 +32,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# deep ingest e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _event(i: int, coll: str = "items", extra: dict | None = None) -> tuple:

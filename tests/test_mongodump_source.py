@@ -15,6 +15,9 @@ from mongodb_cdc_delta_spark.cdc.mongodump import (
 )
 from mongodb_cdc_delta_spark.cdc.pipeline import CDCIngestor
 
+# deep ingest e2e: excluded from the fast lane (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _mk_dump(tmp_path, db="shop", colls=("users", "orders"), n=5):
     root = tmp_path / "dump"
