@@ -166,14 +166,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _jaccard_pair_counts(
+class JaccardPairBudgetExceeded(RuntimeError):
+    """The estimated capped candidate-pair space of an exact-Jaccard run
+    exceeds the configured budget. Raised by ``_jaccard_pair_counts``
+    (``on_budget="raise"``) before any pair is materialized, so a
+    vocab-saturated corpus fails in seconds with a actionable message
+    instead of grinding through a 100x pair blowup (the r6 10x scaling
+    battery measured exactly that failure mode: trigram-space saturation
+    grew the capped pair space 78x). The message carries the estimate so
+    the caller can switch to the banded path or raise the budget."""
+
+
+#: default guard for the exact-Jaccard family: well above any healthy
+#: corpus at bench scale (sf0.1 ~= 1.3M capped pairs, the saturated 10x
+#: synthetic corpus ~= 99M) but low enough that a runaway pair space
+#: fails fast instead of melting the shuffle tier.
+DEFAULT_JACCARD_PAIR_BUDGET = 500_000_000
+
+
+def estimate_capped_pairs(
+    dfs: DataFrame, max_shingle_df: int | None
+) -> int:
+    """Scalar estimate of the exact-Jaccard candidate-pair space from the
+    shingle document-frequency table: sum over kept shingles of C(df, 2)
+    — the EXACT number of (doc_a, doc_b, shingle) join rows the
+    intersection self-join will produce (the per-pair groupBy then
+    shrinks it). One map-side-combined aggregate; output is one row."""
+    kept = dfs
+    if max_shingle_df is not None:
+        kept = kept.where(F.col("df") <= max_shingle_df)
+    row = kept.agg(
+        F.coalesce(
+            F.sum(F.expr("df * (df - 1) div 2")), F.lit(0)
+        ).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"])
+
+
+def _banded_pair_counts(
     docs: DataFrame, n: int = 3, max_shingle_df: int | None = 100
 ) -> DataFrame:
-    """(doc_a, doc_b, n_inter, na, nb): the capped trigram-shingle pair
-    pipeline shared by every Jaccard-derived operator (pairs, the
-    cross-source matrix, the threshold-sensitivity curve) — ONE place
-    owns the df cap, the 8-byte shingle-hash join key, and the
-    intersection/size joins, mirroring the SQL side's _JACCARD_CTES."""
+    """Same contract as ``_jaccard_pair_counts`` — (doc_a, doc_b,
+    n_inter, na, nb) over the df-capped shingle universe — but the pair
+    SET is restricted to the portable MinHash-LSH candidates (32 perms,
+    8 bands x 4 rows), so the join work is bounded by the band-bucket
+    sizes instead of Sigma C(df, 2). This is the scale path the r6
+    scaling battery measured at 1.34x on the corpus where the exact
+    pair space grew 78x: recall is the LSH banding curve
+    (lsh_band_sweep_recall quantifies it), precision is exact because
+    every surfaced pair still gets its true capped-Jaccard counts."""
+    if n != 3:
+        raise ValueError("banded fallback is defined for trigrams (n=3)")
+    _sh_ph, _sigs, cand = _portable_sigs_cands(docs)
     sh = shingles(docs, n=n).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
@@ -185,6 +229,90 @@ def _jaccard_pair_counts(
             .select("sh")
         )
         sh = sh.join(keep, "sh", "left_semi")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    pb = sh.select(
+        F.col("doc_id").alias("docb"), F.col("sh").alias("shb")
+    )
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(
+            pb,
+            (F.col("doc_b") == F.col("docb"))
+            & (F.col("sh") == F.col("shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_pair_counts(
+    docs: DataFrame,
+    n: int = 3,
+    max_shingle_df: int | None = 100,
+    pair_budget: int | None = DEFAULT_JACCARD_PAIR_BUDGET,
+    on_budget: str = "raise",
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, na, nb): the capped trigram-shingle pair
+    pipeline shared by every Jaccard-derived operator (pairs, the
+    cross-source matrix, the threshold-sensitivity curve) — ONE place
+    owns the df cap, the 8-byte shingle-hash join key, and the
+    intersection/size joins, mirroring the SQL side's _JACCARD_CTES.
+
+    Self-protection (r7, from the r6 10x scaling battery): before the
+    self-join runs, a one-scalar aggregate over the shingle-df table
+    computes the exact candidate-pair space Sigma C(min(df, cap), 2).
+    Above ``pair_budget`` the run either raises
+    ``JaccardPairBudgetExceeded`` (``on_budget="raise"``, default) or
+    logs a warning and reroutes through ``_banded_pair_counts``
+    (``on_budget="fallback"``) — the measured failure mode (78x pair
+    growth on trigram-space saturation) can no longer reach the shuffle
+    tier unannounced. ``pair_budget=None`` disables the guard (used by
+    the registered exact queries' oracles only in tests that need the
+    unguarded shape)."""
+    sh = shingles(docs, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    if max_shingle_df is not None or pair_budget is not None:
+        dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        if pair_budget is not None:
+            dfs = dfs.persist()
+            est = estimate_capped_pairs(dfs, max_shingle_df)
+            if est > pair_budget:
+                dfs.unpersist()
+                if on_budget == "fallback":
+                    import warnings
+
+                    warnings.warn(
+                        f"exact-Jaccard pair space ~{est:,} exceeds "
+                        f"budget {pair_budget:,}; falling back to the "
+                        "banded-LSH candidate pipeline "
+                        "(recall = LSH banding curve)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    return _banded_pair_counts(
+                        docs, n=n, max_shingle_df=max_shingle_df
+                    )
+                raise JaccardPairBudgetExceeded(
+                    f"estimated capped candidate-pair space {est:,} "
+                    f"exceeds pair_budget {pair_budget:,} "
+                    f"(max_shingle_df={max_shingle_df}); use the "
+                    "banded-LSH path (on_budget='fallback' or "
+                    "dedup_minhash_lsh), raise the budget, or lower "
+                    "max_shingle_df"
+                )
+        if max_shingle_df is not None:
+            keep = dfs.where(F.col("df") <= max_shingle_df).select("sh")
+            sh = sh.join(keep, "sh", "left_semi")
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -233,6 +361,90 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return jac.select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "jaccard_pair_budget",
+    oracle="""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    ),
+    dfs AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(coalesce(sum(df), 0) AS BIGINT) AS n_postings,
+           CAST(coalesce(sum(CASE WHEN df <= 100 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_capped_shingles,
+           CAST(coalesce(sum(CASE WHEN df > 100 THEN df ELSE 0 END), 0)
+                AS BIGINT) AS dropped_postings,
+           CAST(coalesce(sum(CASE WHEN df <= 100
+                                  THEN df * (df - 1) // 2
+                                  ELSE 0 END), 0)
+                AS BIGINT) AS est_pairs,
+           CAST(coalesce(max(df), 0) AS BIGINT) AS max_df
+    FROM dfs
+    """,
+    description="the exact-Jaccard pair-space budget report: distinct "
+    "trigram shingles, postings, the df<=100 capped subset, postings "
+    "dropped by the cap, the EXACT candidate-pair space the capped "
+    "intersection self-join would produce (Sigma C(df,2) — the scalar "
+    "the r7 pair-budget guard checks before any exact-Jaccard run), "
+    "and the hottest shingle's df. Rising est_pairs against flat "
+    "n_docs is the trigram-saturation signature the r6 10x scaling "
+    "battery measured (78x pair growth on a vocab-saturated corpus). "
+    "Scale: one map-side-combined groupBy over (shingle-hash) plus two "
+    "one-row aggregates broadcast-crossed — nothing wide",
+    tags=("dedup", "report", "skew"),
+)
+def jaccard_pair_budget(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sh = shingles(docs, n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    stats = dfs.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.coalesce(F.sum("df"), F.lit(0))
+        .cast("bigint")
+        .alias("n_postings"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") <= 100, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_capped_shingles"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > 100, F.col("df")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dropped_postings"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("df") <= 100,
+                    F.expr("df * (df - 1) div 2"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("est_pairs"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("bigint").alias("max_df"),
+    )
+    ndocs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return stats.crossJoin(F.broadcast(ndocs)).select(
+        "n_docs",
+        "n_shingles",
+        "n_postings",
+        "n_capped_shingles",
+        "dropped_postings",
+        "est_pairs",
+        "max_df",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1999,6 +2211,58 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(eq / F.lit(32.0) >= 0.2)
     )
+
+
+@register(
+    "dedup_banded_fallback",
+    oracle=_MH_PORTABLE_PREFIX_SQL + """,
+    kept AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100
+    ),
+    shc AS (
+      SELECT s.doc_id, s.shingle FROM sh0 s JOIN kept USING (shingle)
+    ),
+    szc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    interc AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shc a ON a.doc_id = c.doc_a
+      JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM interc i
+    JOIN szc sa ON sa.doc_id = i.doc_a
+    JOIN szc sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+          >= 0.05
+    """,
+    description="the pair-budget guard's fallback path run as a "
+    "first-class query: portable MinHash-LSH (32 perms, 8x4 bands) "
+    "candidate pairs, each verified with its EXACT df<=100-capped "
+    "trigram Jaccard (threshold 0.05) — identical output contract to "
+    "dedup_ngram_jaccard but join work bounded by band-bucket sizes "
+    "instead of Sigma C(df,2), the path that measured 1.34x at 10x "
+    "rows where the exact pipeline's pair space grew 78x. Recall = "
+    "the LSH banding curve (lsh_band_sweep_recall); precision exact. "
+    "The whole pipeline (signatures, bands, candidates, verify) is "
+    "value-checked against the oracle",
+    tags=("dedup", "lsh", "join"),
+)
+def dedup_banded_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    jac = (
+        _banded_pair_counts(docs, n=3, max_shingle_df=100)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= 0.05)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
 
 
 @register(
