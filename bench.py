@@ -179,6 +179,15 @@ HEADLINE = [
     "key_skew_report",
     "ngram_novelty_curve",
     "embedding_norm_outliers",
+    # r7 additions
+    "jaccard_pair_budget",
+    "dedup_banded_fallback",
+    "top_ngram_pmi",
+    "doc_prefix_dup_report",
+    "embedding_centroid_shift",
+    "salt_plan_report",
+    "cdc_type_drift_report",
+    "ann_lsh_topk",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

@@ -141,3 +141,57 @@ def cdc_stale_split(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "cdc_type_drift_report",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k')
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS k_wire_nonnull,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k')
+                              IS NOT NULL
+                          AND (regexp_matches(
+                                 json_extract_string(props, '$.k'),
+                                 '[^0-9-]')
+                               OR json_extract_string(props, '$.k') = '')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k_type_drift,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.u')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS u_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    description="the LOCKED-merge-mode observability query (ADVICE r6): "
+    "against a pinned envelope schema {k: BIGINT, u: VARCHAR}, per "
+    "collection (event_type), the rows whose wire value for a pinned "
+    "field is present but would silently parse to NULL under the "
+    "pinned type (value-level type drift — the data loss LOCKED mode "
+    "otherwise ships without a signal) and the rows missing a pinned "
+    "field entirely. Drift detection compares the RAW wire token "
+    "against the pinned type's lexical space (engine-identical "
+    "regex on a negated character class), not a parse result, so the "
+    "count is deterministic cross-engine. The streaming pipeline "
+    "emits the same counts per batch via IngestStats.type_drift_rows. "
+    "Scale: one scan, one map-side-combined groupBy(event_type)",
+    tags=("cdc", "quality", "report"),
+)
+def cdc_type_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    raw_k = F.get_json_object("props", "$.k")
+    raw_u = F.get_json_object("props", "$.u")
+    k_drift = raw_k.isNotNull() & (
+        raw_k.rlike("[^0-9-]") | (raw_k == "")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(raw_k.isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("k_wire_nonnull"),
+        F.sum(k_drift.cast("int")).cast("bigint").alias("k_type_drift"),
+        F.sum(raw_u.isNull().cast("int"))
+        .cast("bigint")
+        .alias("u_missing"),
+    )

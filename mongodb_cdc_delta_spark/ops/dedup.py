@@ -3079,3 +3079,56 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_docs_involved"),
         )
     )
+
+
+@register(
+    "doc_prefix_dup_report",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id, text,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 6), ' ') AS prefix
+      FROM documents
+    )
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+    FROM pre
+    GROUP BY prefix
+    HAVING count(*) > 1
+    """,
+    description="prefix-duplicate detection: documents grouped by their "
+    "first 6 tokens — the cheap screen for boilerplate heads "
+    "(templated intros, scraped nav text, licence preambles) that "
+    "near-dup pipelines then score in full. n_distinct_texts "
+    "separates exact clones (=1) from prefix-only families (>1), "
+    "which is the triage column: exact clones go straight to the "
+    "keep-list, prefix families go to the Jaccard verifier. Scale: "
+    "one map-side-combined groupBy on a short prefix key — the "
+    "distinct-text count shuffles (prefix, text-hash), never text "
+    "itself in the Spark plan (md5 per row before the shuffle)",
+    tags=("dedup", "report"),
+)
+def doc_prefix_dup_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 6)
+        ).alias("prefix"),
+        # distinct-count a 128-bit fingerprint, not the document body:
+        # the shuffle carries (prefix, hash), never text
+        F.md5("text").alias("th"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.countDistinct("th").cast("bigint").alias(
+                "n_distinct_texts"
+            ),
+        )
+        .where(F.col("n_docs") > 1)
+    )

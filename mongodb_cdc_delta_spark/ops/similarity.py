@@ -1097,3 +1097,262 @@ def matryoshka_recall_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "embedding_centroid_shift",
+    oracle="""
+    WITH comps AS (
+      SELECT label, r.dim AS dim,
+             CAST(floor(e[r.dim] * 1000000) AS BIGINT) AS c
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings) t,
+           range(1, 129) r(dim)
+      WHERE r.dim <= len(e)
+    ),
+    per_label AS (
+      SELECT label, dim, sum(c) AS s_l, count(*) AS n_l
+      FROM comps GROUP BY label, dim
+    ),
+    global_dim AS (
+      SELECT dim, sum(s_l) AS s_g, sum(n_l) AS n_g
+      FROM per_label GROUP BY dim
+    ),
+    cent AS (
+      SELECT p.label, p.n_l,
+             (p.s_l // p.n_l) - (g.s_g // g.n_g) AS d
+      FROM per_label p JOIN global_dim g ON g.dim = p.dim
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(max(n_l) AS BIGINT) AS n_vecs,
+           CAST(sum(d * d) AS BIGINT) AS shift_sq_micro2,
+           CAST(max(abs(d)) AS BIGINT) AS max_dim_shift_micro
+    FROM cent
+    GROUP BY label
+    """,
+    description="embedding-distribution drift by label: per label, the "
+    "squared distance between the label centroid and the global "
+    "centroid plus the worst single-dimension shift — the check that "
+    "catches a re-embedded or mis-normalized label slice before it "
+    "poisons retrieval training. Components floor-scale to integer "
+    "micro-units per ROW and centroids are truncating integer "
+    "divisions of exact integer sums, so every emitted number is "
+    "exact integer arithmetic (quantization <=1 micro-unit/dim) and "
+    "BOUNDED regardless of corpus size — no corpus-sum square ever "
+    "leaves int64 because division happens before squaring. Scale: "
+    "one posexplode scan, groupBy(label, dim) map-side combined, the "
+    "per-dim global table is |dims| rows broadcast back",
+    tags=("similarity", "report", "quality"),
+)
+def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim0", "c"),
+    )
+    per_label = comps.groupBy("label", "dim0").agg(
+        F.sum("c").alias("s_l"), F.count("*").alias("n_l")
+    )
+    global_dim = per_label.groupBy("dim0").agg(
+        F.sum("s_l").alias("s_g"), F.sum("n_l").alias("n_g")
+    )
+    cent = per_label.join(F.broadcast(global_dim), "dim0").select(
+        "label",
+        "n_l",
+        (
+            F.expr("s_l div n_l") - F.expr("s_g div n_g")
+        ).alias("d"),
+    )
+    return cent.groupBy("label").agg(
+        F.max("n_l").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("d") * F.col("d"))
+        .cast("bigint")
+        .alias("shift_sq_micro2"),
+        F.max(F.abs(F.col("d")))
+        .cast("bigint")
+        .alias("max_dim_shift_micro"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        "n_vecs",
+        "shift_sq_micro2",
+        "max_dim_shift_micro",
+    )
+
+
+#: first 16 of the portable minhash coefficient pairs (ops/dedup.py)
+#: reused as seeded hyperplane generators: coeff(j, d) =
+#: ((a_j * d + b_j) % 2147483647) - 1073741823 — engine-portable
+#: pseudo-random integers in (-2^30, 2^30], identical in SQL.
+_LSH_PLANES = [
+    (2075443165, 1671098287), (946466064, 250934579),
+    (16087819, 194655650), (1956305977, 2024077985),
+    (2017064809, 1733024478), (1250324205, 75003370),
+    (1442171594, 1488393902), (180255972, 211359734),
+    (1646005276, 761574164), (508545125, 37426449),
+    (66172593, 2118896851), (1693876517, 34017048),
+    (743220394, 1392248069), (1338486782, 1039910182),
+    (1322454143, 995461690), (319018672, 196037792),
+]
+
+_LSH_COEFF_VALUES = ",\n      ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_LSH_PLANES)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH coeffs(j, a, b) AS (VALUES
+      {_LSH_COEFF_VALUES}
+    ),
+    emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, r.dim AS dim,
+             CAST(floor(e[r.dim] * 1000000) AS BIGINT) AS m
+      FROM emb, range(1, 129) r(dim) WHERE r.dim <= len(e)
+    ),
+    dots AS (
+      SELECT vec_id, j,
+             sum(((a * dim + b) % 2147483647 - 1073741823) * m) AS dot
+      FROM comps CROSS JOIN coeffs GROUP BY vec_id, j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 AND j < 8 THEN 1 << j ELSE 0 END)
+               AS b1,
+             sum(CASE WHEN dot > 0 AND j >= 8 THEN 1 << (j - 8)
+                      ELSE 0 END) AS b2
+      FROM dots GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS qid, b1, b2 FROM buckets
+          WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.qid, x.vec_id
+      FROM q JOIN buckets x
+        ON (x.b1 = q.b1 OR x.b2 = q.b2) AND x.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.vec_id, e.label,
+             round(list_cosine_similarity(e.e, qe.e), 6) AS cos_sim
+      FROM cand c
+      JOIN emb e ON e.vec_id = c.vec_id
+      JOIN emb qe ON qe.vec_id = c.qid
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS r
+      FROM scored
+    )
+    SELECT qid, vec_id, CAST(label AS INT) AS label, cos_sim
+    FROM rk WHERE r <= 5
+    """,
+    description="LSH-bucketed approximate nearest neighbors, the third "
+    "ANN strategy next to IVF and PQ and the first whose ENTIRE "
+    "pipeline is value-checked against the oracle: 16 seeded random "
+    "hyperplanes (engine-portable affine integer generators over "
+    "micro-unit components — the sign test is exact int64 "
+    "arithmetic, no float dot can flip a bucket cross-engine) give "
+    "each vector two 8-bit sign buckets; candidates share either "
+    "bucket with the query (2-band OR amplification, recall "
+    "~1-(1-p^8)^2 for bit-agreement p); candidates are exactly "
+    "rescored with the rounded cosine and top-5 per query survive. "
+    "Scale: bucket assignment is one scan + one groupBy(vec_id); the "
+    "candidate join is equi-keyed on the bucket value (two hash "
+    "joins + distinct, never a cross join); rescoring touches only "
+    "candidates — the classic sub-linear ANN shape",
+    tags=("similarity", "topk", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim0", "m"),
+    ).select(
+        "vec_id",
+        (F.col("dim0").cast("bigint") + 1).alias("dim"),
+        "m",
+    )
+    dot_aggs = []
+    for j, (a, b) in enumerate(_LSH_PLANES):
+        coeff = (
+            (F.lit(a) * F.col("dim") + F.lit(b)) % F.lit(2147483647)
+            - F.lit(1073741823)
+        )
+        dot_aggs.append(F.sum(coeff * F.col("m")).alias(f"dot{j}"))
+    dots = comps.groupBy("vec_id").agg(*dot_aggs)
+    b1 = sum(
+        F.when(F.col(f"dot{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(8)
+    )
+    b2 = sum(
+        F.when(F.col(f"dot{j}") > 0, F.lit(1 << (j - 8))).otherwise(0)
+        for j in range(8, 16)
+    )
+    buckets = dots.select(
+        "vec_id", b1.alias("b1"), b2.alias("b2")
+    ).cache()
+    q = buckets.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("b1").alias("qb1"),
+        F.col("b2").alias("qb2"),
+    )
+    cand1 = buckets.join(
+        F.broadcast(q), F.col("b1") == F.col("qb1")
+    ).select("qid", "vec_id")
+    cand2 = buckets.join(
+        F.broadcast(q), F.col("b2") == F.col("qb2")
+    ).select("qid", "vec_id")
+    cand = (
+        cand1.unionByName(cand2)
+        .where(F.col("vec_id") != F.col("qid"))
+        .distinct()
+    )
+    qe = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_col(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("r", rk)
+        .where(F.col("r") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "cos_sim",
+        )
+    )

@@ -1163,3 +1163,104 @@ def token_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "top_ngram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT count(*) AS nu FROM uni),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> {'w1': t[i], 'w2': t[i+1]}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY w1, w2),
+    btot AS (SELECT count(*) AS nb FROM big)
+    SELECT w1, w2,
+           CAST(cxy AS BIGINT) AS c_pair,
+           CAST(cx.c AS BIGINT) AS c_w1,
+           CAST(cy.c AS BIGINT) AS c_w2,
+           CAST(CAST(cxy AS HUGEINT) * nu * nu * 1000000
+                // (CAST(nb AS HUGEINT) * cx.c * cy.c)
+                AS BIGINT) AS pmi_lift_ppm
+    FROM bcnt
+    JOIN ucnt cx ON cx.w = w1
+    JOIN ucnt cy ON cy.w = w2
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE cxy >= 5
+    ORDER BY pmi_lift_ppm DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+    description="collocation extraction: top-20 adjacent word bigrams by "
+    "pointwise mutual information, reported as the integer lift "
+    "exp(PMI) in ppm = 1e6 * c(xy) * N_uni^2 / (N_big * c(x) * c(y)) "
+    "with a c(xy) >= 5 support floor — the standard phrase-mining / "
+    "tokenizer-merge-candidate signal. All cross-multiplied integer "
+    "arithmetic with decimal headroom (c*N^2 wraps int64 beyond "
+    "~3e18 token-pairs otherwise); ties at the LIMIT boundary break "
+    "on the bigram itself. Scale: two map-side-combined token "
+    "groupBys; the unigram-count joins are word-keyed equi-joins left "
+    "to AQE (the vocab table is Heaps'-law-sized — broadcast at bench "
+    "scale, shuffle-hash at corpus scale, never forced); one-row "
+    "totals broadcast-crossed; TakeOrdered(20) — no global sort, no "
+    "window",
+    tags=("text", "report", "topk"),
+)
+def top_ngram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    from ..queries import spread
+
+    docs = spread(load(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    uni = docs.select(F.explode(toks).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    utot = uni.agg(F.count("*").alias("nu"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select(F.explode(pairs).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    btot = big.agg(F.count("*").alias("nb"))
+    cx = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bcnt.where(F.col("cxy") >= 5)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("bigint").alias("c_pair"),
+            F.col("c_x").cast("bigint").alias("c_w1"),
+            F.col("c_y").cast("bigint").alias("c_w2"),
+            F.expr(
+                "cast(cast(cxy as decimal(19,0)) * nu * nu * 1000000"
+                " div (cast(nb as decimal(19,0)) * c_x * c_y)"
+                " as bigint)"
+            ).alias("pmi_lift_ppm"),
+        )
+        .orderBy(
+            F.col("pmi_lift_ppm").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        )
+        .limit(20)
+    )

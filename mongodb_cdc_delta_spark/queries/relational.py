@@ -4138,3 +4138,66 @@ def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_SALT_SQL_BLOCK = """
+      SELECT '{name}' AS key_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS top1_cnt,
+             CAST(least(
+               (CAST(max(cnt) AS HUGEINT) * 200 + sum(cnt) - 1)
+                 // sum(cnt),
+               200) AS BIGINT) AS salt_factor,
+             CAST(CASE WHEN (CAST(max(cnt) AS HUGEINT) * 200
+                             + sum(cnt) - 1) // sum(cnt) >= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS needs_salt
+      FROM (SELECT {col}, count(*) AS cnt
+            FROM lineitem GROUP BY {col})
+"""
+
+
+@register(
+    "salt_plan_report",
+    oracle=" UNION ALL ".join(
+        _SALT_SQL_BLOCK.format(name=c, col=c)
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    ),
+    description="the actionable companion to key_skew_report: per fact "
+    "join key, the recommended salt factor = ceil(top1_cnt * P / "
+    "n_rows) capped at P (P=200, a conventional shuffle-partition "
+    "budget) — the number of sub-tasks the hottest key needs so no "
+    "single reducer processes more than an even 1/P share — and a "
+    "needs_salt flag (factor >= 2). All integer ceil-division via "
+    "cross-multiplication with decimal headroom (top1*200 wraps int64 "
+    "around 4.6e16 rows otherwise). Scale: one map-side-combined "
+    "groupBy per key column feeding a plain scalar aggregate — no "
+    "window, no sort, nothing single-partition beyond one row",
+    tags=("agg", "report", "skew"),
+)
+def salt_plan_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    parts = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        cnts = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        parts.append(
+            cnts.agg(
+                F.lit(col).alias("key_name"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("top1_cnt"),
+                F.expr(
+                    "cast(least((cast(max(cnt) as decimal(19,0)) * 200"
+                    " + sum(cnt) - 1) div sum(cnt), 200) as bigint)"
+                ).alias("salt_factor"),
+                F.expr(
+                    "cast(case when (cast(max(cnt) as decimal(19,0))"
+                    " * 200 + sum(cnt) - 1) div sum(cnt) >= 2"
+                    " then 1 else 0 end as bigint)"
+                ).alias("needs_salt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -599,3 +599,76 @@ class TestRound5LateOpsPlans:
         plan = plan_of(spark, "embedding_norm_outliers", execute=True)
         assert "SortMergeJoin" not in plan
         assert count(r"BroadcastExchange", plan) >= 1
+
+
+class TestR7OpPlans:
+    """Physical-plan gates for the round-7 operators."""
+
+    def test_pair_budget_pure_aggregates(self, spark):
+        # one shingle groupBy feeding a scalar aggregate, one doc-count
+        # one-row broadcast cross — no join of two data-sized sides
+        plan = plan_of(spark, "jaccard_pair_budget", execute=True)
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_banded_fallback_bucket_keyed(self, spark):
+        # band joins and verify joins are equi-keyed; nested-loop joins
+        # only as one-row broadcast shapes
+        plan = plan_of(spark, "dedup_banded_fallback", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            ctx = plan[m.start() : m.start() + 60]
+            assert "BuildRight" in ctx or "IdentityBroadcast" in ctx
+
+    def test_salt_plan_no_windows(self, spark):
+        # same contract as the rewritten key_skew_report: plain
+        # map-side-combined aggregates, zero Window nodes
+        plan = plan_of(spark, "salt_plan_report", execute=True)
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+
+    def test_type_drift_single_pass(self, spark):
+        # one scan, one keyed aggregate — no join, no window, and the
+        # json extraction stays inside whole-stage codegen
+        plan = plan_of(spark, "cdc_type_drift_report", execute=True)
+        assert "Window" not in plan
+        assert "Join" not in plan
+        # '*(n)' prefixes mark whole-stage-codegen spans
+        assert count(r"\*\(\d+\)", plan) >= 1
+
+    def test_pmi_takeordered_no_forced_broadcast_of_vocab(self, spark):
+        # top-20 via TakeOrderedAndProject (distributed top-k); the
+        # vocab joins are equi-keyed (AQE picks the strategy); only
+        # one-row totals are nested-loop broadcast crosses
+        plan = plan_of(spark, "top_ngram_pmi", execute=True)
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+        for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+            ctx = plan[m.start() : m.start() + 60]
+            assert "BuildRight" in ctx or "IdentityBroadcast" in ctx
+
+    def test_prefix_dup_single_groupby(self, spark):
+        plan = plan_of(spark, "doc_prefix_dup_report", execute=True)
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+
+    def test_centroid_shift_broadcast_dim_table(self, spark):
+        # the per-dim global table (|dims| rows) broadcasts back; the
+        # big side never sort-merges
+        plan = plan_of(spark, "embedding_centroid_shift", execute=True)
+        assert "SortMergeJoin" not in plan
+        assert count(r"BroadcastExchange", plan) >= 1
+        assert "Window" not in plan
+
+    def test_ann_lsh_equi_keyed_candidates(self, spark):
+        # bucket joins are hash-keyed; the per-query top-5 window is
+        # group-limited, never global
+        plan = plan_of(spark, "ann_lsh_topk", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
