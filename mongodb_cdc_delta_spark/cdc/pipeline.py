@@ -466,8 +466,11 @@ def locked_parse_schema(t):
     after normalize_extended_json a $date is either a bare millis number
     or an ISO string, and from_json coerces both JSON tokens to string —
     then `locked_cast_rule` disambiguates by shape. Everything else
-    parses as its target type directly."""
-    from pyspark.sql.types import ArrayType
+    parses as its target type directly. Recurses through every container
+    type that can carry a timestamp — struct, array, AND map (ADVICE r6:
+    a pinned map<_, timestamp> previously kept TimestampType in the
+    parse schema, so epoch-millis wire forms silently nulled)."""
+    from pyspark.sql.types import ArrayType, MapType
 
     if isinstance(t, TimestampType):
         return StringType()
@@ -480,6 +483,10 @@ def locked_parse_schema(t):
         )
     if isinstance(t, ArrayType):
         return ArrayType(locked_parse_schema(t.elementType), True)
+    if isinstance(t, MapType):
+        # JSON map keys are always strings on the wire; only the value
+        # type can hide a timestamp
+        return MapType(t.keyType, locked_parse_schema(t.valueType), True)
     return t
 
 
@@ -508,6 +515,13 @@ class IngestStats:
     #: tables whose stored schema widened this batch (reference
     #: prometheus_metrics.py schema-evolution counter)
     schema_evolutions: list[str] = field(default_factory=list)
+    #: LOCKED mode only (ADVICE r6): per table, rows where a pinned
+    #: top-level field was PRESENT on the wire but parsed to NULL under
+    #: the pinned type (value-level type drift — e.g. a producer starts
+    #: sending strings where the table has long). LOCKED never evolves
+    #: the table, so without this counter that drift is silent NULL
+    #: data loss; with it, governance can alert on the first bad batch.
+    type_drift_rows: dict[str, int] = field(default_factory=dict)
 
 
 class CDCIngestor:
@@ -718,10 +732,12 @@ class CDCIngestor:
                     self._ingest_collection(clean, key, sch, batch_id)
                     for key, sch in items
                 ]
-            for table_name, res, evolved in results:
+            for table_name, res, evolved, drift_rows in results:
                 stats.collections[table_name] = res
                 if evolved:
                     stats.schema_evolutions.append(table_name)
+                if drift_rows:
+                    stats.type_drift_rows[table_name] = drift_rows
             stats.dlq_rows = n_dlq
             if n_dlq:
                 # rate guard (reference dlq_writer.py:121-332 limits DLQ
@@ -770,9 +786,10 @@ class CDCIngestor:
         key: tuple[str, str],
         schemas: tuple[StructType, StructType],
         batch_id: int | None,
-    ) -> tuple[str, dict, bool]:
+    ) -> tuple[str, dict, bool, int]:
         """Route + evolve + append one collection's slice of the batch.
-        Returns (table_name, append result, schema_evolved)."""
+        Returns (table_name, append result, schema_evolved,
+        type_drift_rows) — the last is LOCKED-mode-only and 0 elsewhere."""
         db, coll = key
         doc_schema, parse_schema = schemas
         table_name = f"{db}_{coll}"
@@ -792,10 +809,45 @@ class CDCIngestor:
             F.col("doc").contains('"$'),
             normalize_extended_json(F.col("doc")),
         ).otherwise(F.col("doc"))
-        parsed_rows = sub.select(
-            F.from_json(normalized, parse_schema).alias("d"),
-            *CDC_META_COLUMNS,
-        ).select("d.*", *CDC_META_COLUMNS)
+        obs = None
+        if self.mode == MergeMode.LOCKED:
+            # ADVICE r6: in LOCKED mode a producer's value-level type
+            # drift (wire token present, pinned-type from_json nulls it)
+            # was silent NULL data loss. Probe every pinned top-level
+            # field — wire token non-null AND parsed value null — and
+            # sum via observe(), which piggybacks the metric on the
+            # append job itself: zero extra Spark jobs on the hot path.
+            from pyspark.sql import Observation
+
+            parsed_rows = sub.select(
+                F.from_json(normalized, parse_schema).alias("d"),
+                normalized.alias("__wire"),
+                *CDC_META_COLUMNS,
+            ).select("d.*", "__wire", *CDC_META_COLUMNS)
+            drift_row_flag = (
+                sum(
+                    (
+                        F.get_json_object(
+                            F.col("__wire"), f"$.{f.name}"
+                        ).isNotNull()
+                        & F.col(f.name).isNull()
+                    ).cast("int")
+                    for f in parse_schema.fields
+                )
+                > 0
+            ).cast("int")
+            obs = Observation()
+            parsed_rows = parsed_rows.observe(
+                obs,
+                F.coalesce(F.sum(drift_row_flag), F.lit(0)).alias(
+                    "type_drift_rows"
+                ),
+            ).drop("__wire")
+        else:
+            parsed_rows = sub.select(
+                F.from_json(normalized, parse_schema).alias("d"),
+                *CDC_META_COLUMNS,
+            ).select("d.*", *CDC_META_COLUMNS)
         # millis-longs → timestamps + align to the merged schema; in
         # LOCKED mode the parse schema read timestamps as strings (wire
         # form unknown without inference), so the rule also resolves
@@ -822,7 +874,13 @@ class CDCIngestor:
         # (cdc-current-<table>, batch_id) makes re-merges no-ops.
         if self.materialize_current:
             self._merge_current_state(table_name, rows, batch_id)
-        return table_name, res, evolved
+        drift_rows = 0
+        if obs is not None and not res.get("skipped"):
+            # the append executed, so the observed metric is available
+            # without blocking (a skipped duplicate txn runs no job and
+            # the observation never fires — reading it would hang)
+            drift_rows = int(obs.get.get("type_drift_rows") or 0)
+        return table_name, res, evolved, drift_rows
 
     def _merge_current_state(
         self, table_name: str, rows: DataFrame, batch_id: int | None

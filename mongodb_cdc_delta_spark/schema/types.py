@@ -57,7 +57,13 @@ class MergeMode(str, Enum):
     #: Unknown fields in incoming documents are ignored; a collection
     #: without an existing table is a configuration error (create it
     #: with one AUTO/STRICT batch first). merge_schemas(LOCKED) raises
-    #: on ANY field/type difference.
+    #: on ANY field/type difference. Value-level type drift on an
+    #: EXISTING field (e.g. a producer starts sending strings where the
+    #: table has long) does NOT raise: the pinned-type parse nulls the
+    #: value (from_json coercion), the row still lands, and the batch
+    #: reports the affected row count per table in
+    #: IngestStats.type_drift_rows so governance can alert — LOCKED
+    #: never lets drift mutate the schema, and never hides the loss.
     LOCKED = "locked"
 
 

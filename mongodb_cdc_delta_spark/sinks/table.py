@@ -1104,6 +1104,14 @@ class LakeTable:
             write_schema = StructType.fromJson(snap.schemas[idx])
             paths = [os.path.join(self.root, f) for f in group]
             try:
+                # aggregate row positions per file EXECUTOR-side
+                # (map-side-combined groupBy on the file path): the
+                # driver collects one row per touched file carrying the
+                # sorted position array, never a row per deleted row —
+                # a wide predicate delete at 100x no longer funnels
+                # millions of (path, index) Rows through py4j (r6
+                # verdict finding #2). The per-file arrays are the
+                # commit payload either way (the log stores them).
                 hits = (
                     self.spark.read.schema(write_schema)
                     .option("basePath", self.root)
@@ -1112,6 +1120,12 @@ class LakeTable:
                     .select(
                         F.col("_metadata.file_path").alias("__p"),
                         F.col("_metadata.row_index").alias("__i"),
+                    )
+                    .groupBy("__p")
+                    .agg(
+                        F.sort_array(F.collect_list("__i")).alias(
+                            "__idx"
+                        )
                     )
                     .collect()
                 )
@@ -1124,16 +1138,15 @@ class LakeTable:
                 if cond and "UNRESOLVED_COLUMN" in cond:
                     continue
                 raise
-            per_file: dict[str, set[int]] = {}
             for r in hits:
                 p = r["__p"]
                 if p.startswith("file:"):
                     p = p[len("file:"):]
                 rel = os.path.relpath(os.path.realpath(p), root_real)
-                per_file.setdefault(rel, set()).add(int(r["__i"]))
-            for rel, positions in per_file.items():
-                merged = set(snap.file_dvs.get(rel, ())) | positions
-                rows_deleted += len(merged) - len(snap.file_dvs.get(rel, ()))
+                merged = set(snap.file_dvs.get(rel, ()))
+                before = len(merged)
+                merged.update(int(i) for i in r["__idx"])
+                rows_deleted += len(merged) - before
                 new_dv[rel] = sorted(merged)
         if not new_dv:
             return {

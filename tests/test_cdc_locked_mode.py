@@ -153,3 +153,65 @@ class TestLockedMode:
         assert merge_schemas(s1, s1, MergeMode.LOCKED) == s1
         with pytest.raises(SchemaEvolutionError, match="LOCKED"):
             merge_schemas(s1, s2, MergeMode.LOCKED)
+
+    def test_type_drift_counter(self, spark, tmp_path):
+        # ADVICE r6: a producer drifting an existing field's TYPE (string
+        # where the table has long) must not be silent — the rows land
+        # (value nulled by the pinned parse) and the batch reports the
+        # affected row count per table.
+        root = str(tmp_path / "lake")
+        boot = CDCIngestor(spark, root, mode=MergeMode.AUTO)
+        boot.ingest_batch(_events_df(spark, 0, 10), batch_id=0)
+
+        locked = CDCIngestor(spark, root, mode=MergeMode.LOCKED)
+        good = [_event(i) for i in range(10, 15)]
+        drifted = [
+            _event(i, extra={"n": f"not-a-number-{i}"})
+            for i in range(15, 18)
+        ]
+        df = spark.createDataFrame(good + drifted, "value string")
+        stats = locked.ingest_batch(df, batch_id=1)
+
+        assert stats.type_drift_rows == {"d_items": 3}
+        t = locked.table("d_items")
+        assert t.read().count() == 18
+        # drifted rows landed with n nulled, schema unchanged
+        assert t.read().where("n IS NULL").count() == 3
+        assert stats.schema_evolutions == []
+
+        # a clean LOCKED batch reports nothing
+        stats2 = locked.ingest_batch(
+            _events_df(spark, 18, 22), batch_id=2
+        )
+        assert stats2.type_drift_rows == {}
+
+        # replayed (skipped) txn: no job runs, counter stays empty and
+        # the observation read must not hang
+        stats3 = locked.ingest_batch(
+            _events_df(spark, 18, 22), batch_id=2
+        )
+        assert stats3.type_drift_rows == {}
+
+    def test_locked_parse_schema_recurses_maps(self):
+        # ADVICE r6: map<_, timestamp> must parse as map<_, string> so
+        # the digit-string cast rule sees the wire token
+        from pyspark.sql.types import MapType, TimestampType
+        from mongodb_cdc_delta_spark.cdc.pipeline import (
+            locked_parse_schema,
+        )
+
+        pinned = StructType(
+            [
+                StructField(
+                    "m",
+                    MapType(StringType(), TimestampType(), True),
+                    True,
+                ),
+                StructField("t", TimestampType(), True),
+            ]
+        )
+        got = locked_parse_schema(pinned)
+        assert got["m"].dataType == MapType(
+            StringType(), StringType(), True
+        )
+        assert got["t"].dataType == StringType()

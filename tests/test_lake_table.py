@@ -744,3 +744,49 @@ class TestMetadataMinMax:
 
         with _pt.raises(ValueError, match="no such column"):
             t.min_max("nope")
+
+
+def test_dv_wide_delete_collects_per_file_not_per_row(spark, lake, monkeypatch):
+    # r7 (r6 verdict finding #2): a wide predicate DELETE must never
+    # funnel one driver Row per deleted row through collect() — the
+    # positions aggregate per file executor-side and the driver sees
+    # one row per touched file. 4 files x 2,000 rows, delete 75%.
+    t = LakeTable(spark, lake + "/dvwide")
+    rows = [(i, i % 4) for i in range(8000)]
+    t.append(
+        _df(spark, rows, "id long, bucket long").repartition(4, "bucket")
+    )
+    n_files = len(t._replay().files)
+    assert n_files >= 2
+
+    # Spark 4: the session returns pyspark.sql.classic DataFrames whose
+    # collect() overrides the base class — patch the concrete class
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql import DataFrame
+
+    collected_sizes: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spy_collect(self):
+        out = real_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    res = t.delete_where("id % 4 != 0", deletion_vectors=True)
+    monkeypatch.undo()
+
+    assert res["rows_deleted"] == 6000
+    assert collected_sizes, "DV path must go through collect()"
+    assert max(collected_sizes) <= n_files, (
+        f"driver collected {max(collected_sizes)} rows for "
+        f"{n_files} files — positions are not aggregating per file"
+    )
+    assert t.read().count() == 2000
+    assert t.read().where("id % 4 != 0").count() == 0
+    # merge with an existing vector still exact after the rewrite
+    res2 = t.delete_where("id % 8 = 0", deletion_vectors=True)
+    assert res2["rows_deleted"] == 1000
+    assert t.read().count() == 1000
