@@ -725,7 +725,9 @@ def main() -> None:
     # truncated tail), so the big per-query dicts go FIRST and every
     # headline scalar goes LAST — a tail capture then always contains
     # the full summary. The complete payload is also written to
-    # bench_last.json so per-query numbers survive in the repo.
+    # bench_last.json (gitignored since r7 — the grading driver
+    # overwrites it after round close, so the committed round record
+    # is an explicitly copied bench_official_r{N}.json instead).
     payload = {
         "metric": "headline_query_total_runtime",
         "unit": "sec",
