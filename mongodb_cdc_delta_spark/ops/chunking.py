@@ -243,16 +243,56 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     description="fuzzy near-dup candidates: Levenshtein distance over "
     "40-char prefixes within (lang, source) blocks — O(block²) bounded by "
     "the blocking key, exact integer distances on both engines; the "
-    "edit-distance rescoring stage that follows cheap candidate blocking",
+    "edit-distance rescoring stage that follows cheap candidate blocking. "
+    "Scale guard (r7): (lang, source) cardinality is FIXED while blocks "
+    "grow linearly with the corpus, so the pair space is genuinely "
+    "quadratic in rows (measured 40.9x wall at 10x rows — ~100x pairs, "
+    "sublinear in pair work). A one-aggregate pre-pass computes the "
+    "exact block-pair space and raises above the budget with a pointer "
+    "to the banded-LSH path, the same self-protection as the "
+    "exact-Jaccard family",
     tags=("text", "dedup", "fuzzy"),
 )
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return fuzzy_levenshtein_pairs_guarded(spark, sf)
+
+
+#: each surviving pair runs a banded 40x25 edit-distance kernel — far
+#: heavier than a hash-join row, so the budget sits well below the
+#: Jaccard family's (50M pairs ~= a few minutes on 32 cores).
+FUZZY_PAIR_BUDGET = 50_000_000
+
+
+def fuzzy_levenshtein_pairs_guarded(
+    spark: SparkSession, sf: str, pair_budget: int | None = FUZZY_PAIR_BUDGET
+) -> DataFrame:
     d = load(spark, sf, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.substring("text", 1, 40).alias("head"),
     )
+    if pair_budget is not None:
+        est = (
+            d.groupBy("lang", "source")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+                ).alias("pairs")
+            )
+            .collect()[0]["pairs"]
+        )
+        if int(est) > pair_budget:
+            raise RuntimeError(
+                f"fuzzy_levenshtein_pairs: block-pair space {est:,} "
+                f"exceeds budget {pair_budget:,} — (lang, source) "
+                "blocks grow linearly with the corpus, so this exact "
+                "O(block^2) rescoring is quadratic in rows; use the "
+                "banded-LSH candidate path (dedup_banded_fallback / "
+                "dedup_minhash_lsh) to generate candidates and rescore "
+                "only those, or raise pair_budget explicitly"
+            )
     # a 1-file corpus reads as ONE input partition, and a broadcast join
     # inherits the streamed side's parallelism — without this spread every
     # edit distance runs in a single task; 5k rows make the Exchange free

@@ -1944,14 +1944,17 @@ def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
             "c_custkey",
             "c_nationkey",
             "bal_quartile",
+            # cast rn BEFORE the multiply: row_number is int32, and
+            # rn * 1000000 overflows at rn > 2147 (ANSI raises — found
+            # live by the r7 10x scaling battery on 6k-row partitions)
             F.when(F.col("cnt") == 1, F.lit(0).cast("long"))
             .otherwise(
                 F.expr(
-                    "cast((rn - 1) * 1000000 as bigint) div (cnt - 1)"
+                    "cast(rn - 1 as bigint) * 1000000 div (cnt - 1)"
                 )
             )
             .alias("pct_rank_ppm"),
-            F.expr("cast(rn * 1000000 as bigint) div cnt").alias(
+            F.expr("cast(rn as bigint) * 1000000 div cnt").alias(
                 "cume_ppm"
             ),
         )

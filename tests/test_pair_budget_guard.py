@@ -166,3 +166,48 @@ class TestGuardFallback:
             _jaccard_pair_counts(
                 docs, pair_budget=10, on_budget="not-a-mode"
             )
+
+
+class TestFuzzyLevenshteinGuard:
+    def test_block_pair_space_guard_both_ways(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [(i, f"document body number {i}") for i in range(40)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    # ONE block: 40 docs -> C(40,2) = 780 pairs
+                    "lang": pa.array(["en"] * 40, pa.string()),
+                    "source": pa.array(["s0"] * 40, pa.string()),
+                    "n_chars": pa.array(
+                        [len(r[1]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        from mongodb_cdc_delta_spark.ops.chunking import (
+            fuzzy_levenshtein_pairs_guarded,
+        )
+
+        with pytest.raises(RuntimeError, match="block-pair space"):
+            fuzzy_levenshtein_pairs_guarded(
+                spark, str(tmp_path), pair_budget=100
+            ).collect()
+        # under budget: identical rows to the unguarded path
+        guarded = sorted(
+            tuple(r)
+            for r in fuzzy_levenshtein_pairs_guarded(
+                spark, str(tmp_path), pair_budget=10**6
+            ).collect()
+        )
+        unguarded = sorted(
+            tuple(r)
+            for r in fuzzy_levenshtein_pairs_guarded(
+                spark, str(tmp_path), pair_budget=None
+            ).collect()
+        )
+        assert guarded == unguarded and len(guarded) > 0
