@@ -493,7 +493,10 @@ def locked_parse_schema(t):
 def locked_cast_rule(col, src, dst):
     """millis_cast_rule plus the LOCKED string→timestamp disambiguation:
     an all-digits string is epoch millis, anything else is a datetime
-    literal for CAST (ISO-8601 forms)."""
+    literal (ISO-8601 forms) via try_cast — a producer drifting a pinned
+    timestamp field to garbage must degrade to NULL (which the post-cast
+    type-drift probe COUNTS) rather than raise mid-batch under ANSI and
+    take every collection in the micro-batch down with it."""
     got = millis_cast_rule(col, src, dst)
     if got is not None:
         return got
@@ -501,7 +504,7 @@ def locked_cast_rule(col, src, dst):
         return F.when(
             col.rlike(r"^-?\d+$"),
             F.timestamp_millis(col.cast("bigint")),
-        ).otherwise(col.cast("timestamp"))
+        ).otherwise(col.try_cast("timestamp"))
     return None
 
 
@@ -811,38 +814,11 @@ class CDCIngestor:
         ).otherwise(F.col("doc"))
         obs = None
         if self.mode == MergeMode.LOCKED:
-            # ADVICE r6: in LOCKED mode a producer's value-level type
-            # drift (wire token present, pinned-type from_json nulls it)
-            # was silent NULL data loss. Probe every pinned top-level
-            # field — wire token non-null AND parsed value null — and
-            # sum via observe(), which piggybacks the metric on the
-            # append job itself: zero extra Spark jobs on the hot path.
-            from pyspark.sql import Observation
-
             parsed_rows = sub.select(
                 F.from_json(normalized, parse_schema).alias("d"),
                 normalized.alias("__wire"),
                 *CDC_META_COLUMNS,
             ).select("d.*", "__wire", *CDC_META_COLUMNS)
-            drift_row_flag = (
-                sum(
-                    (
-                        F.get_json_object(
-                            F.col("__wire"), f"$.{f.name}"
-                        ).isNotNull()
-                        & F.col(f.name).isNull()
-                    ).cast("int")
-                    for f in parse_schema.fields
-                )
-                > 0
-            ).cast("int")
-            obs = Observation()
-            parsed_rows = parsed_rows.observe(
-                obs,
-                F.coalesce(F.sum(drift_row_flag), F.lit(0)).alias(
-                    "type_drift_rows"
-                ),
-            ).drop("__wire")
         else:
             parsed_rows = sub.select(
                 F.from_json(normalized, parse_schema).alias("d"),
@@ -859,7 +835,58 @@ class CDCIngestor:
             if self.mode == MergeMode.LOCKED
             else millis_cast_rule
         )
-        rows = cast_to_schema(parsed_rows, full_target, scalar_rule=rule)
+        if self.mode == MergeMode.LOCKED:
+            # ADVICE r6 + r7 review: value-level type drift in LOCKED
+            # mode (wire token present, value nulled by the pinned-type
+            # parse OR by the pinned-type cast — timestamps parse as
+            # strings, so cast-level nulling is the only signal for
+            # them) must not be silent. The raw envelope rides through
+            # the cast as a passthrough column; the probe compares the
+            # wire token against the FINAL post-cast value and sums via
+            # observe(), which piggybacks the metric on the append job
+            # itself — zero extra Spark jobs on the hot path. Fields
+            # whose names JSONPath can't address verbatim (dots,
+            # quotes — legal in MongoDB) are skipped from the probe
+            # rather than miscounted.
+            from pyspark.sql import Observation
+
+            cast_target = StructType(
+                list(full_target.fields)
+                + [StructField("__wire", StringType(), True)]
+            )
+            rows = cast_to_schema(
+                parsed_rows, cast_target, scalar_rule=rule
+            )
+            probed = [
+                f.name
+                for f in doc_schema.fields
+                if "." not in f.name
+                and "'" not in f.name
+                and '"' not in f.name
+            ]
+            if probed:
+                drift_row_flag = (
+                    sum(
+                        (
+                            F.get_json_object(
+                                F.col("__wire"), f"$.{name}"
+                            ).isNotNull()
+                            & F.col(name).isNull()
+                        ).cast("int")
+                        for name in probed
+                    )
+                    > 0
+                ).cast("int")
+                obs = Observation()
+                rows = rows.observe(
+                    obs,
+                    F.coalesce(F.sum(drift_row_flag), F.lit(0)).alias(
+                        "type_drift_rows"
+                    ),
+                )
+            rows = rows.drop("__wire")
+        else:
+            rows = cast_to_schema(parsed_rows, full_target, scalar_rule=rule)
         txn = (f"cdc-{table_name}", batch_id) if batch_id is not None else None
         res = self._guarded_append(
             table,

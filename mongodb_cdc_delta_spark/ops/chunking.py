@@ -274,7 +274,14 @@ def fuzzy_levenshtein_pairs_guarded(
     )
     if pair_budget is not None:
         est = (
-            d.groupBy("lang", "source")
+            # null blocking keys can never satisfy the equi-join
+            # (NULL == NULL is not true), so they contribute zero pairs
+            # — counting them would spuriously trip the guard on
+            # corpora with many lang/source-less documents
+            d.where(
+                F.col("lang").isNotNull() & F.col("source").isNotNull()
+            )
+            .groupBy("lang", "source")
             .agg(F.count("*").alias("n"))
             .agg(
                 F.coalesce(

@@ -269,7 +269,9 @@ def _jaccard_pair_counts(
 
     Self-protection (r7, from the r6 10x scaling battery): before the
     self-join runs, a one-scalar aggregate over the shingle-df table
-    computes the exact candidate-pair space Sigma C(min(df, cap), 2).
+    computes the exact candidate-pair space Sigma_{df<=cap} C(df, 2)
+    (above-cap shingles are DROPPED by the pipeline, so they
+    contribute zero pairs, not C(cap, 2)).
     Above ``pair_budget`` the run either raises
     ``JaccardPairBudgetExceeded`` (``on_budget="raise"``, default) or
     logs a warning and reroutes through ``_banded_pair_counts``
@@ -284,10 +286,17 @@ def _jaccard_pair_counts(
     if max_shingle_df is not None or pair_budget is not None:
         dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
         if pair_budget is not None:
+            # persist ONLY for the duration of the estimate action, then
+            # release immediately: the keep-filter below recomputes the
+            # df table lazily inside the main job (the unguarded path's
+            # cost), instead of leaking one persisted dataset per call
+            # for the session's lifetime (r7 review finding)
             dfs = dfs.persist()
-            est = estimate_capped_pairs(dfs, max_shingle_df)
-            if est > pair_budget:
+            try:
+                est = estimate_capped_pairs(dfs, max_shingle_df)
+            finally:
                 dfs.unpersist()
+            if est > pair_budget:
                 if on_budget == "fallback":
                     import warnings
 

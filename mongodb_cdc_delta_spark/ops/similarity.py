@@ -1103,12 +1103,17 @@ def matryoshka_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     "embedding_centroid_shift",
     oracle="""
     WITH comps AS (
-      SELECT label, r.dim AS dim,
-             CAST(floor(e[r.dim] * 1000000) AS BIGINT) AS c
-      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings) t,
-           range(1, 129) r(dim)
-      WHERE r.dim <= len(e)
+      SELECT label, u.dim AS dim, u.c AS c
+      FROM (
+        SELECT label,
+               unnest(list_transform(generate_series(1, len(e)),
+                      i -> {'dim': i,
+                            'c': CAST(floor(e[i] * 1000000)
+                                      AS BIGINT)}),
+                      recursive := true)
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) t
+      ) u
     ),
     per_label AS (
       SELECT label, dim, sum(c) AS s_l, count(*) AS n_l
@@ -1217,9 +1222,16 @@ _LSH_COEFF_VALUES = ",\n      ".join(
       FROM embeddings
     ),
     comps AS (
-      SELECT vec_id, r.dim AS dim,
-             CAST(floor(e[r.dim] * 1000000) AS BIGINT) AS m
-      FROM emb, range(1, 129) r(dim) WHERE r.dim <= len(e)
+      SELECT u.vec_id, u.dim, u.m
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(e)),
+                      i -> {{'dim': i,
+                             'm': CAST(floor(e[i] * 1000000)
+                                       AS BIGINT)}}),
+                      recursive := true)
+        FROM emb
+      ) u
     ),
     dots AS (
       SELECT vec_id, j,

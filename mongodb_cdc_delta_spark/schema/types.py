@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     NullType,
     ShortType,
     StringType,
@@ -271,6 +272,17 @@ def _cast_expr(col, src: DataType, dst: DataType, scalar_rule=None):
         return F.transform(
             col,
             lambda x: _cast_expr(x, src.elementType, dst.elementType, scalar_rule),
+        ).cast(dst)
+    if isinstance(src, MapType) and isinstance(dst, MapType):
+        # recurse on values so scalar_rule reaches map payloads (LOCKED
+        # parses map<_, timestamp> as map<_, string>; a plain .cast here
+        # would bypass the digit-string disambiguation — epoch-millis map
+        # values then raise under ANSI instead of converting)
+        return F.transform_values(
+            col,
+            lambda _k, v: _cast_expr(
+                v, src.valueType, dst.valueType, scalar_rule
+            ),
         ).cast(dst)
     if scalar_rule is not None:
         custom = scalar_rule(col, src, dst)

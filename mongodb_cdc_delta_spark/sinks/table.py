@@ -1107,7 +1107,8 @@ class LakeTable:
                 # aggregate row positions per file EXECUTOR-side
                 # (map-side-combined groupBy on the file path): the
                 # driver collects one row per touched file carrying the
-                # sorted position array, never a row per deleted row —
+                # position array (order-free — the driver set-merges
+                # and sorts once anyway), never a row per deleted row —
                 # a wide predicate delete at 100x no longer funnels
                 # millions of (path, index) Rows through py4j (r6
                 # verdict finding #2). The per-file arrays are the
@@ -1122,11 +1123,7 @@ class LakeTable:
                         F.col("_metadata.row_index").alias("__i"),
                     )
                     .groupBy("__p")
-                    .agg(
-                        F.sort_array(F.collect_list("__i")).alias(
-                            "__idx"
-                        )
-                    )
+                    .agg(F.collect_list("__i").alias("__idx"))
                     .collect()
                 )
             except AnalysisException as e:

@@ -215,3 +215,68 @@ class TestLockedMode:
             StringType(), StringType(), True
         )
         assert got["t"].dataType == StringType()
+
+    def test_timestamp_drift_is_counted_not_fatal(self, spark, tmp_path):
+        # r7 review: a pinned TIMESTAMP field parses as string, so
+        # from_json can't null it — drift shows only at the CAST. The
+        # probe compares wire vs the FINAL value, and the cast is
+        # try_cast so garbage degrades to counted NULL instead of an
+        # ANSI raise that kills the whole batch.
+        root = str(tmp_path / "lake")
+        boot = CDCIngestor(spark, root, mode=MergeMode.AUTO)
+        boot.ingest_batch(_events_df(spark, 0, 10), batch_id=0)
+
+        locked = CDCIngestor(spark, root, mode=MergeMode.LOCKED)
+        good = [_event(i) for i in range(10, 14)]
+        drifted = [
+            _event(
+                i,
+                extra={"created": f"not a timestamp {i}"},
+            )
+            for i in range(14, 17)
+        ]
+        df = spark.createDataFrame(good + drifted, "value string")
+        stats = locked.ingest_batch(df, batch_id=1)
+        assert stats.type_drift_rows == {"d_items": 3}
+        t = locked.table("d_items")
+        assert t.read().count() == 17
+        assert t.read().where("created IS NULL").count() == 3
+        # valid rows still carry real timestamps in both wire forms
+        assert (
+            t.read().where("created IS NOT NULL").count() == 14
+        )
+
+    def test_locked_map_timestamp_values_convert(self, spark):
+        # r7 review: _cast_expr previously fell through to a plain
+        # .cast for MapType, bypassing locked_cast_rule — epoch-millis
+        # map values then raised under ANSI. Pin the full cast path:
+        # map<string,string> wire values -> map<string,timestamp>.
+        from mongodb_cdc_delta_spark.cdc.pipeline import locked_cast_rule
+        from mongodb_cdc_delta_spark.schema.types import cast_to_schema
+        from pyspark.sql.types import (
+            MapType,
+            StructField as SF,
+            StructType as ST,
+            TimestampType,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (
+                    {
+                        "a": "1700000000000",
+                        "b": "2024-03-01 12:00:00",
+                        "c": "garbage",
+                    },
+                )
+            ],
+            ST([SF("m", MapType(StringType(), StringType(), True), True)]),
+        )
+        target = ST(
+            [SF("m", MapType(StringType(), TimestampType(), True), True)]
+        )
+        out = cast_to_schema(df, target, scalar_rule=locked_cast_rule)
+        row = out.collect()[0]["m"]
+        assert row["a"] is not None and row["a"].year == 2023
+        assert row["b"] is not None and row["b"].year == 2024
+        assert row["c"] is None  # drifted value degrades, never raises
