@@ -36,6 +36,7 @@ filter → append, exactly what the 10k events/s/collection target
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
@@ -857,12 +858,16 @@ class CDCIngestor:
             rows = cast_to_schema(
                 parsed_rows, cast_target, scalar_rule=rule
             )
+            # Allowlist probe-safe names (r7 ADVICE): JSONPath has more
+            # metacharacters than the old '.'/quote denylist covered
+            # ('[', ']', '*', '$', whitespace — all legal in MongoDB
+            # field names); get_json_object on such a path is
+            # engine-defined, so those fields are SKIPPED from the
+            # probe rather than mis-probed.
             probed = [
                 f.name
                 for f in doc_schema.fields
-                if "." not in f.name
-                and "'" not in f.name
-                and '"' not in f.name
+                if re.fullmatch(r"[A-Za-z0-9_]+", f.name)
             ]
             if probed:
                 drift_row_flag = (

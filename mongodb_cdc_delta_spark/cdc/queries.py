@@ -153,10 +153,9 @@ def cdc_stale_split(spark: SparkSession, sf: str) -> DataFrame:
              AS k_wire_nonnull,
            CAST(sum(CASE WHEN json_extract_string(props, '$.k')
                               IS NOT NULL
-                          AND (regexp_matches(
+                          AND NOT regexp_matches(
                                  json_extract_string(props, '$.k'),
-                                 '[^0-9-]')
-                               OR json_extract_string(props, '$.k') = '')
+                                 '^-?[0-9]+$')
                          THEN 1 ELSE 0 END) AS BIGINT) AS k_type_drift,
            CAST(sum(CASE WHEN json_extract_string(props, '$.u')
                          IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -171,10 +170,13 @@ def cdc_stale_split(spark: SparkSession, sf: str) -> DataFrame:
     "pinned type (value-level type drift — the data loss LOCKED mode "
     "otherwise ships without a signal) and the rows missing a pinned "
     "field entirely. Drift detection compares the RAW wire token "
-    "against the pinned type's lexical space (engine-identical "
-    "regex on a negated character class), not a parse result, so the "
-    "count is deterministic cross-engine. The streaming pipeline "
-    "emits the same counts per batch via IngestStats.type_drift_rows. "
+    "against the pinned type's full lexical form (anchored "
+    "'^-?[0-9]+$' — r7 ADVICE: catches in-character-class garbage "
+    "like '1-2', '-', '--3'), not a parse result, so the count is "
+    "deterministic cross-engine; out-of-int64-range digit strings "
+    "are lexically valid and NOT counted here, so this approximates "
+    "the streaming pipeline's parse-level "
+    "IngestStats.type_drift_rows probe (which does count them). "
     "Scale: one scan, one map-side-combined groupBy(event_type)",
     tags=("cdc", "quality", "report"),
 )
@@ -182,9 +184,7 @@ def cdc_type_drift_report(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     raw_k = F.get_json_object("props", "$.k")
     raw_u = F.get_json_object("props", "$.u")
-    k_drift = raw_k.isNotNull() & (
-        raw_k.rlike("[^0-9-]") | (raw_k == "")
-    )
+    k_drift = raw_k.isNotNull() & ~raw_k.rlike("^-?[0-9]+$")
     return ev.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(raw_k.isNotNull().cast("int"))

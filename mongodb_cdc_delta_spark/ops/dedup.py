@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 from ..queries import load, register, spread
 
 # ---------------------------------------------------------------------------
+# scoped cache registry (r7 ADVICE: persisted-dataset leak) — shared
+# machinery lives in ops/_cache.py; see its module docstring. Pipelines
+# here that cache an intermediate feeding multiple branches of one
+# lazily-returned plan use _scoped_cache under a @_cache_scoped function
+# so each new pipeline construction releases the previous generation.
+# ---------------------------------------------------------------------------
+
+from ._cache import cache_scoped as _cache_scoped
+from ._cache import release_all_caches as release_dedup_caches  # noqa: F401
+from ._cache import scoped_cache as _scoped_cache
+
+# ---------------------------------------------------------------------------
 # exact + normalized dedup (oracle-checked: md5 is identical across engines)
 # ---------------------------------------------------------------------------
 
@@ -203,6 +215,7 @@ def estimate_capped_pairs(
     return int(row["pairs"])
 
 
+@_cache_scoped
 def _banded_pair_counts(
     docs: DataFrame, n: int = 3, max_shingle_df: int | None = 100
 ) -> DataFrame:
@@ -229,7 +242,7 @@ def _banded_pair_counts(
             .select("sh")
         )
         sh = sh.join(keep, "sh", "left_semi")
-    sh = sh.cache()
+    sh = _scoped_cache(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     pb = sh.select(
@@ -254,6 +267,7 @@ def _banded_pair_counts(
     return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
+@_cache_scoped
 def _jaccard_pair_counts(
     docs: DataFrame,
     n: int = 3,
@@ -322,7 +336,7 @@ def _jaccard_pair_counts(
         if max_shingle_df is not None:
             keep = dfs.where(F.col("df") <= max_shingle_df).select("sh")
             sh = sh.join(keep, "sh", "left_semi")
-    sh = sh.cache()
+    sh = _scoped_cache(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -757,10 +771,11 @@ def minhash_estimate(
     "estimated Jaccard ≥ 0.2; all JVM-side expressions",
     tags=("dedup", "lsh"),
 )
+@_cache_scoped
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh = shingles(docs, n=3)
-    sigs = minhash_signatures(sh).cache()
+    sigs = _scoped_cache(minhash_signatures(sh))
     pairs = lsh_candidate_pairs(sigs)
     return minhash_estimate(sigs, pairs).where(F.col("est_jaccard") >= 0.2)
 
@@ -820,9 +835,10 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     "Hamming ≤ 3), then exact Hamming check via bit_count",
     tags=("dedup", "lsh"),
 )
+@_cache_scoped
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    fps = simhash(docs).cache()
+    fps = _scoped_cache(simhash(docs))
     blocks = fps.select(
         "doc_id",
         "simhash",
@@ -1887,6 +1903,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_cache_scoped
 def dup_spans(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1910,25 +1927,25 @@ def dup_spans(
     # planned catastrophically). cache, not localCheckpoint: checkpointing
     # compiles a second non-adaptive physical plan, which on this
     # expression-heavy pipeline took ~90s of pure planning at sf0.1.
-    pairs = pairs.cache()
+    pairs = _scoped_cache(pairs)
     pairs.count()
-    ids = (
+    ids = _scoped_cache(
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
         .distinct()
-        .cache()
     )
     ids.count()
     # materialize the per-doc hash arrays BEFORE exploding: Generate
     # directly over the interpreted HOF projection re-evaluates the heavy
     # array expression per output row (~90x at sf0.1); exploding from the
     # columnar cache evaluates it once per document
-    hashes = _poly_gram_hashes(spread(docs.join(ids, "doc_id")), k).cache()
+    hashes = _scoped_cache(
+        _poly_gram_hashes(spread(docs.join(ids, "doc_id")), k)
+    )
     hashes.count()
-    pos_grams = (
+    pos_grams = _scoped_cache(
         hashes.select("doc_id", F.posexplode("h").alias("pos0", "gh"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
-        .cache()
     )
     a = pos_grams.select(
         F.col("doc_id").alias("doc_a"),
@@ -2066,6 +2083,7 @@ _SHINGLE_POLY = (
 )
 
 
+@_cache_scoped
 def _portable_sigs_cands(docs: DataFrame):
     """Shared portable-minhash pipeline: distinct shingle hashes per doc,
     32-perm signatures (cached — feeds banding AND per-pair estimate),
@@ -2079,7 +2097,7 @@ def _portable_sigs_cands(docs: DataFrame):
         )
         for i, (a, b) in enumerate(_MH_PORTABLE_COEFFS)
     ]
-    sigs = sh.groupBy("doc_id").agg(*mins).cache()
+    sigs = _scoped_cache(sh.groupBy("doc_id").agg(*mins))
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -2445,6 +2463,7 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     "like the production LSH path.",
     tags=("dedup", "lsh", "report"),
 )
+@_cache_scoped
 def lsh_band_sweep_recall(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh, sigs, _cand = _portable_sigs_cands(docs)
@@ -2468,8 +2487,8 @@ def lsh_band_sweep_recall(spark: SparkSession, sf: str) -> DataFrame:
         .join(zb, "doc_b")
         .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
         .select("doc_a", "doc_b")
-        .cache()
     )
+    truth = _scoped_cache(truth)
     cand_parts = []
     for r in (2, 4, 8):
         band_keys = F.array(
@@ -2501,7 +2520,7 @@ def lsh_band_sweep_recall(spark: SparkSession, sf: str) -> DataFrame:
     cand_r = cand_parts[0]
     for p in cand_parts[1:]:
         cand_r = cand_r.unionByName(p)
-    cand_r = cand_r.cache()
+    cand_r = _scoped_cache(cand_r)
     ncand = cand_r.groupBy("r").agg(F.count("*").alias("n_cand"))
     caught = (
         cand_r.join(truth, ["doc_a", "doc_b"])

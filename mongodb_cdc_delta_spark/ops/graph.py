@@ -24,17 +24,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import load, register
+from ._cache import cache_scoped as _cache_scoped
+from ._cache import scoped_cache as _scoped_cache
 
 DAMPING = 0.85
 ITERS = 5
 
 
+@_cache_scoped
 def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     """(id, rank) from an undirected edge list (doc_a, doc_b).
 
     Normalized so ranks sum to 1 across vertices that appear in edges.
     """
-    sym = (
+    # scoped caches (ops/_cache.py): sym and verts stay cached THROUGH
+    # the caller's action on the returned plan — each iteration's contrib
+    # references sym, so an early unpersist (the pre-r8 shape) recomputed
+    # the whole upstream pair pipeline once per iteration at action time —
+    # and are released when the thread's next pipeline is constructed.
+    sym = _scoped_cache(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             edges.select(
@@ -42,11 +50,10 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
             )
         )
         .distinct()
-        .cache()
     )
     sym.count()
-    verts = (
-        sym.select(F.col("src").alias("id")).distinct().cache()
+    verts = _scoped_cache(
+        sym.select(F.col("src").alias("id")).distinct()
     )
     n = verts.count()
     if n == 0:
@@ -64,7 +71,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
             .groupBy("id")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = (
+        ranks = _scoped_cache(
             verts.join(contrib, "id", "left")
             .select(
                 "id",
@@ -74,10 +81,9 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
                     * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .cache()  # materialized by iteration i+1's first action;
-            # truncates recompute without paying an eager job per round
+            # materialized by iteration i+1's first action; truncates
+            # recompute without paying an eager job per round
         )
-    sym.unpersist()
     return ranks
 
 

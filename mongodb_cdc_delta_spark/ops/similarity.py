@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import load, register, spread
+from ._cache import cache_scoped as _cache_scoped
+from ._cache import scoped_cache as _scoped_cache
 
 
 def _dot(a, b):
@@ -1284,6 +1286,7 @@ _LSH_COEFF_VALUES = ",\n      ".join(
     "candidates — the classic sub-linear ANN shape",
     tags=("similarity", "topk", "lsh"),
 )
+@_cache_scoped
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1319,9 +1322,9 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col(f"dot{j}") > 0, F.lit(1 << (j - 8))).otherwise(0)
         for j in range(8, 16)
     )
-    buckets = dots.select(
-        "vec_id", b1.alias("b1"), b2.alias("b2")
-    ).cache()
+    buckets = _scoped_cache(
+        dots.select("vec_id", b1.alias("b1"), b2.alias("b2"))
+    )
     q = buckets.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("b1").alias("qb1"),

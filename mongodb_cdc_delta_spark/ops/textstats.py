@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import load, register
+from ._cache import cache_scoped as _cache_scoped
+from ._cache import scoped_cache as _scoped_cache
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -601,6 +603,7 @@ _TOK_POLY = (
     "the (token, count) table, not the raw stream",
     tags=("llm-pipeline", "sketch", "textstats"),
 )
+@_cache_scoped
 def cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -611,9 +614,9 @@ def cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    hashed = counts.select(
-        "tok", "cnt", F.expr(_TOK_POLY).alias("h")
-    ).cache()
+    hashed = _scoped_cache(
+        counts.select("tok", "cnt", F.expr(_TOK_POLY).alias("h"))
+    )
     probe_rows = []
     for i, (a, b) in enumerate(_CMS_COEFFS):
         probe_rows.append(

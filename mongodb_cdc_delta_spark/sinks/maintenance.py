@@ -115,6 +115,7 @@ def auto_maintain(
     run_vacuum: bool = True,
     auto_recluster: bool = True,
     recluster_min_overlap: float = DEFAULT_RECLUSTER_OVERLAP,
+    log_retain_commits: int | None = 10_000,
 ) -> dict[str, Any]:
     """Apply the plan: OPTIMIZE when small files or DV density tripped,
     then VACUUM (retention-gated). Returns what was done.
@@ -160,4 +161,12 @@ def auto_maintain(
         out["optimize"] = table.optimize()
     if run_vacuum and plan["vacuum"]:
         out["vacuum"] = table.vacuum(retention_hours=retention_hours)
+    if log_retain_commits is not None:
+        # Delta's logRetentionDuration expressed in commit count: bound
+        # the log directory on always-on streams (~260k commits/month at
+        # 10 s batches). Time travel stays available over the retained
+        # window; truncate_log is a no-op until the log outgrows it.
+        tr = table.truncate_log(retain_commits=log_retain_commits)
+        if tr.get("commits_deleted"):
+            out["truncate_log"] = tr
     return out

@@ -351,6 +351,15 @@ def _checkpoint_path(root: str, version: int) -> str:
     return os.path.join(root, _LOG_DIR, f"{version:020d}.checkpoint.json")
 
 
+def _last_checkpoint_path(root: str) -> str:
+    # Delta protocol: _delta_log/_last_checkpoint points readers at the
+    # newest checkpoint so they never have to LIST the whole log directory
+    # to find it. Same contract here (the name drops the leading
+    # underscore clash with _LOG_DIR contents: commits are digits, the
+    # pointer is not a commit).
+    return os.path.join(root, _LOG_DIR, "_last_checkpoint.json")
+
+
 #: every N commits the full replay state is checkpointed (Delta does 10);
 #: replay cost is then O(interval), not O(commits)
 CHECKPOINT_INTERVAL = 10
@@ -389,13 +398,28 @@ class LakeTable:
         return [self._read_commit(v) for v in reversed(self._versions())]
 
     def _latest_checkpoint(self, max_version: int) -> dict | None:
-        """Most recent replay checkpoint at or before max_version."""
+        """Most recent replay checkpoint at or before max_version.
+
+        Fast path: the ``_last_checkpoint`` pointer (one tiny read, no
+        directory listing — this runs on every read/append/txn probe, so
+        at a 10k+ commit log the listdir would dominate). The listing
+        scan remains as the fallback for time travel to a version before
+        the newest checkpoint, for a missing/corrupt pointer, and for
+        logs written by older versions of this module."""
         log_dir = os.path.join(self.root, _LOG_DIR)
         if not os.path.isdir(log_dir):
             return None
+        try:
+            with open(_last_checkpoint_path(self.root)) as fh:
+                v = int(json.load(fh)["version"])
+            if v <= max_version:
+                with open(_checkpoint_path(self.root, v)) as fh:
+                    return json.load(fh)
+        except (OSError, ValueError, KeyError):
+            pass  # no/corrupt pointer, or pointed file missing → scan
         best = -1
         for f in os.listdir(log_dir):
-            if f.endswith(".checkpoint.json"):
+            if f.endswith(".checkpoint.json") and f.split(".")[0].isdigit():
                 v = int(f.split(".")[0])
                 if best < v <= max_version:
                     best = v
@@ -408,7 +432,13 @@ class LakeTable:
         """Materialize full replay state at `version` (idempotent; readers
         ignore a missing/partial checkpoint and fall back to full replay).
         Includes writer-txn high-water marks and table properties so
-        txn_version()/properties() are also O(interval), not O(history)."""
+        txn_version()/properties() are also O(interval), not O(history).
+
+        Builds INCREMENTALLY from the previous checkpoint: only the tail
+        commits since it are re-read. A from-v0 rebuild here (the pre-r8
+        shape) made every 10th commit O(total history) — O(N²/interval)
+        cumulative work, the thing that kills a month-long 10 s-batch
+        stream at ~260k commits (BASELINE SLO horizon)."""
         active: dict[str, int] = {}
         schemas: list[dict] = []
         cur_idx = -1
@@ -417,7 +447,21 @@ class LakeTable:
         props: dict[str, str] = {}
         stats: dict[str, dict | None] = {}
         dvs: dict[str, list[int]] = {}
+        start = -1
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None:
+            active = dict(ckpt["active"])
+            schemas = list(ckpt["schemas"])
+            cur_idx = ckpt["cur_idx"]
+            partition_by = list(ckpt["partition_by"])
+            txns = {k: int(v) for k, v in ckpt.get("txns", {}).items()}
+            props = dict(ckpt.get("properties", {}))
+            stats = dict(ckpt.get("stats", {}))
+            dvs = {k: list(v) for k, v in ckpt.get("dvs", {}).items()}
+            start = int(ckpt["version"])
         for v in self._versions():
+            if v <= start:
+                continue
             if v > version:
                 break
             c = self._read_commit(v)
@@ -464,6 +508,14 @@ class LakeTable:
                 fh,
             )
         os.replace(tmp, _checkpoint_path(self.root, version))
+        # advance the _last_checkpoint pointer (atomic tmp+rename; a stale
+        # or missing pointer only costs readers the listing-scan fallback)
+        ptmp = os.path.join(
+            self.root, _LOG_DIR, f".lckpt-tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(ptmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(ptmp, _last_checkpoint_path(self.root))
 
     def _replay(
         self,
@@ -1135,14 +1187,25 @@ class LakeTable:
                 if cond and "UNRESOLVED_COLUMN" in cond:
                     continue
                 raise
+            # Accumulate positions per rel path across hit rows FIRST,
+            # then merge once with the snapshot base: two distinct __p
+            # spellings (file:-prefix, symlink alias) can normalize to
+            # the same rel, and a per-row re-base from snap.file_dvs
+            # would let the later row overwrite the earlier row's
+            # positions and over-count rows_deleted.
+            hit_pos: dict[str, set[int]] = {}
             for r in hits:
                 p = r["__p"]
                 if p.startswith("file:"):
                     p = p[len("file:"):]
                 rel = os.path.relpath(os.path.realpath(p), root_real)
+                hit_pos.setdefault(rel, set()).update(
+                    int(i) for i in r["__idx"]
+                )
+            for rel, pos in hit_pos.items():
                 merged = set(snap.file_dvs.get(rel, ()))
                 before = len(merged)
-                merged.update(int(i) for i in r["__idx"])
+                merged.update(pos)
                 rows_deleted += len(merged) - before
                 new_dv[rel] = sorted(merged)
         if not new_dv:
@@ -1714,6 +1777,57 @@ class LakeTable:
                     except OSError:
                         pass
         return {"files_deleted": deleted, "orphans_deleted": orphans_deleted}
+
+    def truncate_log(
+        self, retain_commits: int = 1000
+    ) -> dict[str, Any]:
+        """Delete commit-log JSONs (and superseded checkpoints) older than
+        the newest checkpoint that still leaves ``retain_commits`` commits
+        of history — Delta's ``logRetentionDuration`` expressed in commit
+        count. Bounds the log directory over a long-running stream (the
+        SLO horizon implies ~260k commits/month at 10 s batches; every
+        log LIST is O(entries), so an untruncated log makes each append's
+        version probe progressively slower).
+
+        Replay correctness: the cut point is always a CHECKPOINT version
+        whose files both survive, so any remaining version replays as
+        checkpoint + tail exactly as before. Time travel to a truncated
+        version raises the normal "version not in table log" error —
+        the documented retention trade, same as Delta's.
+        """
+        versions = self._versions()
+        if not versions:
+            return {"commits_deleted": 0, "checkpoints_deleted": 0}
+        horizon = versions[-1] - retain_commits
+        log_dir = os.path.join(self.root, _LOG_DIR)
+        ckpts = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".checkpoint.json") and f.split(".")[0].isdigit()
+        )
+        cut = max((c for c in ckpts if c <= horizon), default=None)
+        if cut is None:
+            return {"commits_deleted": 0, "checkpoints_deleted": 0}
+        commits_deleted = checkpoints_deleted = 0
+        for v in versions:
+            if v < cut:
+                try:
+                    os.unlink(_commit_path(self.root, v))
+                    commits_deleted += 1
+                except OSError:
+                    pass
+        for c in ckpts:
+            if c < cut:
+                try:
+                    os.unlink(_checkpoint_path(self.root, c))
+                    checkpoints_deleted += 1
+                except OSError:
+                    pass
+        return {
+            "commits_deleted": commits_deleted,
+            "checkpoints_deleted": checkpoints_deleted,
+            "oldest_version": cut,
+        }
 
     # ------------------------------------------------------------ helpers
 
