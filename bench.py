@@ -188,6 +188,15 @@ HEADLINE = [
     "salt_plan_report",
     "cdc_type_drift_report",
     "ann_lsh_topk",
+    # r8 additions (cluster_aware_split intentionally not headlined:
+    # its connected-components core is already timed via
+    # dedup_connected_components and costs the same iteration latency)
+    "split_leakage_report",
+    "dedup_quality_keep",
+    "hapax_ratio_report",
+    "embedding_anisotropy_report",
+    "analyze_column_stats",
+    "column_equiwidth_histogram",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

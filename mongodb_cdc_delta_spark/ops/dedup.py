@@ -88,6 +88,80 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_quality_keep",
+    oracle="""
+    WITH scored AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint,
+             doc_id,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS n_distinct_toks
+      FROM documents
+    ),
+    dup_groups AS (
+      SELECT fingerprint FROM scored
+      GROUP BY fingerprint HAVING count(*) >= 2
+    ),
+    ranked AS (
+      SELECT s.fingerprint, s.doc_id, s.n_distinct_toks,
+             row_number() OVER (
+               PARTITION BY s.fingerprint
+               ORDER BY s.n_distinct_toks DESC, s.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY s.fingerprint) AS n_copies
+      FROM scored s JOIN dup_groups USING (fingerprint)
+    )
+    SELECT fingerprint,
+           doc_id AS keep_id,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(n_distinct_toks AS BIGINT) AS kept_distinct_tokens
+    FROM ranked WHERE rn = 1
+    """,
+    description="quality-aware survivor selection: within each normalized-"
+    "fingerprint duplicate group (>= 2 copies), keep the document with "
+    "the richest vocabulary (most distinct tokens; doc_id tiebreak) "
+    "instead of dedup_keep_list's arbitrary min-id — the corpus-"
+    "pipeline policy that keeps the clean copy and drops the "
+    "truncated/mangled ones. Scale: one hash groupBy to find dup "
+    "groups, then a window PARTITIONED BY fingerprint (group-bounded, "
+    "never global) over only the duplicate rows.",
+    tags=("dedup", "llm-pipeline", "quality"),
+)
+def dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    scored = docs.select(
+        F.md5(norm).alias("fingerprint"),
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            )
+        ).alias("n_distinct_toks"),
+    )
+    dup_groups = (
+        scored.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= 2)
+    )
+    ranked = scored.join(dup_groups, "fingerprint").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(
+                F.col("n_distinct_toks").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "fingerprint",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("n_distinct_toks").cast("long").alias("kept_distinct_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (oracle-checked)
 # ---------------------------------------------------------------------------

@@ -1193,6 +1193,94 @@ def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_anisotropy_report",
+    oracle="""
+    WITH comps AS (
+      SELECT label, u.dim AS dim, u.m AS m
+      FROM (
+        SELECT label,
+               unnest(list_transform(generate_series(1, len(e)),
+                      i -> {'dim': i,
+                            'm': CAST(floor(e[i] * 1000000)
+                                      AS BIGINT)}),
+                      recursive := true)
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) t
+      ) u
+    ),
+    per_dim AS (
+      SELECT label, dim, CAST(sum(m) AS HUGEINT) AS s_d
+      FROM comps GROUP BY label, dim
+    ),
+    num_t AS (
+      SELECT label, sum(s_d * s_d) AS num FROM per_dim GROUP BY label
+    ),
+    den_t AS (
+      SELECT label, CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS den
+      FROM comps GROUP BY label
+    ),
+    n_t AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    SELECT CAST(n_t.label AS INT) AS label,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST((num * 1000000) // (n * den) AS BIGINT) AS anisotropy_ppm,
+           CAST(den // n AS BIGINT) AS mean_sq_norm_micro2
+    FROM n_t JOIN num_t USING (label) JOIN den_t USING (label)
+    """,
+    description="embedding-space health per label: anisotropy_ppm = "
+    "||sum(e)||^2 / (n * sum(||e||^2)) in parts-per-million — the "
+    "expected pairwise cosine of the label's vectors (near 0 for a "
+    "well-spread isotropic space, near 1e6 when every vector points "
+    "the same way: the collapsed-embedding failure retrieval training "
+    "must catch), plus the mean squared norm in micro-units^2 "
+    "(catches un-normalized slices). Components floor-scale to "
+    "integer micro-units per row; per-dim sums square in decimal "
+    "(mirrors DuckDB HUGEINT exactly, incl. truncating //), so the "
+    "report is exact integer arithmetic at any corpus size. Scale: "
+    "one posexplode scan feeding two map-side-combined groupBys; the "
+    "per-(label, dim) table is |labels|*|dims| rows.",
+    tags=("similarity", "report", "quality"),
+)
+def embedding_anisotropy_report(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim0", "m"),
+    )
+    per_dim = comps.groupBy("label", "dim0").agg(F.sum("m").alias("s_d"))
+    num_t = per_dim.groupBy("label").agg(
+        F.sum(
+            F.col("s_d").cast("decimal(19,0)")
+            * F.col("s_d").cast("decimal(19,0)")
+        ).alias("num")
+    )
+    den_t = comps.groupBy("label").agg(
+        F.sum((F.col("m") * F.col("m")).cast("decimal(19,0)")).alias("den")
+    )
+    n_t = emb.groupBy("label").agg(F.count("*").alias("n"))
+    return (
+        n_t.join(num_t, "label")
+        .join(den_t, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST((num * 1000000) div (n * den) AS BIGINT)"
+            ).alias("anisotropy_ppm"),
+            F.expr("CAST(den div n AS BIGINT)").alias(
+                "mean_sq_norm_micro2"
+            ),
+        )
+    )
+
+
 #: first 16 of the portable minhash coefficient pairs (ops/dedup.py)
 #: reused as seeded hyperplane generators: coeff(j, d) =
 #: ((a_j * d + b_j) % 2147483647) - 1073741823 — engine-portable

@@ -128,6 +128,66 @@ def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "hapax_ratio_report",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    clean AS (SELECT source, t FROM tok WHERE t <> ''),
+    per_type AS (
+      SELECT source, t, count(*) AS c FROM clean GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM per_type
+    GROUP BY source
+    """,
+    description="vocabulary-health report per source: token count, type "
+    "count, hapax legomena (types occurring once), type-token ratio and "
+    "hapax share in integer ppm — the Heaps'-law diagnostics that tell "
+    "a tokenizer-training pipeline whether a source is vocabulary-"
+    "saturated (low TTR, low hapax: heavy duplication/templates) or "
+    "still contributing novel forms. All-integer arithmetic (truncating "
+    "div mirrors DuckDB //). Scale: one explode scan, one map-side-"
+    "combined groupBy(source, token), then a per-source rollup of "
+    "(type, count) rows — never the raw token stream twice.",
+    tags=("text", "llm-pipeline", "report", "textstats"),
+)
+def hapax_ratio_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    per_type = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return per_type.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        hapax.alias("n_hapax"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("CAST((n_types * 1000000) div n_tokens AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr("CAST((n_hapax * 1000000) div n_types AS BIGINT)").alias(
+            "hapax_ppm"
+        ),
+    )
+
+
+@register(
     "token_histogram",
     oracle="""
     SELECT tok, count(*) AS n

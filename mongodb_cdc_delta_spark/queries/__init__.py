@@ -187,7 +187,7 @@ def all_queries() -> dict[str, Query]:
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
     from ..ops import sampling, skew, chunking, bpe, graph, report  # noqa: F401
-    from ..ops import governance  # noqa: F401
+    from ..ops import governance, splits  # noqa: F401
 
     # The driver checks ~50 queries per round in registration order, so the
     # first 50 are chosen to cover EVERY operator family (relational core,
@@ -220,13 +220,16 @@ def all_queries() -> dict[str, Query]:
 # the window remains covered by the in-repo parity suite
 # (tests/test_oracle_parity.py — strictly harsher than the driver's hash).
 # r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
-# r5 rotation: NOTES_r5.md. r6 rotation: NOTES_r6.md. r7 rotation (this
-# one): the 35 slots take the LAST 19 never-driver-checked oracle names
-# (12 deferred from the r6 plan + the 7 r6 additions — all 19 passed the
-# r6 judge's independent oracle re-execution, so this banks proven
-# results) plus the r7 new ops; after this round EVERY oracle-checked
-# name in the registry has had a driver row at least once (the 12
-# rows-only sketches stay in the parity/bench lanes).
+# r5 rotation: NOTES_r5.md. r6 rotation: NOTES_r6.md. r7: NOTES_r7.md
+# (completed full-registry coverage: every oracle-checked name has had a
+# driver row at least once). r8 rotation (this one, churn-first per the
+# r7 verdict): 15 sentinels + the 7 r8 new ops + re-checks prioritized
+# by r7/r8 code churn — the queries whose implementation or oracle moved
+# (the key_skew/salt rewrite, the Jaccard guard family, the type-drift
+# regex tightening, the scoped-cache refactor touching every cached
+# pipeline: LSH/simhash/winnowing/band-sweep/PageRank/CMS/ANN) — then
+# oldest-driver-row-first (the r4-r5 window names last seen two rounds
+# ago).
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
@@ -244,47 +247,44 @@ _DRIVER_PRIORITY = (
     "dedup_connected_components",  # graph clustering
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- r7 rotation: the last 19 never-driver-checked oracle names ---
-    # dedup / similarity breadth (deferred from the r6 plan)
-    "dedup_normalized",
-    "dedup_cluster_profile",
-    "dedup_cross_source_matrix",
-    # tokenizer / text-stat family (deferred)
-    "token_histogram",
-    "text_bpe_token_count",
-    "tokenizer_fertility_by_lang",
-    "token_coverage_curve",
-    # UDF / multimodal / sampling / pipeline composition (deferred)
-    "multimodal_features",
-    "grouped_map_normalize",
-    "corpus_shard_shuffle",
-    "weighted_reservoir_sample",
-    "corpus_prep_pipeline",
-    # the 7 r6 additions (first driver rows)
-    "small_qty_revenue_subquery_sql",
-    "bm25_retrieval_topk",
-    "knn_label_purity",
-    "lsh_band_sweep_recall",
+    # --- r8 new ops (added this round, driver rows this round) ---
+    "split_leakage_report",
+    "cluster_aware_split",
+    "dedup_quality_keep",
+    "hapax_ratio_report",
+    "embedding_anisotropy_report",
+    "analyze_column_stats",
+    "column_equiwidth_histogram",
+    # --- churn-first re-checks: implementation or oracle moved in r7/r8
+    # (key_skew/salt rewrite, type-drift regex, Jaccard guard family,
+    # scoped-cache refactor over every cached pipeline) ---
     "key_skew_report",
-    "ngram_novelty_curve",
-    "embedding_norm_outliers",
-    # --- r7 new ops (added this round, driver rows this round) ---
+    "salt_plan_report",
+    "window_rank_family",
+    "cdc_type_drift_report",
     "jaccard_pair_budget",
     "dedup_banded_fallback",
-    "top_ngram_pmi",
-    "doc_prefix_dup_report",
-    "embedding_centroid_shift",
-    "salt_plan_report",
-    "cdc_type_drift_report",
-    "ann_lsh_topk",
-    # --- secondary sentinels: oracle-checked headliners whose code
-    # paths moved recently (fresh driver rows guard the r6/r7 edits) ---
-    "dedup_keep_list",
-    "semantic_dedup_prune",
-    "corpus_report",
-    "skew_salted_join_agg",
-    "lang_id_heuristic",
-    "text_quality",
-    "doc_fingerprint",
+    "dedup_threshold_sensitivity",
+    "dedup_cross_source_matrix",
+    "dedup_cluster_profile",
+    "minhash_estimate_error",
+    "lsh_band_sweep_recall",
     "dedup_winnowing_pairs",
+    "dedup_span_extract",
+    "boilerplate_pagerank",
+    "cms_token_counts",
+    "ann_lsh_topk",
+    "embedding_centroid_shift",
+    "top_ngram_pmi",
+    # --- oldest-driver-row-first (last driver rows in r4/r5) ---
+    "dedup_exact",
+    "decontaminate_exact_substring",
+    "decontaminate_containment",
+    "decontaminate_cut_spans",
+    "lang_temperature_mix",
+    "doc_novelty_fraction",
+    "tfidf_top_terms",
+    "gopher_quality_flags",
+    "char_entropy_score",
+    "quality_linear_classifier",
 )

@@ -4204,3 +4204,116 @@ def salt_plan_report(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# M4+ : table statistics collection as queries (ANALYZE-equivalent; the
+# numbers a cost-based optimizer and a maintenance planner consume)
+# ---------------------------------------------------------------------------
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "analyze_column_stats",
+    oracle="""
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           min(v) AS min_val,
+           max(v) AS max_val
+    FROM (
+      SELECT 'l_quantity' AS key_name, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY key_name
+    """,
+    description="ANALYZE TABLE-equivalent column statistics over the fact "
+    "table's measure columns: row/null counts, exact NDV, min/max — the "
+    "inputs a cost-based optimizer's cardinality estimates and this "
+    "engine's own stats-based pruning (sinks/table.py file stats) feed "
+    "on. Unpivoted to one row per column so new columns are rows, not "
+    "schema changes. Scale: one scan unpivoted 4x; count(distinct) per "
+    "column is the honest exact form (the HLL variant for sketch-"
+    "tolerant callers is approx_distinct).",
+    tags=("stats", "agg", "report"),
+)
+def analyze_column_stats(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    stack_expr = "stack({}, {}) AS (key_name, v)".format(
+        len(_STATS_COLS),
+        ", ".join(f"'{c}', {c}" for c in _STATS_COLS),
+    )
+    return (
+        l.select(F.expr(stack_expr))
+        .groupBy("key_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("int"))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("ndv"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+    )
+
+
+@register(
+    "column_equiwidth_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT least(CAST(floor((l_extendedprice - lo) * 8.0 / (hi - lo))
+                        AS BIGINT), 7) AS bin,
+             lo, hi
+      FROM lineitem, bounds
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(lo + bin * ((hi - lo) / 8.0)) AS bin_lo
+    FROM binned
+    GROUP BY bin
+    """,
+    description="8-bin equi-width histogram of l_extendedprice — the "
+    "optimizer-statistics shape for range-selectivity estimation and "
+    "the skew diagnostic for range partitioning. The bin expression "
+    "((v - lo) * 8 / (hi - lo), floored, clamped to 7) is written "
+    "identically on both engines so IEEE double arithmetic matches "
+    "bit-for-bit. Scale: one min/max aggregate broadcast back over one "
+    "scan — two passes, no shuffle wider than the 8-row result.",
+    tags=("stats", "agg", "report"),
+)
+def column_equiwidth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    bounds = l.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = l.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * 8.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(7).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(
+            F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 8.0)
+        ).alias("bin_lo"),
+    )

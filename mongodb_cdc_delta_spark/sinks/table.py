@@ -364,6 +364,38 @@ def _last_checkpoint_path(root: str) -> str:
 #: replay cost is then O(interval), not O(commits)
 CHECKPOINT_INTERVAL = 10
 
+#: parse cache for checkpoint files. Safe because a published checkpoint
+#: is immutable: it is created by atomic tmp+rename and its content is a
+#: pure function of the log prefix it covers (an idempotent concurrent
+#: rewrite produces identical bytes). Without this, EVERY append re-parses
+#: the checkpoint JSON twice (txn probe + replay) — at a 10k-file table
+#: that is 2x ~1.4 MB of json.load per commit, the measured growth term
+#: in the longevity bench. Entries are validated by (mtime_ns, size)
+#: because a PATH can be recycled (table dir dropped and recreated) even
+#: though a live checkpoint file never mutates. Consumers must not mutate
+#: returned dicts (in-tree callers copy what they extend). Bounded to the
+#: newest few entries — old checkpoints stop being requested once
+#: superseded.
+_CKPT_PARSE_CACHE: dict[str, tuple[int, int, dict]] = {}
+_CKPT_PARSE_CACHE_MAX = 8
+
+
+def _load_checkpoint_file(path: str) -> dict:
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    cached = _CKPT_PARSE_CACHE.get(path)
+    if cached is not None and (cached[0], cached[1]) == key:
+        return cached[2]
+    with open(path) as fh:
+        d = json.load(fh)
+    if len(_CKPT_PARSE_CACHE) >= _CKPT_PARSE_CACHE_MAX:
+        try:  # benign race with a concurrent reader thread's insert
+            _CKPT_PARSE_CACHE.pop(next(iter(_CKPT_PARSE_CACHE)))
+        except (KeyError, StopIteration):
+            pass
+    _CKPT_PARSE_CACHE[path] = (key[0], key[1], d)
+    return d
+
 
 class LakeTable:
     """One CDC target table (reference: one Delta table per collection,
@@ -413,8 +445,7 @@ class LakeTable:
             with open(_last_checkpoint_path(self.root)) as fh:
                 v = int(json.load(fh)["version"])
             if v <= max_version:
-                with open(_checkpoint_path(self.root, v)) as fh:
-                    return json.load(fh)
+                return _load_checkpoint_file(_checkpoint_path(self.root, v))
         except (OSError, ValueError, KeyError):
             pass  # no/corrupt pointer, or pointed file missing → scan
         best = -1
@@ -425,8 +456,7 @@ class LakeTable:
                     best = v
         if best < 0:
             return None
-        with open(_checkpoint_path(self.root, best)) as fh:
-            return json.load(fh)
+        return _load_checkpoint_file(_checkpoint_path(self.root, best))
 
     def _write_checkpoint(self, version: int) -> None:
         """Materialize full replay state at `version` (idempotent; readers
@@ -560,7 +590,10 @@ class LakeTable:
         ckpt = self._latest_checkpoint(target_version)
         if ckpt is not None:
             active = dict(ckpt["active"])
-            schemas = ckpt["schemas"]
+            # list() copy: the tail loop below appends to `schemas`, and
+            # the checkpoint dict may come from the immutable-file parse
+            # cache — mutating it in place would corrupt later readers
+            schemas = list(ckpt["schemas"])
             cur_idx = ckpt["cur_idx"]
             partition_by = ckpt["partition_by"]
             file_stats = dict(ckpt.get("stats", {}))
