@@ -99,32 +99,29 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
                                            x -> x <> ''))) AS n_distinct_toks
       FROM documents
     ),
-    dup_groups AS (
-      SELECT fingerprint FROM scored
-      GROUP BY fingerprint HAVING count(*) >= 2
-    ),
     ranked AS (
-      SELECT s.fingerprint, s.doc_id, s.n_distinct_toks,
+      SELECT fingerprint, doc_id, n_distinct_toks,
              row_number() OVER (
-               PARTITION BY s.fingerprint
-               ORDER BY s.n_distinct_toks DESC, s.doc_id ASC) AS rn,
-             count(*) OVER (PARTITION BY s.fingerprint) AS n_copies
-      FROM scored s JOIN dup_groups USING (fingerprint)
+               PARTITION BY fingerprint
+               ORDER BY n_distinct_toks DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM scored
     )
     SELECT fingerprint,
            doc_id AS keep_id,
            CAST(n_copies AS BIGINT) AS n_copies,
            CAST(n_distinct_toks AS BIGINT) AS kept_distinct_tokens
-    FROM ranked WHERE rn = 1
+    FROM ranked WHERE rn = 1 AND n_copies >= 2
     """,
     description="quality-aware survivor selection: within each normalized-"
     "fingerprint duplicate group (>= 2 copies), keep the document with "
     "the richest vocabulary (most distinct tokens; doc_id tiebreak) "
     "instead of dedup_keep_list's arbitrary min-id — the corpus-"
     "pipeline policy that keeps the clean copy and drops the "
-    "truncated/mangled ones. Scale: one hash groupBy to find dup "
-    "groups, then a window PARTITIONED BY fingerprint (group-bounded, "
-    "never global) over only the duplicate rows.",
+    "truncated/mangled ones. Scale: ONE scan, one shuffle on the "
+    "fingerprint; both window functions share the fingerprint "
+    "partitioning (group-bounded, never global) and the >= 2 filter "
+    "runs post-window — no second scan or join to find dup groups.",
     tags=("dedup", "llm-pipeline", "quality"),
 )
 def dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
@@ -141,20 +138,23 @@ def dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("n_distinct_toks"),
     )
-    dup_groups = (
-        scored.groupBy("fingerprint")
-        .agg(F.count("*").alias("n_copies"))
-        .where(F.col("n_copies") >= 2)
-    )
-    ranked = scored.join(dup_groups, "fingerprint").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("fingerprint").orderBy(
+    w = Window.partitionBy("fingerprint")
+    ranked = scored.select(
+        "fingerprint",
+        "doc_id",
+        "n_distinct_toks",
+        F.row_number()
+        .over(
+            w.orderBy(
                 F.col("n_distinct_toks").desc(), F.col("doc_id").asc()
             )
-        ),
+        )
+        .alias("rn"),
+        F.count("*").over(w).alias("n_copies"),
     )
-    return ranked.where(F.col("rn") == 1).select(
+    return ranked.where(
+        (F.col("rn") == 1) & (F.col("n_copies") >= 2)
+    ).select(
         "fingerprint",
         F.col("doc_id").alias("keep_id"),
         F.col("n_copies").cast("long").alias("n_copies"),

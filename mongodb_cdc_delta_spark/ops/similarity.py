@@ -1210,22 +1210,22 @@ def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
       ) u
     ),
     per_dim AS (
-      SELECT label, dim, CAST(sum(m) AS HUGEINT) AS s_d
+      SELECT label, dim,
+             CAST(sum(m) AS HUGEINT) AS s_d,
+             CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS pden,
+             count(*) AS cnt
       FROM comps GROUP BY label, dim
     ),
-    num_t AS (
-      SELECT label, sum(s_d * s_d) AS num FROM per_dim GROUP BY label
-    ),
-    den_t AS (
-      SELECT label, CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS den
-      FROM comps GROUP BY label
-    ),
-    n_t AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-    SELECT CAST(n_t.label AS INT) AS label,
+    rolled AS (
+      SELECT label, sum(s_d * s_d) AS num, sum(pden) AS den,
+             max(cnt) AS n
+      FROM per_dim GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label,
            CAST(n AS BIGINT) AS n_vecs,
            CAST((num * 1000000) // (n * den) AS BIGINT) AS anisotropy_ppm,
            CAST(den // n AS BIGINT) AS mean_sq_norm_micro2
-    FROM n_t JOIN num_t USING (label) JOIN den_t USING (label)
+    FROM rolled
     """,
     description="embedding-space health per label: anisotropy_ppm = "
     "||sum(e)||^2 / (n * sum(||e||^2)) in parts-per-million — the "
@@ -1237,8 +1237,10 @@ def embedding_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
     "integer micro-units per row; per-dim sums square in decimal "
     "(mirrors DuckDB HUGEINT exactly, incl. truncating //), so the "
     "report is exact integer arithmetic at any corpus size. Scale: "
-    "one posexplode scan feeding two map-side-combined groupBys; the "
-    "per-(label, dim) table is |labels|*|dims| rows.",
+    "ONE posexplode scan -> one map-side-combined groupBy(label, dim) "
+    "carrying sum/sum-of-squares/count together -> a |labels|*|dims|-"
+    "row rollup; n_vecs = max per-dim count (dim 0 exists for every "
+    "non-empty vector).",
     tags=("similarity", "report", "quality"),
 )
 def embedding_anisotropy_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -1254,30 +1256,28 @@ def embedding_anisotropy_report(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("dim0", "m"),
     )
-    per_dim = comps.groupBy("label", "dim0").agg(F.sum("m").alias("s_d"))
-    num_t = per_dim.groupBy("label").agg(
+    per_dim = comps.groupBy("label", "dim0").agg(
+        F.sum("m").alias("s_d"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(19,0)")).alias(
+            "pden"
+        ),
+        F.count("*").alias("cnt"),
+    )
+    rolled = per_dim.groupBy("label").agg(
         F.sum(
             F.col("s_d").cast("decimal(19,0)")
             * F.col("s_d").cast("decimal(19,0)")
-        ).alias("num")
+        ).alias("num"),
+        F.sum("pden").alias("den"),
+        F.max("cnt").alias("n"),
     )
-    den_t = comps.groupBy("label").agg(
-        F.sum((F.col("m") * F.col("m")).cast("decimal(19,0)")).alias("den")
-    )
-    n_t = emb.groupBy("label").agg(F.count("*").alias("n"))
-    return (
-        n_t.join(num_t, "label")
-        .join(den_t, "label")
-        .select(
-            F.col("label").cast("int").alias("label"),
-            F.col("n").cast("long").alias("n_vecs"),
-            F.expr(
-                "CAST((num * 1000000) div (n * den) AS BIGINT)"
-            ).alias("anisotropy_ppm"),
-            F.expr("CAST(den div n AS BIGINT)").alias(
-                "mean_sq_norm_micro2"
-            ),
-        )
+    return rolled.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr("CAST((num * 1000000) div (n * den) AS BIGINT)").alias(
+            "anisotropy_ppm"
+        ),
+        F.expr("CAST(den div n AS BIGINT)").alias("mean_sq_norm_micro2"),
     )
 
 

@@ -672,3 +672,59 @@ class TestR7OpPlans:
         plan = plan_of(spark, "ann_lsh_topk", execute=True)
         assert "CartesianProduct" not in plan
         assert not _global_window_sites(plan)
+
+
+class TestR8OpPlans:
+    """Physical-plan gates for the round-8 operators."""
+
+    def test_quality_keep_one_scan_one_shuffle(self, spark):
+        # both window functions share the fingerprint partitioning; no
+        # self-join to find duplicate groups and never a global window
+        plan = plan_of(spark, "dedup_quality_keep", execute=True)
+        assert "Join" not in plan
+        assert not _global_window_sites(plan)
+        assert count(r"Scan parquet|FileScan", plan) <= 2
+
+    def test_hapax_two_keyed_aggregates(self, spark):
+        plan = plan_of(spark, "hapax_ratio_report", execute=True)
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+
+    def test_anisotropy_single_pass_no_join(self, spark):
+        # sum / sum-of-squares / count ride ONE groupBy(label, dim); the
+        # rollup is |labels|*|dims| rows — no join back to the base table
+        plan = plan_of(spark, "embedding_anisotropy_report", execute=True)
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert count(r"Scan parquet|FileScan", plan) <= 2
+
+    def test_analyze_stats_pruned_scan(self, spark):
+        plan = plan_of(spark, "analyze_column_stats", execute=True)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        }
+        assert "Window" not in plan
+
+    def test_histogram_broadcast_bounds(self, spark):
+        # the one-row min/max bounds broadcast-cross the scan; the bin
+        # rollup is a keyed aggregate, never a global sort/window
+        plan = plan_of(spark, "column_equiwidth_histogram", execute=True)
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_split_leakage_no_cartesian(self, spark):
+        plan = plan_of(spark, "split_leakage_report", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+
+    def test_cluster_split_leak_join_broadcast(self, spark):
+        # the per-split rollup joins the (tiny) leak counts broadcast;
+        # the CC loop's own plan hygiene is covered by its test module
+        plan = plan_of(spark, "cluster_aware_split", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
