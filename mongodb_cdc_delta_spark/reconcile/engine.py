@@ -69,8 +69,17 @@ def bucket_hash_compare(
     compare_cols = compare_cols or source.columns
 
     def side(df: DataFrame, label: str) -> DataFrame:
+        # the checksum sums 64-bit hashes EXACTLY in decimal(38,0): a
+        # plain bigint sum of uniform xxhash64 values overflows (and
+        # under Spark 4's ANSI default, RAISES) with high probability
+        # once a bucket holds more than a handful of rows — found by the
+        # r8 throughput run at 10x; the toy-sized unit fixtures never
+        # tripped it. Decimal sums stay exact to ~1e19 rows/bucket and
+        # remain commutative/map-side combinable.
         return df.groupBy(_bucket(key, n_buckets)).agg(
-            F.sum(_row_hash(compare_cols)).alias(f"{label}_hash"),
+            F.sum(_row_hash(compare_cols).cast("decimal(38,0)")).alias(
+                f"{label}_hash"
+            ),
             F.count("*").alias(f"{label}_count"),
         )
 
