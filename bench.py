@@ -602,8 +602,79 @@ def multi_collection_lag_bench(
     }
 
 
+#: the Q8 concurrent-client mix: one representative per query family,
+#: cheap enough that the 8-client step stays under a minute at sf0.1
+CONCURRENCY_MIX = [
+    "pricing_summary",
+    "star_join_revenue",
+    "point_lookup",
+    "sessionize",
+    "knn_cosine_topk",
+    "reconcile_counts",
+]
+
+
+def concurrent_query_bench(spark, registry, clients=(1, 2, 4, 8)):
+    """Q8 (spec.md:117 'concurrent analytical queries from multiple users
+    without degradation'): N driver threads, each running the same query
+    mix through its own FAIR-scheduler pool against the same tables.
+    Reports per-query p50 latency and aggregate qps per client count plus
+    the p50 degradation at the top step vs single-client."""
+    import statistics
+    import threading
+
+    def client(n_id: int, out: list) -> None:
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"q8-{n_id}")
+        try:
+            for name in CONCURRENCY_MIX:
+                t0 = time.perf_counter()
+                force(registry[name].fn(spark, SF_DIR))
+                out.append(time.perf_counter() - t0)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    # warm once so the N=1 baseline is steady-state
+    for name in CONCURRENCY_MIX:
+        force(registry[name].fn(spark, SF_DIR))
+    result: dict[str, dict] = {}
+    for n in clients:
+        lat: list[list[float]] = [[] for _ in range(n)]
+        threads = [
+            threading.Thread(target=client, args=(i, lat[i]))
+            for i in range(n)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        flat = [x for c in lat for x in c]
+        result[str(n)] = {
+            "p50_s": round(statistics.median(flat), 3),
+            "p95_s": round(sorted(flat)[int(0.95 * (len(flat) - 1))], 3),
+            "qps": round(len(flat) / wall, 2),
+            "wall_s": round(wall, 2),
+        }
+    base = result[str(clients[0])]["p50_s"]
+    top = str(clients[-1])
+    result["p50_degradation_top"] = round(
+        result[top]["p50_s"] / base, 2
+    ) if base else None
+    result["qps_scaling_top"] = round(
+        result[top]["qps"] / result[str(clients[0])]["qps"], 2
+    )
+    return result
+
+
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        # FAIR pools for the Q8 concurrency step; identical to FIFO for
+        # the sequential one-job-at-a-time sections
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
     registry = all_queries()
     calib_samples = [cpu_calibration()]
 
@@ -688,6 +759,13 @@ def main() -> None:
         lag_multi = {}
         errors["streaming_lag_multi"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Q8: concurrent multi-user query throughput (spec.md:117)
+    try:
+        concurrency = concurrent_query_bench(spark, registry)
+    except Exception as exc:
+        concurrency = {}
+        errors["concurrency"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Each query runs twice: the first run pays one-time Catalyst analysis +
     # whole-stage-codegen compilation (cached thereafter); the second run is
     # the steady-state throughput a long-lived cluster session sees, which
@@ -752,6 +830,7 @@ def main() -> None:
         "calib_cpu_sec": calib,
         "streaming_lag": lag,
         "streaming_lag_multi": lag_multi,
+        "concurrency": concurrency,
         "cold_total_sec": round(cold_total, 3),
         "cdc_ingest_events_per_sec": ingest_rate,
         "cdc_ingest_events_per_sec_normalized": round(ingest_rate / scale)

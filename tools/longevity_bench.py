@@ -12,9 +12,13 @@ commits/month) and records, at log-spaced milestones:
 
 Then truncates the log to the retention window and re-measures open cost.
 
-Usage: python tools/longevity_bench.py [n_commits] [out_json]
+Usage: python tools/longevity_bench.py [n_commits] [out_json] [maintain_every]
 Writes one JSON document (milestone table + verdict) to out_json
-(default /tmp/longevity_r8.json) and prints it.
+(default /tmp/longevity_r8.json) and prints it. maintain_every > 0 runs
+auto_maintain (compaction + retention vacuum + log truncation) every N
+commits — the designed deployment shape, which bounds file count and
+therefore checkpoint size; 0 (default) measures the unmaintained
+worst case.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mongodb_cdc_delta_spark.session import get_spark  # noqa: E402
+from mongodb_cdc_delta_spark.sinks.maintenance import auto_maintain  # noqa: E402
 from mongodb_cdc_delta_spark.sinks.table import (  # noqa: E402
     LakeTable,
     _checkpoint_path,
@@ -43,6 +48,7 @@ def _milestones(n: int) -> list[int]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/longevity_r8.json"
+    maintain_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     root = "/tmp/longevity_table_r8"
     shutil.rmtree(root, ignore_errors=True)
     spark = get_spark(app_name="longevity-bench", shuffle_partitions=8)
@@ -64,6 +70,15 @@ def main() -> None:
         if len(window) > 200:
             window.pop(0)
         commits = i + 1
+        if maintain_every and commits % maintain_every == 0:
+            auto_maintain(
+                t,
+                small_file_bytes=1 << 20,
+                small_file_count=32,
+                retention_hours=0.0,
+                auto_recluster=False,
+                log_retain_commits=2_000,
+            )
         if commits in marks:
             # fresh-object open: driver-side replay only
             o0 = time.perf_counter()
@@ -112,6 +127,7 @@ def main() -> None:
     first, last = rows[0], rows[-1]
     result = {
         "n_commits": n,
+        "maintain_every": maintain_every,
         "total_wall_s": round(time.time() - t_start, 1),
         "milestones": rows,
         "append_growth": round(
