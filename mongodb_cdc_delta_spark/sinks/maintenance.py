@@ -158,7 +158,9 @@ def auto_maintain(
         else:
             out["optimize"] = table.optimize(cluster_by=cands[:1])
     elif plan["optimize"]:
-        out["optimize"] = table.optimize()
+        # same threshold the plan diagnosed with: only small/DV'd files
+        # are rewritten, so a tick's cost tracks new data, not table size
+        out["optimize"] = table.optimize(small_file_bytes=small_file_bytes)
     if run_vacuum and plan["vacuum"]:
         out["vacuum"] = table.vacuum(retention_hours=retention_hours)
     if log_retain_commits is not None:

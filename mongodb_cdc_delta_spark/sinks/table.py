@@ -391,7 +391,9 @@ def _load_checkpoint_file(path: str) -> dict:
     if len(_CKPT_PARSE_CACHE) >= _CKPT_PARSE_CACHE_MAX:
         try:  # benign race with a concurrent reader thread's insert
             _CKPT_PARSE_CACHE.pop(next(iter(_CKPT_PARSE_CACHE)))
-        except (KeyError, StopIteration):
+        except (KeyError, StopIteration, RuntimeError):
+            # RuntimeError: "dictionary changed size during iteration" —
+            # a concurrent reader inserted between iter() and next()
             pass
     _CKPT_PARSE_CACHE[path] = (key[0], key[1], d)
     return d
@@ -1648,16 +1650,29 @@ class LakeTable:
         target_file_rows: int = 1_000_000,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        small_file_bytes: int | None = 32 * 1024 * 1024,
     ) -> dict[str, Any]:
         """Small-file compaction per partition (reference
         delta_writer.py:234-266; 64-256MB file targets research.md:441-458).
-        Rewrites any partition holding more than one active file — or, with
-        ``cluster_by``/``zorder_by``, every partition.
 
-        ``cluster_by`` sorts rows linearly by the given columns before
-        writing: parquet row-group min/max stats on the LEADING column
-        become narrow and disjoint — the right call for one dominant filter
-        column.
+        BIN-PACKS, like Delta's OPTIMIZE: in the default path only files
+        smaller than ``small_file_bytes`` — or carrying a deletion vector
+        (OPTIMIZE is the DV compaction path: applies the vector, reclaims
+        space, clears the DV) — are rewrite candidates; files already at
+        target size are left untouched. This is what keeps a maintenance
+        tick O(new small data) instead of O(partition): on a sustained
+        stream the pre-r8 whole-partition rewrite re-read the big
+        compacted file on EVERY tick, the measured growing-cost transient
+        in the r8 soak (NOTES_r8 slices 7-8). Pass ``small_file_bytes=
+        None`` to force a full rewrite. Output is split into
+        ``ceil(rows / target_file_rows)`` files, never one unbounded file.
+
+        ``cluster_by`` sorts rows linearly by the given columns and
+        rewrites the WHOLE partition (re-clustering is a full-rewrite
+        operation by definition): parquet row-group min/max stats on the
+        LEADING column become narrow and disjoint — the right call for one
+        dominant filter column. Output files are range-split on the
+        cluster columns so each file's range is disjoint.
 
         ``zorder_by`` (OPTIMIZE ZORDER, reference research.md:208) sorts by
         a bit-interleaved Z-curve over up to 4 numeric/date/timestamp
@@ -1678,24 +1693,48 @@ class LakeTable:
 
         add: list[dict[str, Any]] = []
         remove: list[str] = []
+        rows_rewritten = 0
         for part_rel, part_files in by_part.items():
-            has_dv = any(snap.file_dvs.get(f) for f in part_files)
-            # single-file partitions still rewrite when a deletion vector
-            # is attached: OPTIMIZE is the DV compaction path (applies the
-            # vector, reclaims space, clears the DV)
-            if (
-                len(part_files) <= 1
-                and not (cluster_by or zorder_by)
-                and not has_dv
-            ):
+            if cluster_by or zorder_by:
+                group = part_files  # re-clustering rewrites the partition
+            else:
+                group = []
+                for f in part_files:
+                    if snap.file_dvs.get(f):
+                        group.append(f)  # DV compaction: always rewrite
+                        continue
+                    if small_file_bytes is None:
+                        group.append(f)
+                        continue
+                    try:
+                        size = os.path.getsize(os.path.join(self.root, f))
+                    except OSError:
+                        size = 0  # unreadable → treat as small, rewrite
+                    if size < small_file_bytes:
+                        group.append(f)
+            has_dv = any(snap.file_dvs.get(f) for f in group)
+            # a lone small file with no DV has nothing to merge with
+            if len(group) <= 1 and not (cluster_by or zorder_by) and not has_dv:
                 continue
-            pdf = self._read_file_groups(snap, part_files, schema)
+            pdf = self._read_file_groups(snap, group, schema)
             # partition cols are path-derived; drop before writing data files
             data_cols = [c for c in pdf.columns if c not in partition_by]
+            # size outputs from commit-log stats when every candidate has
+            # them (minus DV'd rows); else pay one count job
+            grp_stats = [
+                (snap.file_stats.get(f) or {}).get("numRecords")
+                for f in group
+            ]
+            if all(s is not None for s in grp_stats):
+                n_rows = sum(grp_stats) - sum(
+                    len(snap.file_dvs.get(f, ())) for f in group
+                )
+            else:
+                n_rows = pdf.count()
+            rows_rewritten += n_rows
+            n_out = max(1, -(-n_rows // target_file_rows))
             if zorder_by:
                 z = _zorder_column(pdf, zorder_by)
-                n_rows = pdf.count()
-                n_out = max(1, -(-n_rows // target_file_rows))
                 pdf = (
                     pdf.withColumn("__z", z)
                     .repartitionByRange(n_out, F.col("__z"))
@@ -1703,7 +1742,19 @@ class LakeTable:
                 )
                 out = pdf.select(*data_cols)  # __z dropped, order kept
             elif cluster_by:
-                out = pdf.orderBy(*cluster_by).select(*data_cols).coalesce(1)
+                # range-split + sort within: n_out files with disjoint
+                # cluster-column ranges, written in parallel (the old
+                # orderBy().coalesce(1) forced one unbounded file through
+                # one task regardless of partition size)
+                out = (
+                    pdf.repartitionByRange(
+                        n_out, *[F.col(c) for c in cluster_by]
+                    )
+                    .sortWithinPartitions(*cluster_by)
+                    .select(*data_cols)
+                )
+            elif n_out > 1:
+                out = pdf.select(*data_cols).repartition(n_out)
             else:
                 out = pdf.select(*data_cols).coalesce(1)
             commit_id = uuid.uuid4().hex
@@ -1728,7 +1779,7 @@ class LakeTable:
                     )
                     n += 1
             shutil.rmtree(stage, ignore_errors=True)
-            remove.extend(part_files)
+            remove.extend(group)
 
         if not remove:
             return {"partitions_compacted": 0, "files_before": len(files)}
@@ -1749,6 +1800,9 @@ class LakeTable:
             "partitions_compacted": len({os.path.dirname(f) for f in remove}),
             "files_before": len(files),
             "files_after": len(files) - len(remove) + len(add),
+            # observability for maintenance loops: with bin-packing this
+            # tracks new small-file data since the last tick, not table size
+            "rows_rewritten": rows_rewritten,
         }
 
     def vacuum(

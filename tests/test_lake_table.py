@@ -158,6 +158,68 @@ def test_optimize_compacts_small_files(spark, lake):
     assert t.read(version_as_of=2).count() == 3
 
 
+def test_optimize_binpacks_leaves_big_files_alone(spark, lake):
+    """Delta-style bin-packing (r8): only files below small_file_bytes are
+    rewrite candidates — the big compacted file must NOT be re-read and
+    re-written on every maintenance tick (the O(table)-per-tick shape the
+    r8 soak measured as growing compaction cost)."""
+    import os
+
+    t = LakeTable(spark, lake + "/bp")
+    t.append(
+        _df(spark, [(i,) for i in range(50_000)], "id long").coalesce(1)
+    )
+    big = t._replay().files
+    assert len(big) == 1
+    big_path = big[0]
+    big_bytes = os.path.getsize(os.path.join(t.root, big_path))
+    for i in range(3):
+        t.append(_df(spark, [(100_000 + i,)], "id long").coalesce(1))
+    res = t.optimize(small_file_bytes=big_bytes)  # big file is NOT small
+    after = t._replay().files
+    assert big_path in after, "big file must survive untouched"
+    assert len(after) == 2, "three small files bin-packed into one"
+    assert res["files_before"] == 4 and res["files_after"] == 2
+    assert t.read().count() == 50_003
+
+
+def test_optimize_splits_output_by_target_rows(spark, lake):
+    """Compaction output honors target_file_rows (the old default path
+    coalesce(1)'d the whole partition into one unbounded file)."""
+    t = LakeTable(spark, lake + "/split")
+    for i in range(8):
+        t.append(
+            _df(
+                spark,
+                [(i * 25 + j,) for j in range(25)],
+                "id long",
+            ).coalesce(1)
+        )
+    t.optimize(target_file_rows=50)
+    assert t.file_count() == 4  # ceil(200 / 50)
+    assert t.read().count() == 200
+    assert sorted(r.id for r in t.read().collect()) == list(range(200))
+
+
+def test_optimize_rewrites_dv_file_regardless_of_size(spark, lake):
+    """A file above small_file_bytes still rewrites when it carries a
+    deletion vector: OPTIMIZE is the DV-compaction path."""
+    import os
+
+    t = LakeTable(spark, lake + "/dvbig")
+    t.append(_df(spark, [(i,) for i in range(10_000)], "id long").coalesce(1))
+    t.delete_where("id = 7", deletion_vectors=True)
+    snap = t._replay()
+    assert any(snap.file_dvs.values())
+    f = snap.files[0]
+    sz = os.path.getsize(os.path.join(t.root, f))
+    res = t.optimize(small_file_bytes=min(sz, 1))  # nothing is "small"
+    assert res["files_after"] >= 1
+    snap2 = t._replay()
+    assert not any(snap2.file_dvs.values()), "DV applied and cleared"
+    assert t.read().count() == 9_999
+
+
 def test_vacuum_deletes_unreferenced_files(spark, lake):
     t = LakeTable(spark, lake + "/vac")
     for i in range(2):

@@ -33,6 +33,30 @@ def test_small_file_accumulation_triggers_compaction(spark, tmp_path):
     assert not maintenance_plan(t)["optimize"]
 
 
+def test_auto_maintain_binpacks_with_plan_threshold(spark, tmp_path):
+    """auto_maintain passes its small_file_bytes to optimize, so the act
+    matches the diagnosis: the big file the plan did NOT count as small
+    is not rewritten (per-tick cost tracks new data, not table size)."""
+    import os
+
+    t = LakeTable(spark, str(tmp_path / "bp"))
+    t.append(_df(spark, [(i,) for i in range(50_000)], "id long").coalesce(1))
+    big = t._replay().files[0]
+    big_bytes = os.path.getsize(os.path.join(t.root, big))
+    for i in range(9):
+        t.append(_df(spark, [(100_000 + i,)], "id long").coalesce(1))
+    res = auto_maintain(
+        t,
+        small_file_bytes=big_bytes,  # big file is not "small"
+        run_vacuum=False,
+        auto_recluster=False,
+    )
+    assert res["optimize"]["rows_rewritten"] == 9
+    assert big in t._replay().files
+    assert t.file_count() == 2
+    assert t.read().count() == 50_009
+
+
 def test_dv_density_triggers_rewrite(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "dv"))
     t.append(_df(spark, [(i,) for i in range(100)], "id long").coalesce(1))

@@ -106,6 +106,7 @@ def main() -> None:
                 return
             tick = {"t": round(time.perf_counter() - t_start, 1),
                     "optimized": 0, "errors": []}
+            tick_t0 = time.perf_counter()
             for c in range(COLLECTIONS):
                 t = table(c)
                 if not t.exists():
@@ -120,6 +121,9 @@ def main() -> None:
                     )
                     if "optimize" in res:
                         tick["optimized"] += 1
+                        tick["rows_rewritten"] = tick.get(
+                            "rows_rewritten", 0
+                        ) + res["optimize"].get("rows_rewritten", 0)
                     if res.get("truncate_log"):
                         tick["truncated"] = (
                             tick.get("truncated", 0)
@@ -127,6 +131,10 @@ def main() -> None:
                         )
                 except Exception as e:  # a race bug, not designed behavior
                     tick["errors"].append(f"col{c}: {type(e).__name__}: {e}")
+            # per-tick wall cost: the r8 bin-packing fix pins this to the
+            # new small files since the last tick, not the table size —
+            # an upward trend here is the growing-compaction-cost defect
+            tick["tick_s"] = round(time.perf_counter() - tick_t0, 2)
             maint_events.append(tick)
 
     pipe = CDCStreamPipeline(spark, lake, trigger_seconds=4.0)
