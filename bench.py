@@ -197,6 +197,8 @@ HEADLINE = [
     "embedding_anisotropy_report",
     "analyze_column_stats",
     "column_equiwidth_histogram",
+    "dedup_incremental_pairs",
+    "dedup_incremental_keep",
     # boilerplate_pagerank intentionally not headlined: 5 chained
     # iterations cost ~17 s of fixed local-mode stage latency (same class
     # as dedup_connected_components); covered by tests/test_graph.py

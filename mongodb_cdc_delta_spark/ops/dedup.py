@@ -190,7 +190,10 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
 # shared CTE chain for the trigram-Jaccard pair generator; composed into
 # both the pairs oracle and the connected-components oracle below so the
 # two stay provably in sync with the Spark-side ngram_jaccard_pairs().
-_JACCARD_CTES = """
+#: the shingle/cap/size prefix shared by the all-pairs chain below AND the
+#: incremental (new-slice x corpus) chain — one source of truth for the
+#: tokenization, the df<=100 cap, and the capped per-doc sizes
+_SHINGLE_CTES = """
     sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(toks) - 2),
@@ -200,7 +203,9 @@ _JACCARD_CTES = """
     ),
     keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
     sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+_JACCARD_CTES = f"""{_SHINGLE_CTES},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -458,6 +463,273 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new-increment slice vs the full corpus (the shape a
+# continuously-growing 100 TB corpus actually runs — candidate work is
+# O(increment x df), never all-pairs over the accumulated corpus)
+# ---------------------------------------------------------------------------
+
+#: the top 10% of the deterministic id-hash space plays the "today's
+#: increment" role; the rest is the already-ingested corpus
+_INC_NEW_BUCKET = 9_000
+
+
+def _inc_bucket_sql(key: str) -> str:
+    # mirrors ops/sampling._BUCKET_SQL parameterized by key column
+    # (DuckDB has no pmod; plain % is identical for non-negative keys)
+    return f"(((({key} % 100003) * 2654435761 + 7919) % 2147483648) % 10000)"
+
+
+#: CTE chain producing ``ipairs`` (doc_a = new doc, doc_b = partner,
+#: pair_class in ('new_existing', 'new_new')) — shared by the pair report
+#: and the keep/drop decision oracle below
+_INC_PAIRS_CTES = f"""{_SHINGLE_CTES},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE {_inc_bucket_sql('a.doc_id')} >= {_INC_NEW_BUCKET}
+        AND a.doc_id <> b.doc_id
+        AND ({_inc_bucket_sql('b.doc_id')} < {_INC_NEW_BUCKET}
+             OR a.doc_id < b.doc_id)
+      GROUP BY 1, 2
+    ),
+    ipairs AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN {_inc_bucket_sql('doc_b')} >= {_INC_NEW_BUCKET}
+                  THEN 'new_new' ELSE 'new_existing' END AS pair_class
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    )"""
+
+
+@_cache_scoped
+def _incremental_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_shingle_df: int | None = 100,
+    pair_budget: int | None = DEFAULT_JACCARD_PAIR_BUDGET,
+) -> DataFrame:
+    """(doc_a, doc_b, pair_class) trigram-Jaccard >= threshold pairs where
+    doc_a is always a NEW-slice document (id-hash bucket >= 9000) and
+    doc_b is any other document — 'new_existing' when the partner is in
+    the corpus slice, 'new_new' (oriented doc_a < doc_b) within the
+    increment.
+
+    This is the incremental-dedup join shape: the posting-list self-join
+    is restricted to one NEW side, so candidate work is
+    Sigma_sh df_new(sh) * df(sh) — proportional to the increment, not to
+    the accumulated corpus squared. The budget guard estimates exactly
+    that (new x existing + C(df_new, 2) per capped shingle) before any
+    pair materializes, so the guard is increment-aware: a corpus whose
+    ALL-PAIRS space is over budget still runs when its increment's pair
+    space is within it."""
+    from .sampling import sample_bucket
+
+    sh = shingles(docs, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sh = sh.withColumn(
+        "is_new", sample_bucket(F.col("doc_id")) >= _INC_NEW_BUCKET
+    )
+    dfs = sh.groupBy("sh").agg(
+        F.count("*").alias("df"),
+        F.sum(F.col("is_new").cast("int")).alias("df_new"),
+    )
+    if pair_budget is not None:
+        dfs = dfs.persist()
+        try:
+            capped = (
+                dfs.where(F.col("df") <= max_shingle_df)
+                if max_shingle_df is not None
+                else dfs
+            )
+            row = capped.agg(
+                F.sum(
+                    F.col("df_new")
+                    * (F.col("df") - F.col("df_new")).cast("decimal(20,0)")
+                    + (
+                        F.col("df_new") * (F.col("df_new") - 1) / 2
+                    ).cast("decimal(20,0)")
+                ).alias("pairs")
+            ).collect()[0]
+            est = int(row["pairs"] or 0)
+        finally:
+            dfs.unpersist()
+        if est > pair_budget:
+            raise JaccardPairBudgetExceeded(
+                f"estimated incremental candidate-pair space {est:,} "
+                f"exceeds pair_budget {pair_budget:,} "
+                f"(max_shingle_df={max_shingle_df}); use the banded-LSH "
+                "path (dedup_minhash_lsh) or raise the budget"
+            )
+    if max_shingle_df is not None:
+        keep = dfs.where(F.col("df") <= max_shingle_df).select("sh")
+        sh = sh.join(keep, "sh", "left_semi")
+    sh = _scoped_cache(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.where("is_new").select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("is_new").alias("b_new")
+    )
+    inter = (
+        a.join(b, "sh")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (~F.col("b_new") | (F.col("doc_a") < F.col("doc_b")))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                sample_bucket(F.col("doc_b")) >= _INC_NEW_BUCKET,
+                F.lit("new_new"),
+            )
+            .otherwise(F.lit("new_existing"))
+            .alias("pair_class"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_pairs",
+    oracle=f"""
+    WITH {_INC_PAIRS_CTES},
+    pc AS (
+      SELECT pair_class, count(*) AS n_pairs FROM ipairs GROUP BY pair_class
+    ),
+    dc AS (
+      SELECT pair_class, count(DISTINCT d) AS n_new_docs FROM (
+        SELECT pair_class, doc_a AS d FROM ipairs
+        UNION ALL
+        SELECT pair_class, doc_b FROM ipairs WHERE pair_class = 'new_new'
+      ) GROUP BY pair_class
+    )
+    SELECT pc.pair_class,
+           CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+           CAST(dc.n_new_docs AS BIGINT) AS n_new_docs
+    FROM pc JOIN dc USING (pair_class)
+    """,
+    description="incremental dedup, report side: trigram-Jaccard >= 0.05 "
+    "near-dup pairs between a NEW increment slice (deterministic id-hash "
+    "bucket >= 9000, ~10% of docs) and the rest of the corpus, classified "
+    "new_existing / new_new with the count of distinct new docs involved. "
+    "Scale: the posting self-join keeps only the NEW side on the left, so "
+    "candidate work is Sigma df_new*df per capped shingle — O(increment), "
+    "not all-pairs over the accumulated corpus; the pair-budget guard "
+    "estimates exactly that increment-aware bound before the shuffle. "
+    "This is the daily-ingest shape: yesterday's corpus is never "
+    "re-self-joined.",
+    tags=("dedup", "llm-pipeline", "join", "report"),
+)
+def dedup_incremental_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    p = _incremental_jaccard_pairs(docs)
+    pc = p.groupBy("pair_class").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    involved = p.select("pair_class", F.col("doc_a").alias("d")).unionByName(
+        p.where(F.col("pair_class") == "new_new").select(
+            "pair_class", F.col("doc_b").alias("d")
+        )
+    )
+    dc = involved.groupBy("pair_class").agg(
+        F.countDistinct("d").cast("long").alias("n_new_docs")
+    )
+    return pc.join(dc, "pair_class")
+
+
+@register(
+    "dedup_incremental_keep",
+    oracle=f"""
+    WITH {_INC_PAIRS_CTES},
+    newdocs AS (
+      SELECT doc_id FROM documents
+      WHERE {_inc_bucket_sql('doc_id')} >= {_INC_NEW_BUCKET}
+    ),
+    drop_exist AS (
+      SELECT DISTINCT doc_a AS doc_id FROM ipairs
+      WHERE pair_class = 'new_existing'
+    ),
+    drop_new AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ipairs
+      WHERE pair_class = 'new_new'
+        AND doc_b NOT IN (SELECT doc_id FROM drop_exist)
+    )
+    SELECT CAST((SELECT count(*) FROM newdocs) AS BIGINT) AS n_new,
+           CAST((SELECT count(*) FROM drop_exist) AS BIGINT)
+             AS n_dropped_vs_existing,
+           CAST((SELECT count(*) FROM drop_new) AS BIGINT)
+             AS n_dropped_new_only,
+           CAST((SELECT count(*) FROM newdocs)
+                - (SELECT count(*) FROM drop_exist)
+                - (SELECT count(*) FROM drop_new) AS BIGINT) AS n_kept
+    """,
+    description="incremental dedup, decision side: admit/drop verdict for "
+    "every NEW-increment document. A new doc is dropped when it has a "
+    "near-twin in the existing corpus (n_dropped_vs_existing) or, failing "
+    "that, a LOWER-id near-twin inside the increment itself "
+    "(n_dropped_new_only — the min-id-survives rule dedup_keep_list "
+    "uses); otherwise kept. One row: the increment's admission summary a "
+    "daily-ingest pipeline logs per batch. Scale: same increment-bounded "
+    "pair pipeline as dedup_incremental_pairs plus three scalar "
+    "aggregates crossed broadcast-style.",
+    tags=("dedup", "llm-pipeline", "report"),
+)
+def dedup_incremental_keep(spark: SparkSession, sf: str) -> DataFrame:
+    from .sampling import sample_bucket
+
+    docs = load(spark, sf, "documents")
+    p = _incremental_jaccard_pairs(docs)
+    p = _scoped_cache(p)
+    newdocs = docs.where(
+        sample_bucket(F.col("doc_id")) >= _INC_NEW_BUCKET
+    ).select("doc_id")
+    de = (
+        p.where(F.col("pair_class") == "new_existing")
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    dn_only = (
+        p.where(F.col("pair_class") == "new_new")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .join(de, "doc_id", "left_anti")
+    )
+    a1 = newdocs.agg(F.count("*").cast("long").alias("n_new"))
+    a2 = de.agg(F.count("*").cast("long").alias("n_dropped_vs_existing"))
+    a3 = dn_only.agg(F.count("*").cast("long").alias("n_dropped_new_only"))
+    return (
+        a1.crossJoin(a2)
+        .crossJoin(a3)
+        .select(
+            "n_new",
+            "n_dropped_vs_existing",
+            "n_dropped_new_only",
+            (
+                F.col("n_new")
+                - F.col("n_dropped_vs_existing")
+                - F.col("n_dropped_new_only")
+            ).alias("n_kept"),
+        )
+    )
 
 
 @register(

@@ -728,3 +728,20 @@ class TestR8OpPlans:
         plan = plan_of(spark, "cluster_aware_split", execute=True)
         assert "CartesianProduct" not in plan
         assert not _global_window_sites(plan)
+
+    def test_incremental_pairs_new_side_filtered(self, spark):
+        # the posting join's left side carries the increment filter (the
+        # O(increment) claim): a pmod-bucket Filter feeds the join, and
+        # there is never a cartesian or global window
+        plan = plan_of(spark, "dedup_incremental_pairs", execute=True)
+        assert "CartesianProduct" not in plan
+        assert not _global_window_sites(plan)
+        assert "pmod" in plan  # the deterministic increment split
+
+    def test_incremental_keep_scalar_crosses_only(self, spark):
+        # three one-row scalar aggregates crossed broadcast-style; no
+        # window, no sort-merge join of the one-row sides
+        plan = plan_of(spark, "dedup_incremental_keep", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        assert not _global_window_sites(plan)

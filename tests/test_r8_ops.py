@@ -264,3 +264,71 @@ class TestEquiwidthHistogram:
         got = {r[0]: (r[1], r[2]) for r in s_rows}
         assert got[7] == (2, 7.0)
         assert all(got[b] == (1, float(b)) for b in range(7))
+
+
+def _ids_by_slice(start: int, n_new: int, n_existing: int):
+    """Scan ids upward: ids whose bucket >= 9000 are 'new' (the
+    incremental-dedup increment slice), the rest 'existing'."""
+    new_ids, old_ids = [], []
+    i = start
+    while len(new_ids) < n_new or len(old_ids) < n_existing:
+        (new_ids if _bucket(i) >= 9000 else old_ids).append(i)
+        i += 1
+    return new_ids[:n_new], old_ids[:n_existing]
+
+
+class TestIncrementalDedup:
+    """Seeded increment-vs-corpus families (generated data has no
+    cross-slice twins): a new doc with an existing twin, a pure-new pair,
+    an existing-only pair (must be excluded), a doc with BOTH kinds of
+    twin (vs_existing must win so it is not double-counted), and a
+    unique new doc."""
+
+    def _seed(self, tmp_path):
+        new, old = _ids_by_slice(0, 6, 4)
+        x, y, z, w, q, p = sorted(new)
+        e1, e2, e3, e4 = sorted(old)
+        rows = [
+            # F1: new X twins existing E1 -> new_existing, X dropped
+            (e1, "alpha beta gamma delta", "s0"),
+            (x, "alpha beta gamma delta", "s0"),
+            # F2: pure-new pair (Y < Z) -> new_new, Z dropped, Y kept
+            (y, "epsilon zeta eta theta", "s0"),
+            (z, "epsilon zeta eta theta", "s0"),
+            # F3: existing-only pair -> must NOT appear in any output
+            (e2, "iota kappa lambda mu", "s0"),
+            (e3, "iota kappa lambda mu", "s0"),
+            # F4: Q and P (Q < P) both twin existing E4 and each other:
+            # both drop vs_existing; P must not ALSO count as new_only
+            (e4, "nu xi omicron pi", "s0"),
+            (q, "nu xi omicron pi", "s0"),
+            (p, "nu xi omicron pi", "s0"),
+            # W: unique new doc -> kept
+            (w, "rho sigma tau upsilon", "s0"),
+        ]
+        _write_documents(tmp_path / "documents.parquet", rows)
+        return x, y, z, w, q, p
+
+    def test_pair_classes_exact(self, spark, tmp_path):
+        self._seed(tmp_path)
+        s_rows, d_rows = _run_both(
+            spark, "dedup_incremental_pairs", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        got = {r[0]: (r[1], r[2]) for r in s_rows}
+        # 3 new_existing pairs (X-E1, Q-E4, P-E4) over 3 distinct new docs
+        assert got["new_existing"] == (3, 3)
+        # 2 new_new pairs (Y-Z, Q-P) over 4 distinct new docs
+        assert got["new_new"] == (2, 4)
+
+    def test_keep_decision_exact(self, spark, tmp_path):
+        self._seed(tmp_path)
+        s_rows, d_rows = _run_both(
+            spark, "dedup_incremental_keep", str(tmp_path)
+        )
+        assert s_rows == d_rows
+        ((n_new, vs_existing, new_only, kept),) = s_rows
+        assert n_new == 6
+        assert vs_existing == 3  # X, Q, P
+        assert new_only == 1  # Z (P already dropped vs existing)
+        assert kept == 2  # W and Y
