@@ -698,6 +698,7 @@ def build_pq_codebooks(
     k: int = 16,
     iters: int = 2,
     seed: int = 7,
+    train_rows: int | None = 65536,
 ) -> DataFrame:
     """Per-subspace k-means codebooks, entirely as DataFrame ops.
 
@@ -706,9 +707,28 @@ def build_pq_codebooks(
     fit in one broadcast (m·k·(D/m) doubles = D·k — tiny), and every
     training step is a single groupBy over (sub, code, dim): the classic
     PQ build (Jégou et al., TPAMI'11) with Spark doing the data motion.
-    Returns (sub, code, centroid: array<double>).
+
+    ``train_rows`` bounds the Lloyd training set: above it, training runs
+    on a deterministic xxhash64-threshold sample of ~train_rows vectors
+    (one count + one filtered scan), the same bounded-sample regime FAISS
+    uses — m·k centroids saturate long before the corpus does, so
+    training cost must stay flat while only the encode pass scales with
+    rows. ``None`` trains on everything. Returns
+    (sub, code, centroid: array<double>).
     """
     from pyspark.sql import Window
+
+    if train_rows is not None:
+        n = emb.count()
+        if n > train_rows:
+            frac_ppm = int(train_rows * 1_000_000 // n)
+            emb = emb.where(
+                F.pmod(
+                    F.xxhash64(F.col("vec_id") + F.lit(seed)),
+                    F.lit(1_000_000),
+                )
+                < F.lit(frac_ppm)
+            )
 
     d_total = len(emb.select("embedding").first()[0])
     d = d_total // m

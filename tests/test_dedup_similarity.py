@@ -340,6 +340,48 @@ class TestProductQuantization:
         pq = {r["vec_id"] for r in reg["ann_pq_topk"].fn(spark, sf).collect()}
         assert len(fp32 & pq) >= 5
 
+    def test_bounded_training_sample(self, spark):
+        """Codebook training above train_rows runs on a deterministic
+        hash sample: flat training cost at corpus scale (FAISS regime).
+        Same inputs → bit-identical codebooks; below the cap the sample
+        filter must be a no-op."""
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            build_pq_codebooks,
+            pq_encode,
+        )
+        from mongodb_cdc_delta_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+        def canon(cb):
+            return sorted(
+                (r["sub"], r["code"], tuple(r["centroid"]))
+                for r in cb.collect()
+            )
+
+        capped1 = canon(build_pq_codebooks(emb, m=8, k=16, iters=1,
+                                           train_rows=128))
+        capped2 = canon(build_pq_codebooks(emb, m=8, k=16, iters=1,
+                                           train_rows=128))
+        assert capped1 == capped2
+        # 500 rows < default 65536 cap: default == uncapped
+        assert canon(
+            build_pq_codebooks(emb, m=8, k=16, iters=1)
+        ) == canon(
+            build_pq_codebooks(emb, m=8, k=16, iters=1, train_rows=None)
+        )
+        # codebooks from a 128-row sample still encode the full corpus
+        codes = pq_encode(
+            emb,
+            build_pq_codebooks(emb, m=8, k=16, iters=1, train_rows=128),
+            m=8,
+        ).collect()
+        assert len(codes) == 500
+        assert all(
+            len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+            for r in codes
+        )
+
     def test_codes_are_compact(self, spark):
         """The stored index payload is m small codes per vector."""
         from mongodb_cdc_delta_spark.ops.similarity import (
