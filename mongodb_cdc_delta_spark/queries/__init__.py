@@ -223,7 +223,7 @@ def all_queries() -> dict[str, Query]:
 # r5 rotation: NOTES_r5.md. r6 rotation: NOTES_r6.md. r7: NOTES_r7.md
 # (completed full-registry coverage: every oracle-checked name has had a
 # driver row at least once). r8 rotation (this one, churn-first per the
-# r7 verdict): 15 sentinels + the 7 r8 new ops + re-checks prioritized
+# r7 verdict): 15 sentinels + the 9 r8 new ops + re-checks prioritized
 # by r7/r8 code churn — the queries whose implementation or oracle moved
 # (the key_skew/salt rewrite, the Jaccard guard family, the type-drift
 # regex tightening, the scoped-cache refactor touching every cached
@@ -255,6 +255,8 @@ _DRIVER_PRIORITY = (
     "embedding_anisotropy_report",
     "analyze_column_stats",
     "column_equiwidth_histogram",
+    "dedup_incremental_pairs",
+    "dedup_incremental_keep",
     # --- churn-first re-checks: implementation or oracle moved in r7/r8
     # (key_skew/salt rewrite, type-drift regex, Jaccard guard family,
     # scoped-cache refactor over every cached pipeline) ---
@@ -285,6 +287,4 @@ _DRIVER_PRIORITY = (
     "doc_novelty_fraction",
     "tfidf_top_terms",
     "gopher_quality_flags",
-    "char_entropy_score",
-    "quality_linear_classifier",
 )
