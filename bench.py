@@ -56,6 +56,7 @@ HEADLINE = [
     "text_bpe_token_count",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_wds_export_report",
     "session_window_native",
     "tumbling_window_counts",
     "grouping_sets_agg",
