@@ -57,6 +57,7 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_wds_export_report",
+    "tokens_bin_export_report",
     "session_window_native",
     "tumbling_window_counts",
     "grouping_sets_agg",

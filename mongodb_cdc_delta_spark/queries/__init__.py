@@ -187,7 +187,7 @@ def all_queries() -> dict[str, Query]:
     from ..streaming import queries as streaming_queries  # noqa: F401
     from ..ops import dedup, similarity, textstats, multimodal, udfs  # noqa: F401
     from ..ops import sampling, skew, chunking, bpe, graph, report  # noqa: F401
-    from ..ops import governance, splits, webdataset  # noqa: F401
+    from ..ops import governance, splits, webdataset, tokenbin  # noqa: F401
 
     # The driver checks ~50 queries per round in registration order, so the
     # first 50 are chosen to cover EVERY operator family (relational core,
