@@ -92,7 +92,9 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_quality_keep",
     oracle="""
     WITH scored AS (
-      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                      'g'))), ' '))), ' '))
                AS fingerprint,
              doc_id,
              len(list_distinct(list_filter(string_split(text, ' '),
@@ -113,13 +115,15 @@ def dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
            CAST(n_distinct_toks AS BIGINT) AS kept_distinct_tokens
     FROM ranked WHERE rn = 1 AND n_copies >= 2
     """,
-    description="quality-aware survivor selection: within each normalized-"
-    "fingerprint duplicate group (>= 2 copies), keep the document with "
-    "the richest vocabulary (most distinct tokens; doc_id tiebreak) "
-    "instead of dedup_keep_list's arbitrary min-id — the corpus-"
-    "pipeline policy that keeps the clean copy and drops the "
-    "truncated/mangled ones. Scale: ONE scan, one shuffle on the "
-    "fingerprint; both window functions share the fingerprint "
+    description="quality-aware survivor selection: within each duplicate "
+    "group (>= 2 copies sharing the same normalized distinct-token SET — "
+    "case/whitespace/word-order/repetition invariant, so shuffled and "
+    "stutter-duplicated copies group with their clean original), keep "
+    "the document with the richest raw vocabulary (most distinct "
+    "tokens; doc_id tiebreak) instead of dedup_keep_list's arbitrary "
+    "min-id — the corpus-pipeline policy that keeps the clean copy and "
+    "drops the truncated/mangled ones. Scale: ONE scan, one shuffle on "
+    "the fingerprint; both window functions share the fingerprint "
     "partitioning (group-bounded, never global) and the >= 2 filter "
     "runs post-window — no second scan or join to find dup groups.",
     tags=("dedup", "llm-pipeline", "quality"),
@@ -130,7 +134,11 @@ def dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     scored = docs.select(
-        F.md5(norm).alias("fingerprint"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(norm, " ")))
+            )
+        ).alias("fingerprint"),
         "doc_id",
         F.size(
             F.array_distinct(

@@ -168,23 +168,26 @@ class TestClusterAwareSplit:
 
 class TestDedupQualityKeep:
     def test_richest_copy_wins(self, spark, tmp_path):
-        # three copies normalize identically ("a b a b"); raw distinct
-        # tokens differ: doc 1 has {A,b,a,B}=4, doc 2 {a,b}=2,
-        # doc 3 {a,b}=2. Keep = doc 1. A second group ties on 2 distinct
-        # tokens -> min doc_id wins. Singleton doc emits no row.
+        # group = same normalized distinct-token SET: docs 1-4 all map to
+        # {a, b} (case/whitespace variants, a word-SHUFFLED copy, and a
+        # stutter-duplicated copy). Raw distinct tokens differ: doc 1 has
+        # {A,b,a,B}=4, the rest 2. Keep = doc 1. A second group ties on
+        # 2 distinct tokens -> min doc_id wins. Singleton doc emits no
+        # row.
         rows = [
             (1, "A  b a B", "s0"),
             (2, "a b a b", "s0"),
-            (3, "a b  a b", "s0"),
+            (3, "b a  b a", "s0"),  # shuffled word order, same set
+            (4, "a a a b", "s0"),  # stutter multiplicity, same set
             (10, "x y", "s0"),
-            (11, "x  y", "s0"),
+            (11, "y  x", "s0"),
             (20, "unique text here", "s0"),
         ]
         _write_documents(tmp_path / "documents.parquet", rows)
         s_rows, d_rows = _run_both(spark, "dedup_quality_keep", str(tmp_path))
         assert s_rows == d_rows
         got = {r[1]: (r[2], r[3]) for r in s_rows}  # keep_id -> (n, ntok)
-        assert got == {1: (3, 4), 10: (2, 2)}
+        assert got == {1: (4, 4), 10: (2, 2)}
 
 
 class TestHapaxRatio:
