@@ -294,11 +294,12 @@ _TB_BUCKET_SQL = (
     )
     SELECT CAST(({_TB_BUCKET_SQL} % {_TB_N_SHARDS}) AS INT) AS shard,
            count(*) AS n_docs,
-           SUM(len(ids)) AS n_tokens,
-           SUM(coalesce(list_sum(ids), 0)) AS sum_token_id,
-           SUM(coalesce(list_sum(
+           CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+           CAST(SUM(coalesce(list_sum(ids), 0)) AS BIGINT) AS sum_token_id,
+           CAST(SUM(coalesce(list_sum(
              list_transform(generate_series(1, len(ids)),
-                            i -> ids[i] * i)), 0)) AS pos_weighted_sum
+                            i -> ids[i] * i)), 0)) AS BIGINT)
+             AS pos_weighted_sum
     FROM tok GROUP BY 1
     """,
     description="packed-token export integrity report: tokenize "

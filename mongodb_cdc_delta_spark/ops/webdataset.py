@@ -281,9 +281,9 @@ _WDS_BUCKET_SQL = (
     SELECT CAST(({_WDS_BUCKET_SQL} % {_WDS_N_SHARDS}) AS INT) AS shard,
            count(*) AS n_keys,
            2 * count(*) AS n_members,
-           SUM(strlen(text)
+           CAST(SUM(strlen(text)
                + strlen('{{"lang":"' || lang || '","source":"' || source
-                        || '"}}')) AS payload_bytes
+                        || '"}}')) AS BIGINT) AS payload_bytes
     FROM documents
     GROUP BY 1
     """,

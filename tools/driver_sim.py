@@ -24,7 +24,13 @@ import duckdb  # noqa: E402
 from mongodb_cdc_delta_spark.queries import all_queries  # noqa: E402
 from mongodb_cdc_delta_spark.session import TABLE_NAMES, get_spark  # noqa: E402
 
-sys.path.insert(0, "tests")
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)  # cwd-independent: the sim must run from a NON-repo cwd to exercise
+# the package-zip shipping path
 from test_oracle_parity import _canon_rows, _duckdb_run  # noqa: E402
 
 
