@@ -851,8 +851,14 @@ def connected_components(
     vertex id, pointer-jump join on label) over (long, long) pairs — never
     document payloads. ``localCheckpoint`` truncates lineage every round;
     without it the plan doubles per iteration and the driver, not the data,
-    becomes the bottleneck. Vertices outside any edge are absent (callers
-    union them back as singletons if needed).
+    becomes the bottleneck. Convergence detection exploits monotonicity:
+    every step assigns ``min(old, …)`` then a parent label that is itself
+    ≤ the looked-up key, so labels only ever decrease — the exact
+    ``decimal(38,0)`` label sum is strictly smaller after a round iff any
+    label changed. One scalar aggregate over the just-checkpointed round
+    output replaces the old full shuffle-join-vs-previous-labels change
+    probe (r8: −1 shuffle join per round). Vertices outside any edge are
+    absent (callers union them back as singletons if needed).
     """
     # materialize the edge list ONCE before symmetrizing: the union's two
     # branches are distinct subtrees, so without this the (expensive)
@@ -868,6 +874,10 @@ def connected_components(
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    # None until round 1 completes: a real round sum never equals None, and
+    # an EMPTY graph's sum IS None (sum of zero rows) — caught explicitly
+    prev_sum = None
     for _ in range(max_rounds):
         nbr = sym.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
@@ -885,16 +895,11 @@ def connected_components(
             .select("id", F.coalesce("p_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new.agg(label_sum).collect()[0]["s"]
         labels = new
-        if changed == 0:
+        if cur_sum is None or cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels
 
@@ -3414,13 +3419,25 @@ _THRESH_SQL = "[" + ", ".join(str(t) for t in _THRESH_PPMS) + "]"
     "dedup threshold (where the curve elbows, tightening buys little). "
     "Pair Jaccard quantized to integer ppm so threshold comparisons are "
     "engine-exact; ONE pass computes the pair table (df-capped shingle "
-    "self-join, bounded as everywhere in the dedup family), then a "
-    "7-row constant threshold table replicates it — never 7 rescans.",
+    "self-join, bounded as everywhere in the dedup family). The per-"
+    "threshold rollup is histogram-shaped (r8): each pair folds into its "
+    "highest-satisfied-threshold bucket (≤8 rows after map-side combine) "
+    "and each doc into the bucket of its MAX pair Jaccard, so "
+    "n_pairs(t) / n_docs_involved(t) are suffix sums of two tiny "
+    "histograms — the old shape replicated the pair table 7× through a "
+    "theta-join and ran DISTINCT over (threshold, doc), shuffling "
+    "~14×|pairs| rows where this shuffles 2×|pairs| once.",
     tags=("dedup", "report"),
 )
+@_cache_scoped
 def dedup_threshold_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    jp = (
+    ths = sorted(_THRESH_PPMS)
+    th_arr = F.array(*[F.lit(t).cast("long") for t in ths])
+    # bucket = number of thresholds satisfied by this pair's Jaccard
+    # (thresholds ascending, so "satisfies threshold i" ⇔ bucket ≥ i)
+    bucket = F.size(F.filter(th_arr, lambda t: t <= F.col("j_ppm")))
+    jpb = (
         _jaccard_pair_counts(docs)
         .select(
             "doc_a",
@@ -3430,26 +3447,37 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
                 " div (na + nb - n_inter)"
             ).alias("j_ppm"),
         )
+        .select("doc_a", "doc_b", bucket.alias("b"))
+    )
+    jpb = _scoped_cache(jpb)
+    pair_h = jpb.groupBy("b").agg(F.count("*").alias("cnt"))
+    # a doc is involved at threshold i iff its best pair satisfies i:
+    # per-doc max bucket, then the same ≤8-row histogram shape
+    doc_h = (
+        jpb.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d"), "b"
+        )
+        .groupBy("d")
+        .agg(F.max("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
     )
     th = spark.createDataFrame(
-        [(t,) for t in _THRESH_PPMS], "threshold_ppm long"
+        [(t, i + 1) for i, t in enumerate(ths)], "threshold_ppm long, i int"
     )
-    hits = th.join(
-        jp, F.col("j_ppm") >= F.col("threshold_ppm")
-    ).select("threshold_ppm", "doc_a", "doc_b")
-    pairs = hits.groupBy("threshold_ppm").agg(
-        F.count("*").alias("n_pairs")
+    pairs_at = (
+        th.join(F.broadcast(pair_h), F.col("b") >= F.col("i"), "left")
+        .groupBy("threshold_ppm")
+        .agg(F.sum("cnt").alias("n_pairs"))
     )
     docs_at = (
-        hits.select(
-            "threshold_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d")
-        )
-        .distinct()
+        th.join(F.broadcast(doc_h), F.col("b") >= F.col("i"), "left")
         .groupBy("threshold_ppm")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.sum("cnt").alias("n_docs"))
     )
     return (
-        th.join(F.broadcast(pairs), "threshold_ppm", "left")
+        th.select("threshold_ppm")
+        .join(F.broadcast(pairs_at), "threshold_ppm", "left")
         .join(F.broadcast(docs_at), "threshold_ppm", "left")
         .select(
             "threshold_ppm",

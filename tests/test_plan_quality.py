@@ -745,3 +745,21 @@ class TestR8OpPlans:
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
         assert not _global_window_sites(plan)
+
+    def test_threshold_sensitivity_histogram_rollup(self, spark):
+        # r8 rewrite: the per-threshold rollup rides two <=8-row bucket
+        # histograms (pair bucket + per-doc max bucket) suffix-summed
+        # against the 7-row threshold table. The pair table is cached
+        # once and must NEVER be replicated 7x through the theta-join —
+        # the old shape's DISTINCT over (threshold, doc) shuffled
+        # ~14x|pairs| rows and shows up as an aggregate keyed on both
+        # the threshold and a doc id.
+        plan = plan_of(spark, "dedup_threshold_sensitivity", execute=True)
+        assert "InMemoryTableScan" in plan
+        for keys in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+            assert not (
+                "threshold_ppm" in keys
+                and ("doc_a" in keys or "doc_b" in keys or "d#" in keys)
+            ), f"pair-replicating rollup resurfaced: keys=[{keys}]"
+        # (no explode-count gate: the shingle pipeline itself explodes, and
+        # every InMemoryTableScan site re-prints its lineage subtree)
