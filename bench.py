@@ -777,7 +777,15 @@ def main() -> None:
     # reported; `value` is the steady-state total.
     timings: dict[str, float] = {}
     cold_total = 0.0
-    for name in HEADLINE:
+    # Rolling calibration (r8 verdict #1): re-sample the constant-CPU
+    # probe every ~20 queries so a co-tenant steal wave is visible AT the
+    # queries it hit instead of poisoning the whole run's single median.
+    # calib_series entries are (query_index, calib_sec); each query's
+    # local normalization uses the mean of its bracketing samples.
+    calib_series: list[tuple[int, float]] = [(0, cpu_calibration())]
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 20 == 0:
+            calib_series.append((qi, cpu_calibration()))
         q = registry[name]
         spark.catalog.clearCache()
         try:
@@ -801,6 +809,23 @@ def main() -> None:
             timings[name] = round(min(warm), 3)
         except (Exception, TimeoutError) as exc:  # record, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    calib_series.append((len(HEADLINE), cpu_calibration()))
+    calib_samples.extend(c for _, c in calib_series)
+
+    def _local_calib(qi: int) -> float:
+        """Mean of the calib samples bracketing query index qi."""
+        lo = max((i, c) for i, c in calib_series if i <= qi)
+        hi = min(
+            ((i, c) for i, c in calib_series if i > qi),
+            default=lo,
+        )
+        return (lo[1] + hi[1]) / 2
+
+    local_scale = {
+        name: CALIB_REF_CPU_SEC / _local_calib(qi)
+        for qi, name in enumerate(HEADLINE)
+        if name in timings
+    }
     spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -829,6 +854,24 @@ def main() -> None:
         "queries_normalized": {
             k: round(v * scale, 3) for k, v in timings.items()
         },
+        # per-query view normalized by the BRACKETING rolling samples —
+        # robust to a steal wave that hits only part of the run. Compare
+        # this against queries_normalized: a large disagreement on a name
+        # means its window was noisy and the cross-round delta is suspect.
+        "queries_normalized_local": {
+            k: round(v * local_scale.get(k, scale), 3)
+            for k, v in timings.items()
+        },
+        "calib_series": [
+            {"i": i, "calib": c} for i, c in calib_series
+        ],
+        "calib_spread": round(
+            max(c for _, c in calib_series)
+            / min(c for _, c in calib_series),
+            2,
+        )
+        if min(c for _, c in calib_series) > 0
+        else None,
         "calib_samples": calib_samples,
         "calib_ref_cpu_sec": CALIB_REF_CPU_SEC,
         "calib_cpu_sec": calib,

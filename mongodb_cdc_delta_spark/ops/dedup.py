@@ -859,6 +859,15 @@ def connected_components(
     output replaces the old full shuffle-join-vs-previous-labels change
     probe (r8: −1 shuffle join per round). Vertices outside any edge are
     absent (callers union them back as singletons if needed).
+
+    One-round floor: with ``prev_sum`` starting as None, convergence can
+    only be detected from round 2 onward, so every call pays at least two
+    rounds. This is deliberate: labels start as each vertex's own id, so
+    any edge (u,v) with u != v changes the larger endpoint's label in
+    round 1 — the only inputs that converge during round 1 are pure
+    self-loop graphs. Precomputing the initial label sum would charge an
+    extra O(|V|) scalar aggregate to every real call to save one round
+    only on that degenerate shape, a bad trade at scale.
     """
     # materialize the edge list ONCE before symmetrizing: the union's two
     # branches are distinct subtrees, so without this the (expensive)

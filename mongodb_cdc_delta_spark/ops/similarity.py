@@ -1005,6 +1005,151 @@ _MRL_DIMS = (8, 16, 32, 64)
 _MRL_K = 10
 _MRL_DIMS_SQL = "[" + ", ".join(str(d) for d in _MRL_DIMS) + "]"
 
+#: matryoshka_recall's query-pool cap — the same bounded-sample regime as
+#: build_pq_codebooks(train_rows=...): a recall ESTIMATE doesn't need every
+#: query, and an uncapped pool makes the exact-rescoring stage grow with
+#: whatever the caller feeds it. Bit-identical below the cap.
+MRL_MAX_QUERIES = 1024
+
+
+@_cache_scoped
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = _MRL_DIMS,
+    k: int = _MRL_K,
+    max_queries: int | None = MRL_MAX_QUERIES,
+    seed: int = 7,
+) -> DataFrame:
+    """Recall@k of truncated-prefix cosine top-k vs full-dim ground truth
+    (MRL, Kusupati et al. 2022). ``corpus``: (vec_id, embedding);
+    ``queries``: (qid, qv). Returns one row per truncation dim:
+    (trunc_dim, n_queries, total_overlap, recall_ppm).
+
+    ``max_queries`` bounds the exact-rescoring work: above it, recall is
+    estimated on a deterministic xxhash64-threshold sample of ~max_queries
+    queries (one count + one filtered scan — the build_pq_codebooks
+    train_rows regime); below it the cap is a no-op, bit-identical to
+    ``None``. This is what keeps the report's cost O(corpus), never
+    O(corpus x query-pool), when the pool is corpus-proportional.
+
+    Scale shape (r9 rewrite; the r8 scaling bench measured the old form
+    at 100x factor 47): the corpus scan is ``spread()`` so scoring runs
+    at full parallelism instead of file-scan width; element products are
+    computed ONCE per (row, query) and each truncation's dot is a prefix
+    sum over that shared array (matryoshka prefixes nest — the old form
+    re-zipped per dim, ~6x the element work, and carried both 64-float
+    arrays through a 4x dims explode); per-row/per-query norms are
+    projected once before the join; and the per-(dim,query) top-k table
+    (≤ |dims|·|queries|·k rows) is scoped-cached so the truth-join
+    doesn't re-execute the whole scoring pipeline — the old form silently
+    ran it twice."""
+    from pyspark.sql import Window
+
+    if max_queries is not None:
+        n_pool = queries.count()
+        if n_pool > max_queries:
+            frac_ppm = int(max_queries * 1_000_000 // n_pool)
+            queries = queries.where(
+                F.pmod(
+                    F.xxhash64(F.col("qid") + F.lit(seed)),
+                    F.lit(1_000_000),
+                )
+                < F.lit(frac_ppm)
+            )
+    q = queries.select(
+        "qid",
+        "qv",
+        *[
+            _norm(F.slice(F.col("qv"), 1, d)).alias(f"qn_{d}")
+            for d in dims
+        ],
+    )
+    nq = q.agg(F.count("*").alias("n"))
+    # corpus-side prefix norms once per ROW (not per (row, query)); spread
+    # first — single-file parquet arrives as one scan partition and a
+    # broadcast join preserves it, pinning all the cosine math to one task
+    c = spread(corpus).select(
+        "vec_id",
+        "embedding",
+        *[
+            _norm(F.slice(F.col("embedding"), 1, d)).alias(f"en_{d}")
+            for d in dims
+        ],
+    )
+    # one element-product array per (row, query); every truncation's dot
+    # is a prefix aggregate over it. Used |dims| times below, so
+    # CollapseProject keeps it materialized rather than inlining.
+    joined = c.join(F.broadcast(q)).withColumn(
+        "pr",
+        F.zip_with(
+            "embedding",
+            "qv",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+    )
+    scored = joined.select(
+        "vec_id",
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("trunc_dim"),
+                        F.round(
+                            F.aggregate(
+                                F.slice(F.col("pr"), 1, d),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                            / (F.col(f"en_{d}") * F.col(f"qn_{d}")),
+                            6,
+                        ).alias("cos"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("dc"),
+    ).select("vec_id", "qid", "dc.trunc_dim", "dc.cos")
+    rnk = F.row_number().over(
+        Window.partitionBy("trunc_dim", "qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+    )
+    top = _scoped_cache(
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= k)
+        .select("trunc_dim", "qid", "vec_id")
+    )
+    truth = top.where(F.col("trunc_dim") == max(dims)).select(
+        "qid", "vec_id"
+    )
+    hits = (
+        top.join(F.broadcast(truth), ["qid", "vec_id"])
+        .groupBy("trunc_dim")
+        .agg(F.count("*").alias("total_overlap"))
+    )
+    dims_df = corpus.sparkSession.createDataFrame(
+        [(d,) for d in dims], "trunc_dim int"
+    )
+    return (
+        # hits is ≤ len(dims) rows — broadcast, else this 4x4 join
+        # compiles to a full SortMergeJoin exchange pair
+        dims_df.join(F.broadcast(hits), "trunc_dim", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "trunc_dim",
+            F.col("n").cast("long").alias("n_queries"),
+            F.coalesce(F.col("total_overlap"), F.lit(0))
+            .cast("long")
+            .alias("total_overlap"),
+            F.expr(
+                f"cast(coalesce(total_overlap, 0) * 1000000 as bigint)"
+                f" div (n * {k})"
+            ).alias("recall_ppm"),
+        )
+    )
+
 
 @register(
     "matryoshka_recall_report",
@@ -1051,73 +1196,23 @@ _MRL_DIMS_SQL = "[" + ", ".join(str(d) for d in _MRL_DIMS) + "]"
     "cosine top-10 per query vs the full-dim top-10 ground truth → "
     "recall@10 as integer ppm. The serving question this answers: how "
     "many dims can the ANN index store before recall degrades. Query "
-    "batch broadcasts (10 vectors); one corpus scan scores all four "
-    "truncations via array-slice columns; per-(dim,query) top-k is a "
-    "bounded window over the scored candidates — at 100 TB the "
-    "candidate set per query comes from the ANN shortlist (IVF/PQ), "
-    "same downstream shape as hard_negative_mining.",
+    "pool is CAPPED (deterministic hash sample above 1024 queries, "
+    "bit-identical below — the PQ train_rows regime); the spread corpus "
+    "scan computes one element-product array per (row, query) and every "
+    "truncation's dot is a prefix sum over it; per-(dim,query) top-k is "
+    "a group-limited window; the tiny top-k table is cached so the "
+    "truth join never re-runs scoring. At 100 TB the candidate set per "
+    "query comes from the ANN shortlist (IVF/PQ), same downstream "
+    "shape as hard_negative_mining.",
     tags=("similarity", "embedding", "llm-pipeline", "report"),
 )
 def matryoshka_recall_report(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load(spark, sf, "embeddings")
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    nq = q.agg(F.count("*").alias("n"))
-    dims = spark.createDataFrame(
-        [(d,) for d in _MRL_DIMS], "trunc_dim int"
-    )
-    scored = (
-        emb.where(F.col("vec_id") >= 10)
-        .join(F.broadcast(q))
-        .join(F.broadcast(dims))
-        .select(
-            "trunc_dim",
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_col(
-                    F.expr("slice(embedding, 1, trunc_dim)"),
-                    F.expr("slice(qv, 1, trunc_dim)"),
-                ),
-                6,
-            ).alias("cos"),
-        )
-    )
-    rnk = F.row_number().over(
-        Window.partitionBy("trunc_dim", "qid").orderBy(
-            F.col("cos").desc(), F.col("vec_id").asc()
-        )
-    )
-    top = (
-        scored.withColumn("rnk", rnk)
-        .where(F.col("rnk") <= _MRL_K)
-        .select("trunc_dim", "qid", "vec_id")
-    )
-    truth = top.where(F.col("trunc_dim") == max(_MRL_DIMS)).select(
-        "qid", "vec_id"
-    )
-    hits = top.join(F.broadcast(truth), ["qid", "vec_id"]).groupBy(
-        "trunc_dim"
-    ).agg(F.count("*").alias("total_overlap"))
-    return (
-        # hits is ≤ len(_MRL_DIMS) rows — broadcast, else this 4x4 join
-        # compiles to a full SortMergeJoin exchange pair
-        dims.join(F.broadcast(hits), "trunc_dim", "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "trunc_dim",
-            F.col("n").cast("long").alias("n_queries"),
-            F.coalesce(F.col("total_overlap"), F.lit(0))
-            .cast("long")
-            .alias("total_overlap"),
-            F.expr(
-                f"cast(coalesce(total_overlap, 0) * 1000000 as bigint)"
-                f" div (n * {_MRL_K})"
-            ).alias("recall_ppm"),
-        )
+    return matryoshka_recall(
+        emb.where(F.col("vec_id") >= 10).select("vec_id", "embedding"),
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
     )
 
 

@@ -222,14 +222,19 @@ def all_queries() -> dict[str, Query]:
 # r3 window: see git history / NOTES_r3.md. r4 rotation: NOTES_r4.md.
 # r5 rotation: NOTES_r5.md. r6 rotation: NOTES_r6.md. r7: NOTES_r7.md
 # (completed full-registry coverage: every oracle-checked name has had a
-# driver row at least once). r8 rotation (this one, churn-first per the
-# r7 verdict): 15 sentinels + the 9 r8 new ops + re-checks prioritized
-# by r7/r8 code churn — the queries whose implementation or oracle moved
-# (the key_skew/salt rewrite, the Jaccard guard family, the type-drift
-# regex tightening, the scoped-cache refactor touching every cached
-# pipeline: LSH/simhash/winnowing/band-sweep/PageRank/CMS/ANN) — then
-# oldest-driver-row-first (the r4-r5 window names last seen two rounds
-# ago).
+# driver row at least once). r8: NOTES_r8.md (churn-first: 9 new ops +
+# the scoped-cache/Jaccard-guard/key-skew churn re-checks).
+# r9 rotation (this one, churn-first per the r8 verdict #5): 15
+# sentinels; then the r8-session-3-churned names (threshold-sensitivity
+# histogram rollup, quality-keep fingerprint fix, incremental-dedup
+# pair — CC is already a sentinel), the two r8 export reports that have
+# NEVER had a driver row (multimodal_wds/tokens_bin), the r9-rewritten
+# matryoshka_recall_report (query-pool cap + shared-prefix scoring +
+# cached top-k), and dedup_keep_list (r8 rollup touched it, last row
+# r7); then oldest-driver-row-first — the r3-cohort names, last checked
+# six rounds ago (the r1 leftovers are rows-only sketches; the window
+# stays all-hash per the r3 policy). Two r3 names (unigram_logprob_score,
+# bpe_pair_counts) don't fit the 50 budget and roll to r10.
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
@@ -244,47 +249,45 @@ _DRIVER_PRIORITY = (
     "quality_pii_mask",      # T4 masking
     "session_window_native", # streaming-semantics windows
     "dedup_ngram_jaccard",   # lexical near-dup
-    "dedup_connected_components",  # graph clustering
+    "dedup_connected_components",  # graph clustering (r8 sum-probe churn)
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- r8 new ops (added this round, driver rows this round) ---
-    "split_leakage_report",
-    "cluster_aware_split",
+    # --- churn-first: r8 session-3 rewrites + never-checked export
+    # reports + the r9 matryoshka rewrite ---
+    "dedup_threshold_sensitivity",
     "dedup_quality_keep",
-    "hapax_ratio_report",
-    "embedding_anisotropy_report",
-    "analyze_column_stats",
-    "column_equiwidth_histogram",
     "dedup_incremental_pairs",
     "dedup_incremental_keep",
-    # --- churn-first re-checks: implementation or oracle moved in r7/r8
-    # (key_skew/salt rewrite, type-drift regex, Jaccard guard family,
-    # scoped-cache refactor over every cached pipeline) ---
-    "key_skew_report",
-    "salt_plan_report",
-    "window_rank_family",
-    "cdc_type_drift_report",
-    "jaccard_pair_budget",
-    "dedup_banded_fallback",
-    "dedup_threshold_sensitivity",
-    "dedup_cross_source_matrix",
-    "dedup_cluster_profile",
-    "minhash_estimate_error",
-    "lsh_band_sweep_recall",
-    "dedup_winnowing_pairs",
-    "dedup_span_extract",
-    "boilerplate_pagerank",
-    "cms_token_counts",
-    "ann_lsh_topk",
-    "embedding_centroid_shift",
-    "top_ngram_pmi",
-    # --- oldest-driver-row-first (last driver rows in r4/r5) ---
-    "dedup_exact",
-    "decontaminate_exact_substring",
-    "decontaminate_containment",
-    "decontaminate_cut_spans",
-    "lang_temperature_mix",
-    "doc_novelty_fraction",
-    "tfidf_top_terms",
-    "gopher_quality_flags",
+    "multimodal_wds_export_report",
+    "tokens_bin_export_report",
+    "matryoshka_recall_report",
+    "dedup_keep_list",
+    # --- oldest-driver-row-first (r3 cohort, last driver rows r3) ---
+    "range_scan",
+    "group_agg",
+    "group_topk",
+    "fk_join_agg",
+    "revenue_forecast",
+    "window_running_sum",
+    "window_topn_per_group",
+    "rollup_daily",
+    "semi_join",
+    "range_join",
+    "json_extract_agg",
+    "array_agg_user_events",
+    "correlated_subquery",
+    "variant_extract_filter",
+    "reconcile_hash_buckets",
+    "cdc_metadata_projection",
+    "cdc_stale_split",
+    "quality_validation_split",
+    "quality_encrypt_roundtrip",
+    "tumbling_window_counts",
+    "decontaminate_train_set",
+    "decontaminate_bloom_portable",
+    "embedding_near_dup",
+    "quality_linear_classifier",
+    "multimodal_frame_sample",
+    "grouping_sets_agg",
+    "training_mix_pipeline",
 )

@@ -109,3 +109,88 @@ class TestMatryoshkaRecall:
         # dim 64 truth: cosine strictly increases with i -> ids 20-29
         assert by_dim[8][2] == 0 and by_dim[8][3] == 0
         assert by_dim[64][2] == 100 and by_dim[64][3] == 1_000_000
+
+
+class TestQueryPoolCap:
+    """matryoshka_recall's max_queries cap (r8 verdict #2): deterministic
+    hash-sampled query pool above the cap, bit-identical no-op below it —
+    the build_pq_codebooks(train_rows=...) regime."""
+
+    def _frame(self, spark, n_queries=24, n_corpus=40):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(n_queries + n_corpus)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        queries = emb.where(f"vec_id < {n_queries}").selectExpr(
+            "vec_id as qid", "embedding as qv"
+        )
+        corpus = emb.where(f"vec_id >= {n_queries}")
+        return corpus, queries
+
+    def test_cap_is_noop_below(self, spark):
+        from mongodb_cdc_delta_spark.ops.similarity import matryoshka_recall
+
+        corpus, queries = self._frame(spark)
+        capped = sorted(
+            map(tuple, matryoshka_recall(corpus, queries).collect())
+        )
+        uncapped = sorted(
+            map(
+                tuple,
+                matryoshka_recall(
+                    corpus, queries, max_queries=None
+                ).collect(),
+            )
+        )
+        assert capped == uncapped
+        assert capped[0][1] == 24  # n_queries: full pool used
+
+    def test_cap_samples_deterministically_above(self, spark):
+        from pyspark.sql import functions as F
+
+        from mongodb_cdc_delta_spark.ops.similarity import matryoshka_recall
+
+        corpus, queries = self._frame(spark)
+        capped = sorted(
+            map(
+                tuple,
+                matryoshka_recall(
+                    corpus, queries, max_queries=8, seed=7
+                ).collect(),
+            )
+        )
+        # the cap must reduce the pool, and the result must equal running
+        # UNCAPPED on the explicit hash-sampled pool (same predicate) —
+        # i.e. the cap is exactly a deterministic pre-filter
+        n_used = capped[0][1]
+        assert 0 < n_used < 24
+        frac_ppm = 8 * 1_000_000 // 24
+        sampled = queries.where(
+            F.pmod(F.xxhash64(F.col("qid") + F.lit(7)), F.lit(1_000_000))
+            < F.lit(frac_ppm)
+        )
+        explicit = sorted(
+            map(
+                tuple,
+                matryoshka_recall(
+                    corpus, sampled, max_queries=None
+                ).collect(),
+            )
+        )
+        assert capped == explicit
+        # rerun: same sample, same numbers (determinism)
+        again = sorted(
+            map(
+                tuple,
+                matryoshka_recall(
+                    corpus, queries, max_queries=8, seed=7
+                ).collect(),
+            )
+        )
+        assert capped == again
