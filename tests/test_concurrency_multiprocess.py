@@ -28,7 +28,12 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# subprocess workers each boot a JVM: slow lane
+pytestmark = pytest.mark.slow
 N_WORKERS = 3
 APPENDS_EACH = 4
 

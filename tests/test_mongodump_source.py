@@ -119,3 +119,45 @@ def test_missing_path_and_empty_dir_raise(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(Exception, match="no .json"):
         MongoDumpReader({"path": str(empty)}).partitions()
+
+
+def test_text_and_python_readers_load_identical_tables(spark, tmp_path):
+    """The native-text SC-008 path and the portable python DataSource
+    path must land byte-identical table contents (same typing, same
+    metadata columns modulo ingest timestamps), and both report the
+    same per-collection stats keys."""
+    root = _mk_dump(tmp_path, n=7)
+    ing_t = CDCIngestor(spark, str(tmp_path / "lake_text"))
+    ing_p = CDCIngestor(spark, str(tmp_path / "lake_py"))
+    st_t = ing_t.snapshot_load_dump(root, batch_id=1, reader="text")
+    st_p = ing_p.snapshot_load_dump(root, batch_id=1, reader="python")
+    assert set(st_t) == set(st_p) == {"shop.users", "shop.orders"}
+    for tbl in ("shop_users", "shop_orders"):
+        # exclude per-ingest metadata (wall-clock event/ingest timestamps,
+        # synthetic source offsets) — everything else must be identical
+        cols = [
+            c
+            for c in ing_t.table(tbl).read().columns
+            if c == "_id" or not c.startswith("_")
+        ]
+        assert {"amount", "created", "name"} <= set(cols)
+        rows_t = sorted(
+            map(tuple, ing_t.table(tbl).read().select(*cols).collect())
+        )
+        rows_p = sorted(
+            map(tuple, ing_p.table(tbl).read().select(*cols).collect())
+        )
+        assert rows_t == rows_p
+    # per-collection stats carry that collection's append only
+    assert set(st_t["shop.users"].collections) == {"shop_users"}
+
+
+def test_text_reader_rejects_unknown_reader_and_empty_dir(spark, tmp_path):
+    ing = CDCIngestor(spark, str(tmp_path / "lake"))
+    root = _mk_dump(tmp_path)
+    with pytest.raises(ValueError, match="reader"):
+        ing.snapshot_load_dump(root, reader="orc")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .json"):
+        ing.snapshot_load_dump(str(empty), reader="text")
