@@ -28,6 +28,11 @@ def load(path: str) -> tuple[dict[str, float], dict]:
         data = json.loads(fh.read())
     if "tail" in data and "queries" not in data:
         data = data.get("parsed") or _parse_tail(data["tail"])
+    # r9+: prefer per-query LOCAL normalization (bracketing rolling calib
+    # samples) — robust to a steal wave that hits only part of a run;
+    # falls back to the whole-run median for older records
+    if "queries_normalized_local" in data:
+        return dict(data["queries_normalized_local"]), data
     if "queries_normalized" in data:
         return dict(data["queries_normalized"]), data
     calib = data.get("calib_cpu_sec") or CALIB_REF
@@ -68,6 +73,14 @@ def main() -> None:
             f"WARNING: different scale factors ({da.get('sf')} vs "
             f"{db.get('sf')}) — deltas reflect data size, not plans"
         )
+    for tag, d in (("old", da), ("new", db)):
+        spread = d.get("calib_spread")
+        if spread and spread > 1.5:
+            print(
+                f"WARNING: {tag} run's rolling calib spread is {spread}x "
+                "(steal waves mid-run) — per-query deltas there need "
+                "tools/ab_bench.py confirmation before calling anything"
+            )
     ca, cb = da.get("calib_cpu_sec"), db.get("calib_cpu_sec")
     if ca and cb and not (0.5 < ca / cb < 2.0):
         print(

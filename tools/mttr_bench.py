@@ -134,20 +134,35 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
 
     time.sleep(warm_s)
 
+    # steady-state gate: don't kill a pipeline that is still catching up —
+    # MTTR is only meaningful from an SLO-green baseline. Backlog < ~3 s
+    # of production counts as steady.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if produced[0] - table().count() < rate * 3:
+                break
+        except Exception:
+            pass
+        time.sleep(1.0)
+
     if kill_point == "mid_maintenance":
         # wait until a maintenance tick is actually inside optimize/vacuum
         deadline = time.time() + 60
         while not in_maintenance.is_set() and time.time() < deadline:
             time.sleep(0.02)
 
-    # ---- the kill: cancel all in-flight jobs; the foreachBatch fails and
-    # the query dies with an exception (not a graceful drain)
+    # ---- the kill: cancel jobs REPEATEDLY until the query provably dies
+    # dirty. A single cancelAllJobs can land between triggers with no job
+    # in flight (sub-second batches on a 2 s trigger) and kill nothing —
+    # the loop murders whichever batch starts next, so the foreachBatch
+    # raises and the query terminates with an exception, never a drain.
     t_kill = time.time()
-    spark.sparkContext.cancelAllJobs()
-    try:
-        query.awaitTermination(30)
-    except Exception:
-        pass  # StreamingQueryException is the expected death certificate
+    while time.time() < t_kill + 30:
+        spark.sparkContext.cancelAllJobs()
+        if not query.isActive or query.exception() is not None:
+            break
+        time.sleep(0.1)
     try:
         query.stop()
     except Exception:
@@ -206,7 +221,12 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
     )
     pre = [r for r in rows if not r["post"]]
     post = [r for r in rows if r["post"]]
-    pre_green = bool(pre) and pre[-1]["p50"] < SLO_P50_S
+    # baseline greenness must be read from a slice whose events had time
+    # to commit BEFORE the kill: a dirty kill guarantees the final ~2
+    # pre-kill slices commit only after restart (their lag ≈ downtime by
+    # construction), so judge the slice ending >= 10 s before the kill.
+    settled = [r for r in pre if r["slice"] <= -3]
+    pre_green = bool(settled) and settled[-1]["p50"] < SLO_P50_S
     mttr = None
     for r in post:
         if r["p50"] < SLO_P50_S:
@@ -234,6 +254,7 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
             for r in post
         ],
         "pass": mttr is not None and mttr < 300
+        and query_died_dirty
         and committed == produced[0] == distinct,
     }
     shutil.rmtree(base, ignore_errors=True)
