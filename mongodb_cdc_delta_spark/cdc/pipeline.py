@@ -56,6 +56,9 @@ from ..sinks.table import LakeTable
 
 MAX_DOCUMENT_BYTES = 16 * 1024 * 1024  # MongoDB's 16 MB document cap
 STALE_DAYS_DEFAULT = 7  # spec FR-024 (spec.md:302-305)
+#: per-collection append task sizing: one write task per ~this many clean
+#: rows (see _ingest_collection — the routed-lane headroom fix, r10)
+ROWS_PER_WRITE_TASK = 20_000
 
 #: CDC metadata columns appended to every table
 #: (reference schema_inferrer.py:463-501, event_handler.py:200-213)
@@ -237,7 +240,14 @@ def _parse_events_full(
     ``ingest_batch`` persists the PARENT so the clean branch (inference +
     append) and the dlq branch (count + append) both read one cached parse —
     caching only ``clean`` would make ``dlq.count()`` re-parse every raw
-    envelope a second time (measured ~15% of batch wall time)."""
+    envelope a second time (measured ~15% of batch wall time).
+
+    Optional provenance channel: when the raw frame carries ``__src_db`` /
+    ``__src_coll`` columns (the snapshot bulk loader knows every line's
+    collection from file discovery), they back-fill db/collection for rows
+    whose ENVELOPE failed to parse — so a corrupt line dead-letters
+    attributed to its collection instead of the (null, null) residue
+    bucket (r9 verdict #6)."""
     now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     df = _ensure_kafka_columns(raw_df)
 
@@ -290,13 +300,20 @@ def _parse_events_full(
         F.coalesce(vlong("$.payload.ts_ms"), vlong("$.payload.source.ts_ms"))
     )
 
+    db_expr = vstr("$.payload.source.db")
+    coll_expr = vstr("$.payload.source.collection")
+    if "__src_db" in df.columns:
+        db_expr = F.coalesce(db_expr, F.col("__src_db"))
+    if "__src_coll" in df.columns:
+        coll_expr = F.coalesce(coll_expr, F.col("__src_coll"))
+
     parsed = df.select(
         "value",
         "topic",
         "partition",
         "offset",
-        vstr("$.payload.source.db").alias("db"),
-        vstr("$.payload.source.collection").alias("collection"),
+        db_expr.alias("db"),
+        coll_expr.alias("collection"),
         op_raw.alias("op_raw"),
         operation.alias("_cdc_operation"),
         doc.alias("doc"),
@@ -515,6 +532,11 @@ class IngestStats:
     dlq_rows: int = 0
     #: rows beyond the per-batch DLQ cap that were counted but not stored
     dlq_overflow: int = 0
+    #: dead-letter counts attributed per source, keyed "db.collection";
+    #: rows whose envelope carried no recoverable source (and no
+    #: provenance channel backfilled one) land under "_unattributed".
+    #: Sum always equals dlq_rows. (r9 verdict #6 / ADVICE #5.)
+    dlq_by_collection: dict[str, int] = field(default_factory=dict)
     dropped_unknown_ops: int = 0
     #: tables whose stored schema widened this batch (reference
     #: prometheus_metrics.py schema-evolution counter)
@@ -547,11 +569,30 @@ class CDCIngestor:
         control_plane=None,
         collection_parallelism: int = 1,
         dlq_max_rows_per_batch: int = 10_000,
+        coalesce_commits: bool = True,
     ):
+        import os
+
         from ..quality.reliability import RetryConfig
+        from ..sinks.txn import recover as _txn_recover
 
         self.spark = spark
         self.lake_root = lake_root
+        #: one write JOB + one txn manifest per same-schema collection
+        #: GROUP instead of one job + one commit per collection — the
+        #: routed-lane headroom fix (r9 verdict #1); per-table behavior
+        #: (txn markers, evolution, stats shape) is identical. Grouping
+        #: applies only where safe: AUTO/STRICT, batch_id set, no
+        #: current-state materialization, no per-table bloom/generated
+        #: properties; everything else falls back per collection.
+        self.coalesce_commits = coalesce_commits
+        # roll forward any coalesced txn a previous process left mid-
+        # finalize (manifest present ⇒ the batch MUST complete), and
+        # sweep stage dirs orphaned by a crash before prepare()
+        self._txn_dir = os.path.join(lake_root, "_txn")
+        self._txn_stage_dir = os.path.join(lake_root, "_txn_stage")
+        _txn_recover(spark, self._txn_dir)
+        self._sweep_stale_stages()
         self.mode = mode
         self.stale_days = stale_days
         self.partition_by = list(partition_by)
@@ -610,12 +651,21 @@ class CDCIngestor:
         return LakeTable(self.spark, os.path.join(self.lake_root, name))
 
     def ingest_batch(
-        self, raw_df: DataFrame, batch_id: int | None = None, now=None
+        self,
+        raw_df: DataFrame,
+        batch_id: int | None = None,
+        now=None,
+        dlq_app_id: str = "cdc-_dlq",
     ) -> IngestStats:
         """Process one micro-batch: parse → split → route → append.
 
         Idempotent under retries when batch_id is given (foreachBatch
         exactly-once: txn app_id per table + batch_id as txn version).
+        ``dlq_app_id`` namespaces the shared ``_dlq`` table's txn marker:
+        callers that split ONE logical batch_id across several
+        ingest_batch calls (the python-reader snapshot path runs one per
+        collection) must pass distinct ids, or the second call's DLQ
+        append is skipped as an already-committed replay.
         """
         stats = IngestStats()
         # ONE cached parse: both branches (clean → inference + append, dlq →
@@ -689,6 +739,7 @@ class CDCIngestor:
                         F.schema_of_variant_agg(
                             F.try_parse_json(F.when(clean_flag, F.col("doc")))
                         ).alias("ddl"),
+                        F.sum(clean_flag.cast("int")).alias("n_clean"),
                         F.sum(
                             F.when(
                                 F.col("_dlq_reason").isNotNull(), 1
@@ -712,8 +763,32 @@ class CDCIngestor:
                         schemas[
                             (r["db"], r["collection"])
                         ] = refine_bson_markers(raw_schema)
+            for r in inferred:
+                if r["n_dlq"]:
+                    key = (
+                        f"{r['db']}.{r['collection']}"
+                        if r["db"] is not None and r["collection"] is not None
+                        else "_unattributed"
+                    )
+                    stats.dlq_by_collection[key] = (
+                        stats.dlq_by_collection.get(key, 0) + r["n_dlq"]
+                    )
+            n_clean_by_key = {
+                (r["db"], r["collection"]): r["n_clean"] for r in inferred
+            }
             items = sorted(schemas.items())
-            if self.collection_parallelism > 1 and len(items) > 1:
+            use_grouped = (
+                self.coalesce_commits
+                and batch_id is not None
+                and self.mode != MergeMode.LOCKED
+                and not self.materialize_current
+                and len(items) > 1
+            )
+            if use_grouped:
+                results = self._ingest_grouped(
+                    clean, items, batch_id, n_clean_by_key
+                )
+            elif self.collection_parallelism > 1 and len(items) > 1:
                 # per-collection worker threads (reference batch_processor's
                 # per-collection threading, B2): each collection's append is
                 # an independent Spark job on its own table, so jobs run
@@ -726,14 +801,24 @@ class CDCIngestor:
                     results = list(
                         pool.map(
                             lambda kv: self._ingest_collection(
-                                clean, kv[0], kv[1], batch_id
+                                clean,
+                                kv[0],
+                                kv[1],
+                                batch_id,
+                                n_rows_hint=n_clean_by_key.get(kv[0]),
                             ),
                             items,
                         )
                     )
             else:
                 results = [
-                    self._ingest_collection(clean, key, sch, batch_id)
+                    self._ingest_collection(
+                        clean,
+                        key,
+                        sch,
+                        batch_id,
+                        n_rows_hint=n_clean_by_key.get(key),
+                    )
                     for key, sch in items
                 ]
             for table_name, res, evolved, drift_rows in results:
@@ -756,7 +841,7 @@ class CDCIngestor:
                         dlq.orderBy("source_topic", "partition", "offset")
                         .limit(self.dlq_max_rows_per_batch)
                     )
-                txn = ("cdc-_dlq", batch_id) if batch_id is not None else None
+                txn = (dlq_app_id, batch_id) if batch_id is not None else None
                 self._guarded_append(
                     self.table("_dlq"), dlq, partition_by=[], txn=txn
                 )
@@ -790,6 +875,7 @@ class CDCIngestor:
         key: tuple[str, str],
         schemas: tuple[StructType, StructType],
         batch_id: int | None,
+        n_rows_hint: int | None = None,
     ) -> tuple[str, dict, bool, int]:
         """Route + evolve + append one collection's slice of the batch.
         Returns (table_name, append result, schema_evolved,
@@ -800,6 +886,20 @@ class CDCIngestor:
         sub = clean.where(
             (F.col("db") == db) & (F.col("collection") == coll)
         ).drop("db", "collection")
+        if n_rows_hint is not None:
+            # Right-size this slice's tasks. A routed batch fans N
+            # collections out of ONE cached scan, so every slice inherits
+            # the source partition count — at 10 collections x ~30 input
+            # partitions that is ~300 tasks for a 40k-row trigger, and
+            # per-task overhead (not data) dominates batch wall time;
+            # this headroom loss is what breached the routed-lane lag
+            # SLO on a degraded host (r9 verdict #1). ~20k rows per
+            # write task keeps a small slice at ONE task (and one
+            # output file) while a large backlog slice still fans out.
+            want = (n_rows_hint + ROWS_PER_WRITE_TASK - 1) // (
+                ROWS_PER_WRITE_TASK
+            )
+            sub = sub.coalesce(max(1, want))
         table = self.table(table_name)
         evolved = False
         live = None if self.mode == MergeMode.LOCKED else table.schema()
@@ -914,6 +1014,270 @@ class CDCIngestor:
             drift_rows = int(obs.get.get("type_drift_rows") or 0)
         return table_name, res, evolved, drift_rows
 
+    def _sweep_stale_stages(self, max_age_sec: float = 3600.0) -> None:
+        """Remove ``_txn_stage`` dirs older than ``max_age_sec`` with no
+        surviving manifest (recover() just drained those): leftovers of a
+        crash before ``prepare()``, whose files were never adopted. The
+        age guard protects a CONCURRENT live writer's in-flight stage."""
+        import os
+        import shutil
+        import time as _time
+
+        if not os.path.isdir(self._txn_stage_dir):
+            return
+        cutoff = _time.time() - max_age_sec
+        for name in os.listdir(self._txn_stage_dir):
+            p = os.path.join(self._txn_stage_dir, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+    def _ingest_grouped(
+        self,
+        clean: DataFrame,
+        items: list,
+        batch_id: int,
+        n_clean_by_key: dict,
+    ) -> list[tuple[str, dict, bool, int]]:
+        """Route + append a multi-collection batch with ONE Spark write
+        job and ONE txn manifest per same-schema collection group.
+
+        The per-collection path costs one driver-scheduled job plus one
+        commit per collection per trigger; at the reference's routed
+        shape (10 collections × 5k ev/s, spec.md:283-288) that driver
+        fan-out — not data volume — capped throughput and breached the
+        lag SLO on a degraded host (r9 verdict #1, BENCH_r09 p50 28.8 s).
+        Here collections whose post-evolution schema agrees are written
+        by a single job partitioned on a ``__route`` column (files land
+        under ``_txn_stage/<txn>/__route=<table>/<hive parts>``), the
+        files are adopted into each table's directory unpublished, and
+        one MultiTableTxn manifest publishes every table's commit with
+        its normal ``cdc-<table>`` marker — so a 10-collection trigger
+        pays ~1 job + 1 manifest + 10 O(1) log appends, crash-atomic by
+        the manifest (recover() rolls forward; sweep reaps pre-manifest
+        orphans). Collections that can't share a job (disagreeing
+        schemas, bloom/generated-column table properties, layout change)
+        fall back to the per-collection append, same batch."""
+        from ..quality.reliability import (
+            is_retryable,
+            is_schema_error,
+            retry_call,
+        )
+        from ..sinks.table import ConcurrentWriteError
+
+        results: list[tuple[str, dict, bool, int]] = []
+        groups: dict[tuple[str, str], list[dict]] = {}
+        singles: list[tuple] = []
+        for key, (doc_schema, parse_schema) in items:
+            db, coll = key
+            table_name = f"{db}_{coll}"
+            table = self.table(table_name)
+            if table.txn_version(f"cdc-{table_name}") >= batch_id:
+                results.append(
+                    (
+                        table_name,
+                        {
+                            "rows": 0,
+                            "files": 0,
+                            "version": table.version(),
+                            "skipped": True,
+                        },
+                        False,
+                        0,
+                    )
+                )
+                continue
+            snap = table._replay()
+            if (snap.files and list(snap.partition_by) != self.partition_by) or (
+                table.properties().get("bloom.filter.columns")
+                or table._generated_columns()
+            ):
+                # layout change (append's error message applies) or
+                # per-table write options a shared job can't honor
+                singles.append((key, (doc_schema, parse_schema)))
+                continue
+            evolved = False
+            if snap.schema is not None:
+                data_schema = StructType(
+                    [
+                        f
+                        for f in snap.schema.fields
+                        if f.name not in CDC_META_COLUMNS
+                    ]
+                )
+                doc_schema = merge_schemas(data_schema, doc_schema, self.mode)
+                evolved = doc_schema != data_schema
+            plan = {
+                "key": key,
+                "table_name": table_name,
+                "doc_schema": doc_schema,
+                "parse_schema": parse_schema,
+                "evolved": evolved,
+                "n": int(n_clean_by_key.get(key, 0)),
+            }
+            groups.setdefault(
+                (doc_schema.json(), parse_schema.json()), []
+            ).append(plan)
+        for gkey, members in sorted(groups.items()):
+            if len(members) == 1:
+                m = members[0]
+                singles.append((m["key"], (m["doc_schema"], m["parse_schema"])))
+                continue
+
+            def run_group(members=members):
+                return self._write_group(clean, members, batch_id)
+
+            results.extend(
+                retry_call(
+                    run_group,
+                    self.retry_config,
+                    retry_if=lambda e: isinstance(e, ConcurrentWriteError)
+                    or is_retryable(e)
+                    or is_schema_error(e),
+                )
+            )
+        for key, sch in singles:
+            results.append(
+                self._ingest_collection(
+                    clean,
+                    key,
+                    sch,
+                    batch_id,
+                    n_rows_hint=n_clean_by_key.get(key),
+                )
+            )
+        return results
+
+    def _write_group(
+        self, clean: DataFrame, members: list[dict], batch_id: int
+    ) -> list[tuple[str, dict, bool, int]]:
+        """One grouped write attempt: job → adopt files → manifest commit.
+        Retried whole by _ingest_grouped; files from a failed attempt are
+        unpublished orphans (vacuum's orphan sweep / stage sweep reap)."""
+        import os
+        import uuid
+        from urllib.parse import unquote
+
+        from pyspark.sql import Observation
+
+        from ..sinks.table import _collect_file_stats
+        from ..sinks.txn import MultiTableTxn
+
+        parse_schema = members[0]["parse_schema"]
+        doc_schema = members[0]["doc_schema"]
+        names = [m["table_name"] for m in members]
+        total = sum(m["n"] for m in members)
+        route = F.concat(F.col("db"), F.lit("_"), F.col("collection"))
+        sub = clean.where(route.isin(names)).coalesce(
+            max(1, (total + ROWS_PER_WRITE_TASK - 1) // ROWS_PER_WRITE_TASK)
+        )
+        normalized = F.when(
+            F.col("doc").contains('"$'),
+            normalize_extended_json(F.col("doc")),
+        ).otherwise(F.col("doc"))
+        parsed_rows = sub.select(
+            F.from_json(normalized, parse_schema).alias("d"),
+            route.alias("__route"),
+            *CDC_META_COLUMNS,
+        ).select("d.*", "__route", *CDC_META_COLUMNS)
+        meta_fields = [parsed_rows.schema[c] for c in CDC_META_COLUMNS]
+        full_target = StructType(list(doc_schema.fields) + meta_fields)
+        cast_target = StructType(
+            list(full_target.fields)
+            + [StructField("__route", StringType(), False)]
+        )
+        rows = cast_to_schema(
+            parsed_rows, cast_target, scalar_rule=millis_cast_rule
+        )
+        txn_id = uuid.uuid4().hex
+        stage = os.path.join(self._txn_stage_dir, txn_id)
+        obs = Observation(f"group-{txn_id}")
+        (
+            rows.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("overwrite")
+            .partitionBy("__route", *self.partition_by)
+            .parquet(stage)
+        )
+        written = int(obs.get["rows"])
+        if written != total:
+            raise RuntimeError(
+                f"grouped append integrity: wrote {written} rows, "
+                f"inference counted {total}"
+            )
+        # adopt: move each file under its table root, preserving the hive
+        # partition subpath below the __route level
+        adds: dict[str, list[dict]] = {n: [] for n in names}
+        seq = 0
+        for route_dir in sorted(os.listdir(stage)):
+            if not route_dir.startswith("__route="):
+                continue
+            tname = unquote(route_dir[len("__route=") :])
+            if tname not in adds:
+                raise RuntimeError(
+                    f"grouped append routed unknown table {tname!r}"
+                )
+            rbase = os.path.join(stage, route_dir)
+            troot = os.path.join(self.lake_root, tname)
+            for dirpath, _dirs, fnames in os.walk(rbase):
+                for fname in sorted(fnames):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    src = os.path.join(dirpath, fname)
+                    rel_part = os.path.relpath(dirpath, rbase)
+                    part_dir = (
+                        troot
+                        if rel_part == "."
+                        else os.path.join(troot, rel_part)
+                    )
+                    os.makedirs(part_dir, exist_ok=True)
+                    dst = os.path.join(
+                        part_dir, f"part-{txn_id}-{seq:05d}.parquet"
+                    )
+                    seq += 1
+                    os.rename(src, dst)
+                    adds[tname].append(
+                        {
+                            "path": os.path.relpath(dst, troot),
+                            "size": os.path.getsize(dst),
+                            "stats": _collect_file_stats(dst),
+                        }
+                    )
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        txn = MultiTableTxn(
+            self.spark, self._txn_dir, app_id="cdc", version=batch_id
+        )
+        schema_json = full_target.jsonValue()
+        for m in members:
+            txn.stage_adopted(
+                root=os.path.join(self.lake_root, m["table_name"]),
+                add=adds[m["table_name"]],
+                rows=m["n"],
+                schema=schema_json,
+                partition_by=self.partition_by,
+                app_id=f"cdc-{m['table_name']}",
+            )
+        published = txn.commit()
+        out = []
+        for m, pub in zip(members, published):
+            out.append(
+                (
+                    m["table_name"],
+                    {
+                        "rows": 0 if pub.get("skipped") else m["n"],
+                        "files": len(adds[m["table_name"]]),
+                        "version": pub.get("version"),
+                        "skipped": bool(pub.get("skipped")),
+                    },
+                    m["evolved"],
+                    0,
+                )
+            )
+        return out
+
     def _merge_current_state(
         self, table_name: str, rows: DataFrame, batch_id: int | None
     ) -> None:
@@ -974,25 +1338,42 @@ class CDCIngestor:
         idempotent txns), so a snapshot followed by streaming is seamless.
         Scale: the envelope wrap is two string concats per row; throughput
         is the ingest path's (~10k docs/s/worker here, cluster-linear)."""
+        import json as _json
         import time as _time
 
+        # names are json.dumps-escaped: a db/collection derived from a
+        # directory name containing `"` or `\` must not produce a
+        # malformed envelope that dead-letters the whole file (ADVICE r9)
         prefix = (
             '{"payload": {"op": "r", "ts_ms": '
             + str(int(_time.time() * 1000))
-            + ', "source": {"db": "'
-            + database
-            + '", "collection": "'
-            + collection
-            + '"}, "after": '
+            + ', "source": {"db": '
+            + _json.dumps(database)
+            + ', "collection": '
+            + _json.dumps(collection)
+            + '}, "after": '
         )
         # docs inline as raw JSON objects (valid JSON text needs no
-        # escaping; the parser accepts both inline and string-encoded after)
+        # escaping; the parser accepts both inline and string-encoded
+        # after). __src_* provenance attributes any dead-lettered line to
+        # this collection even when its JSON is unparseable.
         wrapped = docs_df.select(
             F.concat(
                 F.lit(prefix), F.col(doc_col).cast("string"), F.lit("}}")
-            ).alias("value")
+            ).alias("value"),
+            F.lit(database).alias("__src_db"),
+            F.lit(collection).alias("__src_coll"),
         )
-        return self.ingest_batch(wrapped, batch_id=batch_id)
+        # DLQ txn marker namespaced per collection: snapshot loads of
+        # SEVERAL collections legitimately share one batch_id (they are
+        # one logical bulk load), and the shared _dlq table must not
+        # treat the second collection's dead letters as a replay of the
+        # first's. Replaying the SAME collection stays idempotent.
+        return self.ingest_batch(
+            wrapped,
+            batch_id=batch_id,
+            dlq_app_id=f"cdc-_dlq-{database}.{collection}",
+        )
 
     def snapshot_load_dump(
         self,
@@ -1022,10 +1403,12 @@ class CDCIngestor:
         portable ``format("mongodump")`` DataSource, one
         ``snapshot_load`` per collection (see cdc/mongodump.py).
 
-        Returns per-``db.collection`` stats in both modes. The text
-        path's batch-level DLQ count (a dead-lettered line's collection
-        may be unparseable, so it can't be attributed) is returned
-        under a ``"_dlq"`` key only when nonzero."""
+        Returns per-``db.collection`` stats in both modes, each with its
+        own attributed ``dlq_rows`` (a corrupt line's collection is known
+        from file provenance even when its JSON is not parseable — r9
+        verdict #6). A ``"_dlq"`` key appears ONLY for the truly
+        unattributable residue (none, for either reader, under normal
+        operation) or a nonzero DLQ overflow."""
         from .mongodump import _discover, register_mongodump_source
 
         files = sorted(_discover(dump_dir))
@@ -1048,15 +1431,36 @@ class CDCIngestor:
         if not files:
             raise ValueError(f"no .json dump files under {dump_dir}")
 
+        import json as _json
         import os
         import time as _time
 
+        from pyspark.sql import Observation
+
         # (abs path → db, coll) provenance from the same discovery the
-        # python connector uses, joined on _metadata.file_path — layout
-        # semantics stay identical across readers
+        # python connector uses, joined on the DECODED _metadata.file_path.
+        # Spark surfaces the path URI-encoded (`file:/a/b%20c.json` for
+        # `/a/b c.json`), so the raw string only equals os.path.abspath
+        # for paths free of spaces/%/non-ASCII — any other file silently
+        # matched nothing under the old inner join (r9 ADVICE, high).
+        # url_decode restores the filesystem path; literal `+` is first
+        # protected as %2B because a URI keeps `+` verbatim while
+        # url_decode is form-decoding (`+` → space). Envelope names ride
+        # pre-escaped (json.dumps) so a db/coll containing `"` or `\`
+        # cannot malform the envelope.
         prov = self.spark.createDataFrame(
-            [(os.path.abspath(p), db, coll) for p, db, coll in files],
-            "__path string, __db string, __coll string",
+            [
+                (
+                    os.path.abspath(p),
+                    db,
+                    coll,
+                    _json.dumps(db),
+                    _json.dumps(coll),
+                )
+                for p, db, coll in files
+            ],
+            "__path string, __src_db string, __src_coll string, "
+            "__db_json string, __coll_json string",
         )
         conf = self.spark.conf
         prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
@@ -1065,46 +1469,86 @@ class CDCIngestor:
             str(split_size_mb * 1024 * 1024),
         )
         try:
-            lines = self.spark.read.text([p for p, _, _ in files]).select(
-                "value",
-                # file:///abs/path → /abs/path to match the provenance key
+            decoded = F.url_decode(
                 F.regexp_replace(
                     F.regexp_replace(
                         F.col("_metadata.file_path"), "^file:", ""
                     ),
-                    "^/+",
-                    "/",
-                ).alias("__path"),
-            )
-            ts_ms = int(_time.time() * 1000)
-            wrapped = (
-                lines.where(F.length(F.trim("value")) > 0)
-                .join(F.broadcast(prov), "__path")
-                .select(
-                    F.concat(
-                        F.lit('{"payload": {"op": "r", "ts_ms": '),
-                        F.lit(str(ts_ms)),
-                        F.lit(', "source": {"db": "'),
-                        F.col("__db"),
-                        F.lit('", "collection": "'),
-                        F.col("__coll"),
-                        F.lit('"}, "after": '),
-                        F.trim(F.col("value")),
-                        F.lit("}}"),
-                    ).alias("value")
+                    r"\+",
+                    "%2B",
                 )
             )
+            # read paths are Hadoop GLOBS: a literal *?[]{}\ in a file
+            # name must be backslash-escaped or the read 404s (or worse,
+            # silently matches other files)
+            import re as _re
+
+            def _glob_escape(p: str) -> str:
+                return _re.sub(r"([*?\[\]{}\\])", r"\\\1", p)
+
+            lines = self.spark.read.text(
+                [_glob_escape(p) for p, _, _ in files]
+            ).select(
+                "value",
+                F.regexp_replace(decoded, "^/+", "/").alias("__path"),
+            )
+            ts_ms = int(_time.time() * 1000)
+            # left join + observation: a decode/join regression must FAIL
+            # LOUDLY, not silently drop files. The observation rides the
+            # ingest's own first action — zero extra scan at 1 TB.
+            obs = Observation("snapshot-prov-guard")
+            joined = (
+                lines.where(F.length(F.trim("value")) > 0)
+                .join(F.broadcast(prov), "__path", "left")
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("__src_db").isNull(), 1).otherwise(0)
+                    ).alias("unmatched"),
+                )
+            )
+            wrapped = joined.where(F.col("__src_db").isNotNull()).select(
+                F.concat(
+                    F.lit('{"payload": {"op": "r", "ts_ms": '),
+                    F.lit(str(ts_ms)),
+                    F.lit(', "source": {"db": '),
+                    F.col("__db_json"),
+                    F.lit(', "collection": '),
+                    F.col("__coll_json"),
+                    F.lit('}, "after": '),
+                    F.trim(F.col("value")),
+                    F.lit("}}"),
+                ).alias("value"),
+                # provenance channel: dead-lettered lines attribute to
+                # their collection even when their JSON is unparseable
+                "__src_db",
+                "__src_coll",
+            )
             batch = self.ingest_batch(wrapped, batch_id=batch_id)
+            unmatched = int(obs.get.get("unmatched") or 0)
+            if unmatched:
+                raise RuntimeError(
+                    f"snapshot_load_dump: {unmatched} line(s) scanned from "
+                    f"{dump_dir} matched no discovered file after "
+                    "URL-decoding _metadata.file_path — provenance join "
+                    "regression; matched collections WERE ingested "
+                    "(idempotent under the same batch_id), unmatched "
+                    "lines were NOT"
+                )
         finally:
             conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
         out = {}
         for _path, db, coll in files:
             table = f"{db}_{coll}"
+            dlq_key = f"{db}.{coll}"
+            n_dlq = batch.dlq_by_collection.get(dlq_key, 0)
             per = IngestStats(
                 collections={
                     k: v for k, v in batch.collections.items() if k == table
                 },
+                dlq_rows=n_dlq,
+                dlq_by_collection={dlq_key: n_dlq} if n_dlq else {},
                 schema_evolutions=[
                     t for t in batch.schema_evolutions if t == table
                 ],
@@ -1115,10 +1559,11 @@ class CDCIngestor:
                 },
                 dropped_unknown_ops=0,
             )
-            out[f"{db}.{coll}"] = per
-        if batch.dlq_rows:
+            out[dlq_key] = per
+        residue = batch.dlq_by_collection.get("_unattributed", 0)
+        if residue or batch.dlq_overflow:
             out["_dlq"] = IngestStats(
-                dlq_rows=batch.dlq_rows, dlq_overflow=batch.dlq_overflow
+                dlq_rows=residue, dlq_overflow=batch.dlq_overflow
             )
         return out
 

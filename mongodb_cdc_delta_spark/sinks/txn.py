@@ -78,12 +78,19 @@ class MultiTableTxn:
         partition_by: list[str] | None = None,
         mode: MergeMode = MergeMode.AUTO,
         operation: str = "WRITE",
+        app_id: str | None = None,
     ) -> dict[str, Any]:
         """Write df's files into ``table``'s directory without publishing a
         commit. Schema evolution is resolved here (same merge the plain
         ``append`` does); the merged schema rides the manifest so recovery
-        publishes exactly what was staged."""
-        if table.txn_version(self.app_id) >= self.version:
+        publishes exactly what was staged.
+
+        ``app_id`` overrides the txn-level app id for THIS table's commit
+        marker (the CDC ingest keys idempotence per table as
+        ``cdc-<table>`` — a coalesced batch must keep those markers
+        compatible with per-table appends across restarts)."""
+        app = app_id or self.app_id
+        if table.txn_version(app) >= self.version:
             return {"rows": 0, "files": 0, "skipped": True}
         snap = table._replay()
         partition_by = list(
@@ -111,9 +118,38 @@ class MultiTableTxn:
                 "schema": merged.jsonValue(),
                 "partition_by": partition_by,
                 "operation": operation,
+                **({"app_id": app_id} if app_id else {}),
             }
         )
         return {"rows": n_rows, "files": len(add), "skipped": False}
+
+    def stage_adopted(
+        self,
+        root: str,
+        add: list[dict[str, Any]],
+        rows: int,
+        schema: dict,
+        partition_by: list[str],
+        operation: str = "WRITE",
+        app_id: str | None = None,
+    ) -> None:
+        """Enroll files ALREADY placed in ``root``'s directory (by a
+        caller-run grouped write job — see CDCIngestor's coalesced routed
+        append) as one pending table commit. The caller guarantees the
+        files are invisible (no published commit references them) and
+        that ``schema`` (a StructType.jsonValue dict) is the
+        post-evolution table schema they were written with."""
+        self._staged.append(
+            {
+                "root": root,
+                "add": add,
+                "rows": rows,
+                "schema": schema,
+                "partition_by": list(partition_by),
+                "operation": operation,
+                **({"app_id": app_id} if app_id else {}),
+            }
+        )
 
     # ------------------------------------------------------------ commit
 
@@ -175,9 +211,12 @@ def _publish_entry(
     """Idempotently publish one table's staged commit: skipped when the
     (app_id, version) mark is already in the table's log, retried with a
     fresh version number when another writer wins the optimistic race
-    (data files are already in place — only the log entry re-publishes)."""
+    (data files are already in place — only the log entry re-publishes).
+    An entry-level ``app_id`` (coalesced CDC batches mark per-table
+    ``cdc-<table>`` ids) overrides the manifest-level one."""
     from pyspark.sql.types import StructType
 
+    app_id = entry.get("app_id") or app_id
     table = LakeTable(spark, entry["root"])
     while True:
         if table.txn_version(app_id) >= version:

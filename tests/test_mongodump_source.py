@@ -161,3 +161,75 @@ def test_text_reader_rejects_unknown_reader_and_empty_dir(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no .json"):
         ing.snapshot_load_dump(str(empty), reader="text")
+
+
+def test_text_reader_url_encoded_paths_drop_nothing(spark, tmp_path):
+    """r9 ADVICE (high): _metadata.file_path is URI-encoded, so a dump
+    path containing a space/%/+/non-ASCII char used to match nothing in
+    the provenance join — every row of that file silently dropped. The
+    decoded join must load them all, and both readers must agree."""
+    root = tmp_path / "du mp+dir" / "my%db"
+    root.mkdir(parents=True)
+    (root / "ol' coll.json").write_text(
+        "\n".join(json.dumps({"_id": str(i), "n": i}) for i in range(9))
+        + "\n"
+    )
+    (root / "plain.json").write_text(json.dumps({"_id": "x", "n": 99}) + "\n")
+    ing_t = CDCIngestor(spark, str(tmp_path / "lake_text"))
+    ing_p = CDCIngestor(spark, str(tmp_path / "lake_py"))
+    st_t = ing_t.snapshot_load_dump(
+        str(tmp_path / "du mp+dir"), batch_id=1, reader="text"
+    )
+    st_p = ing_p.snapshot_load_dump(
+        str(tmp_path / "du mp+dir"), batch_id=1, reader="python"
+    )
+    assert set(st_t) == set(st_p) == {"my%db.ol' coll", "my%db.plain"}
+    for ing in (ing_t, ing_p):
+        assert ing.table("my%db_ol' coll").count() == 9
+        assert ing.table("my%db_plain").count() == 1
+    assert st_t["my%db.ol' coll"].dlq_rows == 0
+
+
+def test_dlq_attribution_per_collection_both_readers(spark, tmp_path):
+    """r9 verdict #6: a dead-lettered line IS attributable — its file's
+    collection is known from discovery even when its JSON is garbage.
+    Each reader must report per-collection dlq_rows (not a batch-level
+    "_dlq" bucket), and the clean rows must still land."""
+    root = tmp_path / "dump"
+    for coll, bad in (("users", "{not json"), ("orders", '"dangling')):
+        d = root / "shop"
+        d.mkdir(parents=True, exist_ok=True)
+        lines = [json.dumps({"_id": str(i), "n": i}) for i in range(4)]
+        lines.insert(2, bad)  # one unparseable line mid-file
+        (d / f"{coll}.json").write_text("\n".join(lines) + "\n")
+    for reader, lake in (("text", "lake_t"), ("python", "lake_p")):
+        ing = CDCIngestor(spark, str(tmp_path / lake))
+        st = ing.snapshot_load_dump(str(root), batch_id=1, reader=reader)
+        assert set(st) == {"shop.users", "shop.orders"}, reader
+        for coll in ("users", "orders"):
+            assert st[f"shop.{coll}"].dlq_rows == 1, (reader, coll)
+            assert st[f"shop.{coll}"].dlq_by_collection == {
+                f"shop.{coll}": 1
+            }, reader
+            assert ing.table(f"shop_{coll}").count() == 4, (reader, coll)
+        # the DLQ table rows exist and the residue bucket is empty
+        assert ing.table("_dlq").count() == 2, reader
+
+
+def test_envelope_names_json_escaped(spark, tmp_path):
+    """r9 ADVICE: a db/collection name containing a double quote or
+    backslash must not malform the synthetic envelope (which would
+    dead-letter the whole file)."""
+    db = 'we"ird\\db'
+    d = tmp_path / "dump" / db
+    d.mkdir(parents=True)
+    (d / 'co"ll.json').write_text(
+        "\n".join(json.dumps({"_id": str(i), "n": i}) for i in range(3))
+        + "\n"
+    )
+    ing = CDCIngestor(spark, str(tmp_path / "lake"))
+    st = ing.snapshot_load_dump(str(tmp_path / "dump"), batch_id=1)
+    key = f'{db}.co"ll'
+    assert set(st) == {key}
+    assert st[key].dlq_rows == 0
+    assert ing.table(f'{db}_co"ll').count() == 3
