@@ -1245,6 +1245,115 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_lsh_accuracy",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b,
+           CAST(round(CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter) * 1000000) AS BIGINT)
+             AS jaccard_ppm,
+           true AS found_by_lsh
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    """,
+    description="driver-checkable accuracy row for dedup_minhash_lsh (r9 "
+    "verdict #4): every EXACT trigram-Jaccard >= 0.8 pair (oracle-"
+    "computable, same capped-shingle formulation the green "
+    "dedup_ngram_jaccard oracle uses) flagged with whether 8x4 banded "
+    "MinHash-LSH surfaced it as a candidate — at s >= 0.8 the banding "
+    "catch probability is 1-(1-s^4)^8 ~ 0.998+, and with the FIXED "
+    "xxhash64 permutations the outcome on this corpus is deterministic "
+    "(pinned by the parity suite at three SFs). An LSH regression "
+    "(banding, signatures, shingling) flips a boolean and fails the hash.",
+    tags=("dedup", "lsh", "accuracy"),
+)
+@_cache_scoped
+def dedup_minhash_lsh_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_shingle_df=100
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1_000_000)
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+    sh = shingles(docs, n=3)
+    sigs = _scoped_cache(minhash_signatures(sh))
+    cand = lsh_candidate_pairs(sigs).withColumn(
+        "found_by_lsh", F.lit(True)
+    )
+    return exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard_ppm",
+        F.coalesce("found_by_lsh", F.lit(False)).alias("found_by_lsh"),
+    )
+
+
+@register(
+    "dedup_simhash_accuracy",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' '))) AS ks
+      FROM documents
+    ), g AS (
+      SELECT ks, min(doc_id) AS doc_a
+      FROM k GROUP BY ks HAVING count(*) > 1
+    )
+    SELECT g.doc_a, k.doc_id AS doc_b,
+           CAST(0 AS BIGINT) AS hamming,
+           true AS found_by_simhash
+    FROM k JOIN g ON k.ks = g.ks AND k.doc_id > g.doc_a
+    """,
+    description="driver-checkable accuracy row for dedup_simhash (r9 "
+    "verdict #4): documents with IDENTICAL distinct-token sets (oracle-"
+    "computable; 54-1065 such pairs exist at sf0.01-0.1 — byte-identical "
+    "texts alone would be vacuous at sf<=0.01) MUST get identical 64-bit "
+    "fingerprints (SimHash is a pure function of the token set), Hamming "
+    "0, and every such pair MUST be surfaced by the 16-bit pigeonhole "
+    "blocks (all four blocks equal). Emits the pairs (min-id "
+    "representative vs each duplicate) with the simhash pipeline's "
+    "verdict; any fingerprint/blocking regression flips a boolean or "
+    "the hamming value.",
+    tags=("dedup", "lsh", "accuracy"),
+)
+@_cache_scoped
+def dedup_simhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "ks"
+        ),
+    )
+    rep = (
+        keyed.groupBy("ks")
+        .agg(F.min("doc_id").alias("doc_a"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("ks", "doc_a")
+    )
+    dup_pairs = keyed.join(rep, "ks").where(
+        F.col("doc_id") > F.col("doc_a")
+    ).select("doc_a", F.col("doc_id").alias("doc_b"))
+    found = dedup_simhash(spark, sf).withColumn(
+        "found_by_simhash", F.lit(True)
+    )
+    return dup_pairs.join(found, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("hamming", F.lit(-1)).cast("long").alias("hamming"),
+        F.coalesce("found_by_simhash", F.lit(False)).alias(
+            "found_by_simhash"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (training-data pipeline: flag training docs
 # sharing n-grams with an eval/benchmark set — the overlap check GPT-3/PaLM

@@ -687,6 +687,53 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_accuracy",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qv FROM q)), 6) AS cos_sim
+      FROM embeddings
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(round(min(cos_sim) * 1000000) AS BIGINT)
+             AS min_exact_cos_ppm,
+           true AS recall_ge_50pct
+    FROM top
+    """,
+    description="driver-checkable accuracy row for ann_ivf_topk (r9 "
+    "verdict #4): the brute-force cosine top-10 (oracle-computable — the "
+    "green knn_cosine_topk formulation) summarized as (count, 10th-cos "
+    "in ppm) plus the verdict that IVF nprobe=4/16 recalls >= 50% of it "
+    "(the bound tests/test_dedup_similarity.py pins; deterministic here "
+    "— hash-seeded k-means init, fixed probe set). An IVF index/probe "
+    "regression flips the boolean and fails the hash.",
+    tags=("similarity", "ann", "accuracy"),
+)
+def ann_ivf_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    exact = knn_cosine_topk(spark, sf).select("vec_id", "cos_sim").cache()
+    approx = ann_ivf_topk(spark, sf).select(
+        "vec_id", F.lit(True).alias("in_ivf")
+    )
+    per = exact.join(approx, "vec_id", "left")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.round(F.min("cos_sim") * 1_000_000)
+        .cast("long")
+        .alias("min_exact_cos_ppm"),
+        (
+            F.coalesce(F.sum(F.col("in_ivf").cast("int")), F.lit(0))
+            >= 0.5 * F.count(F.lit(1))
+        ).alias("recall_ge_50pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the 10-30x ANN memory step past int8
 # ---------------------------------------------------------------------------
@@ -1021,17 +1068,25 @@ def matryoshka_recall(
     max_queries: int | None = MRL_MAX_QUERIES,
     seed: int = 7,
 ) -> DataFrame:
-    """Recall@k of truncated-prefix cosine top-k vs full-dim ground truth
-    (MRL, Kusupati et al. 2022). ``corpus``: (vec_id, embedding);
-    ``queries``: (qid, qv). Returns one row per truncation dim:
-    (trunc_dim, n_queries, total_overlap, recall_ppm).
+    """Recall@k of truncated-prefix cosine top-k vs ``max(dims)``-prefix
+    ground truth (MRL, Kusupati et al. 2022). ``corpus``: (vec_id,
+    embedding); ``queries``: (qid, qv). Returns one row per truncation
+    dim: (trunc_dim, n_queries, total_overlap, recall_ppm).
+
+    Ground truth is the top-k at the LONGEST requested truncation, so for
+    true full-dim recall ``max(dims)`` must equal the embedding dimension
+    (it does in the registered report: 64-dim embeddings, dims=(8,16,32,
+    64)); with shorter dims the result is recall relative to that prefix,
+    not the untruncated vector (r9 ADVICE).
 
     ``max_queries`` bounds the exact-rescoring work: above it, recall is
     estimated on a deterministic xxhash64-threshold sample of ~max_queries
-    queries (one count + one filtered scan — the build_pq_codebooks
-    train_rows regime); below it the cap is a no-op, bit-identical to
-    ``None``. This is what keeps the report's cost O(corpus), never
-    O(corpus x query-pool), when the pool is corpus-proportional.
+    queries; below it the cap is a no-op, bit-identical to ``None``. The
+    pool size check rides the main plan as a broadcast scalar (no eager
+    driver-side count — r9 ADVICE flagged the old count() job, a full
+    extra job even for the report's 10-query pool). This is what keeps
+    the report's cost O(corpus), never O(corpus x query-pool), when the
+    pool is corpus-proportional.
 
     Scale shape (r9 rewrite; the r8 scaling bench measured the old form
     at 100x factor 47): the corpus scan is ``spread()`` so scoring runs
@@ -1047,16 +1102,28 @@ def matryoshka_recall(
     from pyspark.sql import Window
 
     if max_queries is not None:
-        n_pool = queries.count()
-        if n_pool > max_queries:
-            frac_ppm = int(max_queries * 1_000_000 // n_pool)
-            queries = queries.where(
-                F.pmod(
-                    F.xxhash64(F.col("qid") + F.lit(seed)),
-                    F.lit(1_000_000),
+        # lazy cap: the pool count joins in as a broadcast scalar, so the
+        # keep-all case costs one tiny aggregate stage inside the main
+        # query instead of an eager count() job; above the cap the filter
+        # is the same xxhash64 threshold as before, bit-identical
+        pool_n = queries.agg(F.count("*").alias("__pool_n"))
+        queries = (
+            queries.crossJoin(F.broadcast(pool_n))
+            .where(
+                (F.col("__pool_n") <= max_queries)
+                | (
+                    F.pmod(
+                        F.xxhash64(F.col("qid") + F.lit(seed)),
+                        F.lit(1_000_000),
+                    )
+                    < F.expr(
+                        # integral div: exact floor, no double rounding
+                        f"{max_queries * 1_000_000}L div __pool_n"
+                    )
                 )
-                < F.lit(frac_ppm)
             )
+            .drop("__pool_n")
+        )
     q = queries.select(
         "qid",
         "qv",
@@ -1144,8 +1211,11 @@ def matryoshka_recall(
             .cast("long")
             .alias("total_overlap"),
             F.expr(
+                # n = 0 (empty/fully-sampled-out pool) degrades to
+                # recall_ppm 0 instead of an ANSI divide-by-zero (ADVICE)
+                f"case when n > 0 then "
                 f"cast(coalesce(total_overlap, 0) * 1000000 as bigint)"
-                f" div (n * {k})"
+                f" div (n * {k}) else 0L end"
             ).alias("recall_ppm"),
         )
     )

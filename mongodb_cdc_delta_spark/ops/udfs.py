@@ -156,6 +156,44 @@ def approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "approx_percentiles_accuracy",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.50) AS p50_exact,
+           quantile_cont(l_quantity, 0.90) AS p90_exact,
+           true AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="driver-checkable accuracy row for approx_percentiles "
+    "(r9 verdict #4): exact percentile of l_quantity (integral, lerp "
+    "bit-stable across engines) + a 5% tolerance verdict on the GK "
+    "sketch (accuracy=1000 → rank error ≤ 0.1%, value error ≤ 1 on the "
+    "1..50 quantity domain). Oracle computes the exact side + literal "
+    "true; a sketch regression flips the boolean.",
+    tags=("agg", "percentile", "approx", "accuracy"),
+)
+def approx_percentiles_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50_exact"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("p90_exact"),
+        F.approx_percentile(
+            "l_quantity", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
+        ).alias("ap"),
+    )
+    within = (
+        F.abs(F.element_at("ap", 1) - F.col("p50_exact"))
+        <= 0.05 * F.col("p50_exact")
+    ) & (
+        F.abs(F.element_at("ap", 2) - F.col("p90_exact"))
+        <= 0.05 * F.col("p90_exact")
+    )
+    return agg.select(
+        "l_returnflag", "p50_exact", "p90_exact", within.alias("within_5pct")
+    )
+
+
+@register(
     "frequent_items",
     oracle=None,  # sketch-based (possible false positives) — rows-only
     description="heavy hitters via freqItems (count-sketch family): "
@@ -177,5 +215,49 @@ def frequent_items(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= 0.1 * total)
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "frequent_items_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           true AS found_by_sketch
+    FROM events GROUP BY event_type
+    HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)
+    ORDER BY event_type
+    """,
+    description="driver-checkable accuracy row for frequent_items (r9 "
+    "verdict #4): the TRUE >=10% heavy hitters (exact counts, oracle-"
+    "computable) each flagged with whether the count-sketch candidate "
+    "set contained them — freqItems guarantees no false negatives at "
+    "the support threshold, so the boolean is deterministically true "
+    "unless the sketch path regresses.",
+    tags=("agg", "approx", "sketch", "accuracy"),
+)
+def frequent_items_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    cand = ev.freqItems(["event_type"], support=0.1)
+    items = cand.select(
+        F.explode("event_type_freqItems").alias("event_type"),
+        F.lit(True).alias("found_by_sketch"),
+    )
+    total = ev.count()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+        .where(F.col("n_exact") >= 0.1 * total)
+    )
+    return (
+        exact.join(F.broadcast(items), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long"),
+            F.coalesce("found_by_sketch", F.lit(False)).alias(
+                "found_by_sketch"
+            ),
+        )
         .orderBy("event_type")
     )

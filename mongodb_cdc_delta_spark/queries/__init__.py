@@ -224,17 +224,19 @@ def all_queries() -> dict[str, Query]:
 # (completed full-registry coverage: every oracle-checked name has had a
 # driver row at least once). r8: NOTES_r8.md (churn-first: 9 new ops +
 # the scoped-cache/Jaccard-guard/key-skew churn re-checks).
-# r9 rotation (this one, churn-first per the r8 verdict #5): 15
-# sentinels; then the r8-session-3-churned names (threshold-sensitivity
-# histogram rollup, quality-keep fingerprint fix, incremental-dedup
-# pair — CC is already a sentinel), the two r8 export reports that have
-# NEVER had a driver row (multimodal_wds/tokens_bin), the r9-rewritten
-# matryoshka_recall_report (query-pool cap + shared-prefix scoring +
-# cached top-k), and dedup_keep_list (r8 rollup touched it, last row
-# r7); then oldest-driver-row-first — the r3-cohort names, last checked
-# six rounds ago (the r1 leftovers are rows-only sketches; the window
-# stays all-hash per the r3 policy). Two r3 names (unigram_logprob_score,
-# bpe_pair_counts) don't fit the 50 budget and roll to r10.
+# r9 rotation: see NOTES_r9.md / git history.
+# r10 rotation (this one, churn-first per the standing policy): 15
+# sentinels; then the SIX new sketch-accuracy companions (r9 verdict #4
+# — these convert the rows-only sketches' in-repo accuracy bounds into
+# driver-hashable tolerance verdicts; never had a driver row by
+# construction), the r10-churned matryoshka_recall_report (lazy query-
+# pool cap + ANSI div-by-zero guard) and the two CDC parse-path names
+# re-checked after the provenance-channel change to _parse_events_full
+# (cdc_op_classify/cdc_latest_state are sentinels already); then the
+# two r3 names that rolled from the r9 budget (unigram_logprob_score,
+# bpe_pair_counts — last driver row r3, seven rounds); then
+# oldest-driver-row-first through the r4 cohort (24 of 31 fit; the
+# remaining 7 + the r5 cohort roll to r11).
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
@@ -249,45 +251,46 @@ _DRIVER_PRIORITY = (
     "quality_pii_mask",      # T4 masking
     "session_window_native", # streaming-semantics windows
     "dedup_ngram_jaccard",   # lexical near-dup
-    "dedup_connected_components",  # graph clustering (r8 sum-probe churn)
+    "dedup_connected_components",  # graph clustering
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- churn-first: r8 session-3 rewrites + never-checked export
-    # reports + the r9 matryoshka rewrite ---
-    "dedup_threshold_sensitivity",
-    "dedup_quality_keep",
-    "dedup_incremental_pairs",
-    "dedup_incremental_keep",
-    "multimodal_wds_export_report",
-    "tokens_bin_export_report",
+    # --- new sketch-accuracy companions (r9 verdict #4) ---
+    "approx_distinct_accuracy",
+    "approx_percentiles_accuracy",
+    "frequent_items_accuracy",
+    "dedup_minhash_lsh_accuracy",
+    "dedup_simhash_accuracy",
+    "ann_ivf_accuracy",
+    # --- r10 churn re-checks ---
     "matryoshka_recall_report",
-    "dedup_keep_list",
-    # --- oldest-driver-row-first (r3 cohort, last driver rows r3) ---
-    "range_scan",
-    "group_agg",
-    "group_topk",
-    "fk_join_agg",
-    "revenue_forecast",
-    "window_running_sum",
-    "window_topn_per_group",
-    "rollup_daily",
-    "semi_join",
-    "range_join",
-    "json_extract_agg",
-    "array_agg_user_events",
-    "correlated_subquery",
-    "variant_extract_filter",
-    "reconcile_hash_buckets",
     "cdc_metadata_projection",
     "cdc_stale_split",
-    "quality_validation_split",
-    "quality_encrypt_roundtrip",
-    "tumbling_window_counts",
-    "decontaminate_train_set",
-    "decontaminate_bloom_portable",
-    "embedding_near_dup",
-    "quality_linear_classifier",
-    "multimodal_frame_sample",
-    "grouping_sets_agg",
-    "training_mix_pipeline",
+    # --- r3 rollovers (last driver row r3) ---
+    "unigram_logprob_score",
+    "bpe_pair_counts",
+    # --- oldest-driver-row-first (r4 cohort, last driver rows r4) ---
+    "anti_join",
+    "bigram_logprob_score",
+    "concurrent_intervals_sweep",
+    "curriculum_order",
+    "customer_rfm_segments",
+    "dedup_minhash_lsh_portable",
+    "doc_pii_scrub",
+    "event_gap_days",
+    "events_ohlc_downsample",
+    "forward_fill_timeseries",
+    "funnel_conversion",
+    "knn_cosine_topk_int8",
+    "market_share",
+    "min_cost_supplier",
+    "part_supplier_counts",
+    "product_profit",
+    "regional_revenue",
+    "repetition_signals",
+    "retention_cohorts",
+    "returned_item_ranking",
+    "rolling_zscore_anomalies",
+    "segment_stats_profile",
+    "set_ops",
+    "shipping_priority",
 )

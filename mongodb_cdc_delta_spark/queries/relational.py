@@ -633,6 +633,41 @@ def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_distinct_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    description="driver-checkable accuracy row for approx_distinct (r9 "
+    "verdict #4): the sketch itself differs per engine, but the TOLERANCE "
+    "VERDICT doesn't — Spark computes both sides and emits exact count + "
+    "|HLL - exact| <= 5% (rsd=0.01, so ~2-3% expected); the oracle "
+    "computes the exact side and a literal true. A sketch regression "
+    "flips the boolean and fails the hash.",
+    tags=("agg", "approx", "accuracy"),
+)
+def approx_distinct_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        )
+        .select(
+            "event_type",
+            F.col("exact").cast("long").alias("n_users_exact"),
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= 0.05 * F.col("exact")
+            ).alias("within_5pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (gap-list; implemented scalably via union + carry-forward —
 # no row explosion, one shuffle on the partition key)

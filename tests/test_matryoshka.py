@@ -194,3 +194,16 @@ class TestQueryPoolCap:
             )
         )
         assert capped == again
+
+    def test_empty_query_pool_degrades_to_zero_rows_not_error(self, spark):
+        """r9 ADVICE: n = 0 must yield recall_ppm 0 per dim, not an ANSI
+        divide-by-zero; and the pool-size check must not crash on an
+        empty frame."""
+        from mongodb_cdc_delta_spark.ops.similarity import matryoshka_recall
+
+        corpus, queries = self._frame(spark)
+        empty = queries.where("qid < -1")
+        rows = sorted(
+            map(tuple, matryoshka_recall(corpus, empty).collect())
+        )
+        assert [r[1:] for r in rows] == [(0, 0, 0)] * 4
