@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import load, register
+from ._cache import scoped_cache as _scoped_cache
 
 N_MERGES = 6
 EOW = "</w>"
@@ -89,13 +90,41 @@ def pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _with_merge_cols(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Bind one merge's (pa, pb, pm) as literal columns for _MERGE_FOLD.
+
+    r10 OPT (guide §2.4): the old shape crossJoin(broadcast(1-row df))
+    per merge paid a BroadcastExchange job per iteration; literals make
+    the fold a pure projection — zero exchanges, zero extra jobs."""
+    return words.withColumns(
+        {
+            "pa": F.lit(lhs),
+            "pb": F.lit(rhs),
+            "pm": F.lit(lhs + rhs),
+        }
+    )
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = N_MERGES
-) -> list[tuple[int, str, str, int]]:
-    """Learn ``n_merges`` BPE merges; returns [(step, lhs, rhs, cnt)]."""
-    spark = docs.sparkSession
-    words = word_symbol_table(docs).localCheckpoint(eager=True)
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    return_words: bool = False,
+):
+    """Learn ``n_merges`` BPE merges; returns [(step, lhs, rhs, cnt)],
+    or (merges, words) when ``return_words`` — ``words`` being the
+    (word, freq, s) table with every learned merge already applied (the
+    exact table ``bpe_apply`` would rebuild, but already materialized).
+
+    r10 OPT (guide §1.2 per-round job count / §1.4 caveat): each
+    iteration's round output is scoped-cached and MATERIALIZED by the
+    next iteration's top-pair collect — one job per merge where
+    localCheckpoint(eager) + collect was two, and without
+    localCheckpoint's second non-AQE plan compile. A parent table is
+    unpersisted only after its child is materialized, so no iteration
+    ever recomputes the fold chain."""
+    words = _scoped_cache(word_symbol_table(docs))
     merges: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
     for step in range(1, n_merges + 1):
         top = (
             pair_counts(words)
@@ -107,21 +136,23 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # `words` is materialized now; its parent can be released
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((step, lhs, rhs, cnt))
-        pair = spark.createDataFrame(
-            [(lhs, rhs, lhs + rhs)], "pa string, pb string, pm string"
+        nxt = _scoped_cache(
+            _with_merge_cols(words, lhs, rhs).select(
+                "word", "freq", F.expr(_MERGE_FOLD).alias("s")
+            )
         )
-        nxt = (
-            words.crossJoin(F.broadcast(pair))
-            .select("word", "freq", F.expr(_MERGE_FOLD).alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        words.unpersist()
+        prev = words
         words = nxt
-    words.unpersist()
+    if return_words:
+        return merges, words
     return merges
 
 
@@ -197,13 +228,9 @@ def bpe_apply(
     Each merge is one pure-JVM fold over the vocabulary-sized word table
     (the same greedy pass used during training), so applying K merges is K
     narrow map stages — no shuffle at all after the initial word count."""
-    spark = docs.sparkSession
     words = word_symbol_table(docs)
     for lhs, rhs in merges:
-        pair = spark.createDataFrame(
-            [(lhs, rhs, lhs + rhs)], "pa string, pb string, pm string"
-        )
-        words = words.crossJoin(F.broadcast(pair)).select(
+        words = _with_merge_cols(words, lhs, rhs).select(
             "word", "freq", F.expr(_MERGE_FOLD).alias("s")
         )
     return words
@@ -222,8 +249,12 @@ def bpe_apply(
 )
 def bpe_token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    merges = bpe_train(docs, N_MERGES)
-    toks = bpe_apply(docs, [(m[1], m[2]) for m in merges])
+    # r10 OPT (guide §1.2): training already materialized the fully-
+    # merged symbol table — reuse it instead of re-deriving the word
+    # table from the corpus and re-applying all six folds (bpe_apply
+    # builds the identical table by construction; the re-derivation was
+    # a full second corpus pass + shuffle + six fold projections)
+    merges, toks = bpe_train(docs, N_MERGES, return_words=True)
     return (
         toks.select("freq", F.explode("s").alias("token"))
         .groupBy("token")

@@ -317,18 +317,23 @@ def _banded_pair_counts(
     every surfaced pair still gets its true capped-Jaccard counts."""
     if n != 3:
         raise ValueError("banded fallback is defined for trigrams (n=3)")
+    from pyspark.sql import Window
+
     _sh_ph, _sigs, cand = _portable_sigs_cands(docs)
     sh = shingles(docs, n=n).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
+        # r10 OPT (guide §2.4): per-shingle df via ONE window exchange on
+        # `sh` + a plain filter, replacing the groupBy + left_semi shape
+        # (two exchanges and a second evaluation of the shingle subtree)
+        sh = (
+            sh.withColumn(
+                "df", F.count("*").over(Window.partitionBy("sh"))
+            )
             .where(F.col("df") <= max_shingle_df)
-            .select("sh")
+            .select("doc_id", "sh")
         )
-        sh = sh.join(keep, "sh", "left_semi")
     sh = _scoped_cache(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -381,22 +386,44 @@ def _jaccard_pair_counts(
     tier unannounced. ``pair_budget=None`` disables the guard (used by
     the registered exact queries' oracles only in tests that need the
     unguarded shape)."""
+    from pyspark.sql import Window
+
     sh = shingles(docs, n=n).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     if max_shingle_df is not None or pair_budget is not None:
-        dfs = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        # r10 OPT (guide §1.2 "don't compute things twice" / §2.4): the
+        # old shape ran the shingle pipeline TWICE — once under a
+        # temporary persist for the budget estimate, once lazily for the
+        # df-cap keep-filter — and paid a groupBy + left_semi join (two
+        # more exchanges) for the cap. One window count over the
+        # scoped-cached shingle table now owns `df`: the budget
+        # estimate's action materializes the cache the main job reads
+        # (one shingle pass total), the cap is a plain filter, and the
+        # window's exchange leaves the cache hash-partitioned by `sh`,
+        # so the intersection self-join below reuses that layout on
+        # BOTH sides instead of exchanging them again.
+        sh = _scoped_cache(
+            sh.withColumn(
+                "df", F.count("*").over(Window.partitionBy("sh"))
+            )
+        )
         if pair_budget is not None:
-            # persist ONLY for the duration of the estimate action, then
-            # release immediately: the keep-filter below recomputes the
-            # df table lazily inside the main job (the unguarded path's
-            # cost), instead of leaking one persisted dataset per call
-            # for the session's lifetime (r7 review finding)
-            dfs = dfs.persist()
-            try:
-                est = estimate_capped_pairs(dfs, max_shingle_df)
-            finally:
-                dfs.unpersist()
+            capped = (
+                sh.where(F.col("df") <= max_shingle_df)
+                if max_shingle_df is not None
+                else sh
+            )
+            # a kept shingle with df rows contributes C(df,2) candidate
+            # rows; summing (df-1) over its df rows gives df*(df-1) =
+            # exactly 2*C(df,2). decimal(38,0): immune to overflow on
+            # uncapped df at corpus scale.
+            row = capped.agg(
+                F.sum(
+                    (F.col("df") - F.lit(1)).cast("decimal(38,0)")
+                ).alias("pairs2")
+            ).collect()[0]
+            est = int(row["pairs2"] or 0) // 2
             if est > pair_budget:
                 if on_budget == "fallback":
                     import warnings
@@ -421,9 +448,10 @@ def _jaccard_pair_counts(
                     "max_shingle_df"
                 )
         if max_shingle_df is not None:
-            keep = dfs.where(F.col("df") <= max_shingle_df).select("sh")
-            sh = sh.join(keep, "sh", "left_semi")
-    sh = _scoped_cache(sh)
+            sh = sh.where(F.col("df") <= max_shingle_df)
+        sh = sh.select("doc_id", "sh")
+    else:
+        sh = _scoped_cache(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -538,36 +566,46 @@ def _incremental_jaccard_pairs(
     space is within it."""
     from .sampling import sample_bucket
 
+    from pyspark.sql import Window
+
     sh = shingles(docs, n=n).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     sh = sh.withColumn(
         "is_new", sample_bucket(F.col("doc_id")) >= _INC_NEW_BUCKET
     )
-    dfs = sh.groupBy("sh").agg(
-        F.count("*").alias("df"),
-        F.sum(F.col("is_new").cast("int")).alias("df_new"),
+    # r10 OPT (guide §1.2/§2.4, same rewrite as _jaccard_pair_counts):
+    # per-shingle (df, df_new) via ONE window exchange over the scoped-
+    # cached shingle table — the budget estimate's action materializes
+    # the cache the main job reads (shingle pipeline runs once, not
+    # twice), the df cap becomes a plain filter instead of a groupBy +
+    # left_semi join, and the cache stays hash-partitioned by `sh` for
+    # the posting join below.
+    w = Window.partitionBy("sh")
+    sh = _scoped_cache(
+        sh.withColumn("df", F.count("*").over(w)).withColumn(
+            "df_new", F.sum(F.col("is_new").cast("int")).over(w)
+        )
     )
     if pair_budget is not None:
-        dfs = dfs.persist()
-        try:
-            capped = (
-                dfs.where(F.col("df") <= max_shingle_df)
-                if max_shingle_df is not None
-                else dfs
-            )
-            row = capped.agg(
-                F.sum(
-                    F.col("df_new")
-                    * (F.col("df") - F.col("df_new")).cast("decimal(20,0)")
-                    + (
-                        F.col("df_new") * (F.col("df_new") - 1) / 2
-                    ).cast("decimal(20,0)")
-                ).alias("pairs")
-            ).collect()[0]
-            est = int(row["pairs"] or 0)
-        finally:
-            dfs.unpersist()
+        capped = (
+            sh.where(F.col("df") <= max_shingle_df)
+            if max_shingle_df is not None
+            else sh
+        )
+        # per NEW row of a kept shingle: 2*(df-df_new) + (df_new-1);
+        # summed over its df_new new rows this is exactly twice the
+        # shingle's candidate space df_new*(df-df_new) + C(df_new,2)
+        row = capped.where(F.col("is_new")).agg(
+            F.sum(
+                (
+                    F.lit(2) * (F.col("df") - F.col("df_new"))
+                    + F.col("df_new")
+                    - F.lit(1)
+                ).cast("decimal(38,0)")
+            ).alias("pairs2")
+        ).collect()[0]
+        est = int(row["pairs2"] or 0) // 2
         if est > pair_budget:
             raise JaccardPairBudgetExceeded(
                 f"estimated incremental candidate-pair space {est:,} "
@@ -576,9 +614,8 @@ def _incremental_jaccard_pairs(
                 "path (dedup_minhash_lsh) or raise the budget"
             )
     if max_shingle_df is not None:
-        keep = dfs.where(F.col("df") <= max_shingle_df).select("sh")
-        sh = sh.join(keep, "sh", "left_semi")
-    sh = _scoped_cache(sh)
+        sh = sh.where(F.col("df") <= max_shingle_df)
+    sh = sh.select("doc_id", "sh", "is_new")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.where("is_new").select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(
@@ -872,12 +909,23 @@ def connected_components(
     # materialize the edge list ONCE before symmetrizing: the union's two
     # branches are distinct subtrees, so without this the (expensive)
     # candidate-generation pipeline upstream would execute twice — a real
-    # 2x at scale, where pair generation dwarfs the per-round label work
-    edges = edges.localCheckpoint(eager=True)
+    # 2x at scale, where pair generation dwarfs the per-round label work.
+    # r10 OPT (guide §1.4 caveat / verify-skill round-3 note): persist +
+    # count instead of localCheckpoint(eager) — localCheckpoint compiles
+    # a second NON-AQE plan of the expression-heavy pair pipeline (extra
+    # planning time, and the materialization runs without AQE's skew/
+    # coalesce handling, which matters on a skewed 100 TB pair graph).
+    edges = edges.persist()
+    edges.count()
+    # pre-partition the (reused-every-round) symmetric edge table by the
+    # join key: each round's neighbor join then only exchanges the labels
+    # side (r10 OPT, guide §2.4 "two operations keyed the same way share
+    # one exchange")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
     labels = sym.select(F.col("u").alias("id")).distinct().select(
@@ -899,10 +947,19 @@ def connected_components(
         parent = new.select(
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
+        # r10 OPT (guide §1.2 per-round job count): LAZY localCheckpoint —
+        # the convergence-probe aggregate below MATERIALIZES the round
+        # output, so each round is one job where eager localCheckpoint +
+        # collect was two. Lineage is still truncated to a LogicalRDD leaf
+        # every round, which is load-bearing: round k's plan references
+        # round k-1's THREE times (labels, nbr, parent), so an
+        # un-truncated representation grows 3^k and the driver dies in
+        # plan analysis long before the data is the problem (a plain
+        # .cache() here stack-overflowed generateTreeString at 10 rounds).
         new = (
             new.join(parent, new["label"] == parent["p_id"], "left")
             .select("id", F.coalesce("p_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = new.agg(label_sum).collect()[0]["s"]
         labels = new
@@ -910,6 +967,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -596,16 +596,25 @@ def build_ivf_cells(
     hashed = emb.select(
         "embedding", F.xxhash64(F.col("vec_id") + seed).alias("h")
     ).orderBy("h").limit(n_cells)
-    centroids = hashed.select(
+    cent_rows = hashed.select(
         (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-    )
+    ).collect()
 
     for _ in range(iters):
-        assigned = _assign_cells(emb, centroids)
-        centroids = (
-            assigned.join(emb, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("dim", "val"))
+        # r10 OPT (guide §2.3/§2.4, same rewrite as the PQ build): the
+        # centroid table is driver-sized by construction, so assignment
+        # is a literal-lookup projection on the embedding scan — the old
+        # shape paid, per iteration, a crossJoin to n·n_cells rows + a
+        # (vec_id) groupBy shuffle of them + a re-join of the embedding
+        # table. Re-centering now shuffles only map-side-combined
+        # (cell, dim) partials.
+        cell = _ivf_nearest_cell(F.col("embedding"), cent_rows)
+        cent_rows = (
+            emb.select(
+                cell.alias("cell"),
+                F.posexplode("embedding").alias("dim", "val"),
+            )
             .groupBy("cell", "dim")
             .agg(F.avg("val").alias("mean"))
             .groupBy("cell")
@@ -618,28 +627,54 @@ def build_ivf_cells(
                 "cell",
                 F.transform(F.col("dm"), lambda s: s["mean"]).alias("centroid"),
             )
+            .collect()
         )
-    assignments = _assign_cells(emb, centroids)
+    assignments = emb.select(
+        "vec_id", _ivf_nearest_cell(F.col("embedding"), cent_rows).alias("cell")
+    )
+    centroids = emb.sparkSession.createDataFrame(
+        sorted(
+            ([int(r["cell"]), [float(x) for x in r["centroid"]]]
+             for r in cent_rows),
+        ),
+        "cell int, centroid array<double>",
+    )
     return assignments, centroids
 
 
-def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """vec_id → nearest centroid cell. Centroids are tiny → broadcast
-    cross join + min-by distance, one narrow pass over the data."""
-    joined = emb.crossJoin(F.broadcast(centroids))
-    d2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "centroid",
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+def _ivf_nearest_cell(embedding, cent_rows):
+    """Nearest-cell expression against driver-side centroids: squared-L2
+    with the identical fold shape the old crossJoin side ran; argmin via
+    array_min over (d2, cell) structs — the exact ordering semantics of
+    the old min(struct(d2, cell)) aggregate."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(
+                    *[F.lit(float(x)) for x in r["centroid"]]
+                ).alias("cent"),
+            )
+            for r in sorted(cent_rows, key=lambda r: int(r["cell"]))
+        ]
+    )
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    embedding,
+                    c["cent"],
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            c["cell"].alias("cell"),
         ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
-    scored = joined.select("vec_id", "cell", d2.alias("d2"))
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cell"))["cell"].alias("cell")
-    )
+    return F.array_min(scored)["cell"]
 
 
 @register(
@@ -651,7 +686,8 @@ def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    assignments, centroids = build_ivf_cells(emb, n_cells=16, iters=2)
+    _assignments, centroids = build_ivf_cells(emb, n_cells=16, iters=2)
+    cent_rows = centroids.collect()
     qv = _query_vec(spark, sf, 0)
     # nprobe=4 nearest cells to the query
     probe_cells = [
@@ -673,9 +709,14 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(4)
         .collect()
     ]
-    cand = emb.join(
-        assignments.where(F.col("cell").isin(probe_cells)), "vec_id"
-    ).where(F.col("vec_id") != 0)
+    # r10 OPT (guide §2.4): cell assignment is a literal-centroid
+    # projection, so probing is a narrow FILTER on the embedding scan —
+    # the old shape shuffle-joined the corpus against a separately
+    # computed (vec_id → cell) table on vec_id
+    cand = emb.where(
+        _ivf_nearest_cell(F.col("embedding"), cent_rows).isin(probe_cells)
+        & (F.col("vec_id") != 0)
+    )
     return (
         cand.select(
             "vec_id",
@@ -789,15 +830,16 @@ def build_pq_codebooks(
             )
         ).alias("sub", "sv"),
     )
-    # the subvector table feeds every Lloyd iteration twice (assignment +
-    # re-centering join); checkpoint it once instead of re-deriving it
-    # from the embedding scan per consumer. spread() first: the 1-file
-    # scan otherwise pins every assignment pass's distance math to one
-    # task (see queries.spread)
-    subv = spread(subv).localCheckpoint(eager=True)
+    # the subvector table feeds every Lloyd iteration; cache it once
+    # instead of re-deriving it from the embedding scan per pass (r10:
+    # scoped cache + the seed collect as materializing action, replacing
+    # localCheckpoint's second non-AQE plan compile — guide §1.4 caveat).
+    # spread() first: the 1-file scan otherwise pins every assignment
+    # pass's distance math to one task (see queries.spread)
+    subv = _scoped_cache(spread(subv))
     # deterministic seeds: first k subvectors per subspace in hash order
     w = Window.partitionBy("sub").orderBy("h")
-    centroids = (
+    cent_rows = (
         subv.select(
             "sub", "sv", F.xxhash64(F.col("vec_id") + seed).alias("h")
         )
@@ -807,13 +849,24 @@ def build_pq_codebooks(
             "sub", (F.col("rn") - 1).alias("code"),
             F.col("sv").alias("centroid"),
         )
+        .collect()
     )
     spark = emb.sparkSession
     for _ in range(iters):
-        assigned = _assign_pq(subv, centroids)
-        centroids = (
-            assigned.join(subv, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+        # r10 OPT (guide §2.3/§2.4): the codebook lives on the driver
+        # between iterations by construction (m·k rows), so assignment is
+        # a literal-lookup PROJECTION on the cached subvector table —
+        # the old shape paid, per iteration, a broadcast-join + a
+        # (vec_id, sub) groupBy shuffle of all n·m rows + a re-join of
+        # subv (two more full-table exchanges). Re-centering now shuffles
+        # only map-side-combined (sub, code, dim) partials (m·k·d groups).
+        code = _pq_nearest_code(F.col("sv"), F.col("sub"), cent_rows)
+        cent_rows = (
+            subv.select(
+                "sub",
+                code.alias("code"),
+                F.posexplode("sv").alias("dim", "val"),
+            )
             .groupBy("sub", "code", "dim")
             .agg(F.avg("val").alias("mean"))
             .groupBy("sub", "code")
@@ -829,54 +882,76 @@ def build_pq_codebooks(
                     "centroid"
                 ),
             )
+            .collect()
         )
-        # materialize the m·k centroid rows on the driver (bounded by
-        # construction — the codebook IS the tiny output) so iteration
-        # i+1's plan starts from a literal table instead of replaying
-        # every previous iteration's assignment+average
-        centroids = spark.createDataFrame(
-            centroids.collect(),
-            "sub int, code int, centroid array<double>",
-        )
-    return centroids
+    return spark.createDataFrame(
+        cent_rows, "sub int, code int, centroid array<double>"
+    )
 
 
-def _assign_pq(subv: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, sub) → nearest codebook code. Codebooks broadcast."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "centroid", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _pq_cands_lit(cent_rows):
+    """Nested literal: per-sub array of (code, centroid) structs, sorted
+    by code — the driver-side codebook as a broadcast-scalar expression."""
+    by_sub: dict[int, list] = {}
+    for r in cent_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+        )
+    subs = []
+    for s in sorted(by_sub):
+        cands = [
+            F.struct(
+                F.lit(c).alias("code"),
+                F.array(*[F.lit(x) for x in cent]).alias("cent"),
+            )
+            for c, cent in sorted(by_sub[s])
+        ]
+        subs.append(F.array(*cands))
+    return F.array(*subs)
+
+
+def _pq_nearest_code(sv, sub, cent_rows):
+    """Nearest-code expression for one subvector: squared-L2 against the
+    sub's candidate centroids (identical fold shape to the old join-side
+    d2), argmin via array_min over (d2, code) structs — the exact
+    ordering semantics of the old min(struct(d2, code)) aggregate."""
+    cands = F.element_at(_pq_cands_lit(cent_rows), sub + 1)
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sv, c["cent"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            c["code"].alias("code"),
+        ),
     )
-    scored = subv.join(F.broadcast(centroids), "sub").select(
-        "vec_id", "sub", F.col("code"), d2.alias("d2")
-    )
-    return scored.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d2", "code"))["code"].alias("code")
-    )
+    return F.array_min(scored)["code"]
 
 
 def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
-    """vec_id → m-byte code array (the stored ANN index payload)."""
+    """vec_id → m-byte code array (the stored ANN index payload).
+
+    r10 OPT: one narrow projection over the embedding scan — per sub,
+    slice + literal-codebook argmin assembled positionally. The old shape
+    exploded to n·m rows, broadcast-joined the codebook, ran a
+    (vec_id, sub) groupBy shuffle AND a (vec_id) re-assembly shuffle;
+    none of that data motion is needed when the codebook is a literal."""
     d_total = len(emb.select("embedding").first()[0])
     d = d_total // m
-    subv = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}),"
-                f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
-                f"                x -> cast(x as double)))"
-            )
-        ).alias("sub", "sv"),
+    cent_rows = codebooks.collect()
+    subvecs = F.expr(
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
+        f"                x -> cast(x as double)))"
     )
-    assigned = _assign_pq(spread(subv), codebooks)
-    return assigned.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+    codes = F.transform(
+        subvecs, lambda sv, s: _pq_nearest_code(sv, s, cent_rows)
     )
+    return emb.select("vec_id", codes.alias("codes"))
 
 
 @register(
@@ -904,30 +979,51 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     codebooks = build_pq_codebooks(emb, m=m, k=16, iters=2)
+    cb_rows = codebooks.collect()
     codes = pq_encode(emb, codebooks, m=m)
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow[0]]
     # ADC lookup table: partial squared distance from each query subvector
-    # to every codebook centroid — m*k rows, broadcastable by construction
-    q_sub = spark.createDataFrame(
-        [(s, qv[s * d:(s + 1) * d]) for s in range(m)], "sub int, qsv array<double>"
+    # to every codebook centroid — m*k values, computed on the driver with
+    # the same sequential (x-y)² fold the old join-side expression ran
+    # (bit-identical IEEE doubles), and embedded as a nested literal.
+    # r10 OPT (guide §2.4): scoring is then ONE projection — the old shape
+    # posexploded codes to n·m rows, broadcast-joined the table, and paid
+    # a full (vec_id) groupBy shuffle to re-sum them.
+    pd2: dict[int, dict[int, float]] = {}
+    for r in cb_rows:
+        s, c = int(r["sub"]), int(r["code"])
+        acc = 0.0
+        for i, y in enumerate(r["centroid"]):
+            x = qv[s * d + i]
+            acc = acc + (x - float(y)) * (x - float(y))
+        pd2.setdefault(s, {})[c] = acc
+    # position c+1 ↔ code c: codes per sub may be sparse after Lloyd
+    # re-centering, so pad missing codes (never referenced) with NaN
+    table_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(pd2[s].get(c, float("nan")))
+                    for c in range(16)
+                ]
+            )
+            for s in range(m)
+        ]
     )
-    table = q_sub.join(F.broadcast(codebooks), "sub").select(
-        "sub",
-        "code",
-        F.aggregate(
-            F.zip_with("qsv", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("pd2"),
+    # fold in sub order — the same accumulation order the old hash
+    # aggregate saw (codes arrive per-vector in posexplode order)
+    approx_d2 = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            table_lit,
+            lambda c, sub_tab: F.element_at(sub_tab, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    exploded = codes.where(F.col("vec_id") != 0).select(
-        "vec_id", F.posexplode("codes").alias("sub", "code")
-    )
-    scored = (
-        exploded.join(F.broadcast(table), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("pd2"), 6).alias("approx_d2"))
+    scored = codes.where(F.col("vec_id") != 0).select(
+        "vec_id", F.round(approx_d2, 6).alias("approx_d2")
     )
     shortlist = (
         scored.orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())

@@ -1284,7 +1284,11 @@ def top_ngram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     uni = docs.select(F.explode(toks).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    utot = uni.agg(F.count("*").alias("nu"))
+    # r10 OPT (guide §1.2): totals as one-row rollups of the count tables
+    # (Σc ≡ count of unigrams, Σcxy ≡ count of bigrams) — the old shape
+    # aggregated the corpus-sized token streams in two MORE branches, so
+    # the tokenize+explode work ran four times per query instead of twice
+    utot = ucnt.agg(F.sum("c").alias("nu"))
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -1299,7 +1303,7 @@ def top_ngram_pmi(spark: SparkSession, sf: str) -> DataFrame:
         "p.w1", "p.w2"
     )
     bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
-    btot = big.agg(F.count("*").alias("nb"))
+    btot = bcnt.agg(F.sum("cxy").alias("nb"))
     cx = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     cy = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
     return (

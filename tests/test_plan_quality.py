@@ -740,10 +740,16 @@ class TestR8OpPlans:
 
     def test_incremental_keep_scalar_crosses_only(self, spark):
         # three one-row scalar aggregates crossed broadcast-style; no
-        # window, no sort-merge join of the one-row sides
+        # sort-merge join of the one-row sides, no GLOBAL window. (The
+        # r10 per-shingle df rewrite deliberately uses a Window
+        # PARTITIONED BY sh — one exchange replacing the old groupBy +
+        # left_semi's two — so only unpartitioned windows are banned.)
         plan = plan_of(spark, "dedup_incremental_keep", execute=True)
         assert "CartesianProduct" not in plan
-        assert "Window" not in plan
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "#" in spec.split("specifiedwindowframe")[0], (
+                f"unpartitioned window resurfaced: {spec}"
+            )
         assert not _global_window_sites(plan)
 
     def test_threshold_sensitivity_histogram_rollup(self, spark):
