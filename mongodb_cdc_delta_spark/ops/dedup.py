@@ -917,15 +917,14 @@ def connected_components(
     # coalesce handling, which matters on a skewed 100 TB pair graph).
     edges = edges.persist()
     edges.count()
-    # pre-partition the (reused-every-round) symmetric edge table by the
-    # join key: each round's neighbor join then only exchanges the labels
-    # side (r10 OPT, guide §2.4 "two operations keyed the same way share
-    # one exchange")
+    # (an explicit repartition("v") of sym was tried here in r10 and
+    # REVERTED: at bench scale AQE broadcasts the labels side, so the
+    # cached distinct() partitioning is never re-used and the extra
+    # exchange was a measured ~10% regression on the A/B)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .repartition("v")
         .persist()
     )
     labels = sym.select(F.col("u").alias("id")).distinct().select(
@@ -2368,20 +2367,30 @@ def winnow_dup_pairs(
     8-byte hash and the aggregate is map-side partial.
 
     The fingerprint extraction (the O(n·w) winnowing pass over every
-    document) feeds three plan branches — the hot-fp filter and both
-    sides of the self-join — so it is checkpointed once instead of
-    recomputed per branch (same fix as connected_components; at 100 TB
-    this stage dominates, and 3× it is a real regression)."""
-    fps = winnow_fingerprints(docs, k, w, use_xxhash).localCheckpoint(
-        eager=False
+    document) feeds every plan branch, so it is materialized once instead
+    of recomputed per branch (at 100 TB this stage dominates, and 3× it
+    is a real regression).
+
+    r10 OPT (guide §1.2/§2.4, the same rewrite as _jaccard_pair_counts):
+    the hot-fingerprint cap is ONE window count over the fingerprint
+    table + a plain filter, replacing the old groupBy + left_anti join
+    (a second full pass over the checkpointed fingerprints and two more
+    exchanges). The lazy localCheckpoint moves AFTER the cap: the
+    materialized RDD is the already-capped table, it feeds both self-join
+    sides as one RDD (computed once, outside any cache scope — a scoped
+    cache here would be released by ``dup_spans``' own scope before
+    ``dedup_span_extract`` materializes it), and the checkpoint preserves
+    the window's hash-partitioning by ``fp``, the exact layout the
+    self-join needs on both sides."""
+    from pyspark.sql import Window
+
+    kept = (
+        winnow_fingerprints(docs, k, w, use_xxhash)
+        .withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("df") <= max_df)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
     )
-    hot = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > max_df)
-        .select("fp")
-    )
-    kept = fps.join(hot, "fp", "left_anti")
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
     b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

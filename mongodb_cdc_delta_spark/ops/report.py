@@ -72,15 +72,23 @@ from .textstats_bridge import classifier_scores
 def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
+    # r10 OPT (guide §1.2/§2.3): total_tokens = Σ size(token array) rides
+    # the doc-stats scan as a plain sum, so the explode branch computes
+    # ONLY the distinct count. The old mixed count(*) + countDistinct
+    # aggregate forced Spark's distinct rewrite (Expand ×2: every token
+    # row shuffled twice, once per aggregate copy); split this way the
+    # distinct count plans as a plain two-phase aggregate.
     tok_stats = toks.agg(
-        F.count("*").alias("total_tokens"),
         F.countDistinct("tok").alias("distinct_tokens"),
     )
     doc_stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.length("text")), 4).alias("mean_doc_chars"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+        ).alias("total_tokens"),
     )
     q = classifier_scores(docs)
     q_stats = q.agg(

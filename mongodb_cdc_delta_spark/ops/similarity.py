@@ -337,6 +337,53 @@ def embedding_near_dup_pairs(
     )
 
 
+def _close_lower_counts(
+    emb: DataFrame, threshold: float, tile: int = 2048
+) -> DataFrame:
+    """(vec_id, label, n): for EVERY member of each label block, the
+    number of lower-id same-block members with cosine ≥ threshold —
+    embedding_near_dup_pairs' pair enumeration folded into a per-member
+    count (one output row per input row instead of one per pair, no
+    downstream groupBy/join needed). Identical tiling, ordering, and
+    round-to-6 as the pair kernel, so the counts equal grouping its
+    output by vec_b."""
+
+    def block_counts(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        n_rows = len(ids)
+        counts = np.zeros(n_rows, dtype=np.int64)
+        for i0 in range(0, n_rows, tile):
+            i1 = min(i0 + tile, n_rows)
+            for j0 in range(i0, n_rows, tile):
+                j1 = min(j0 + tile, n_rows)
+                S = (E[i0:i1] @ E[j0:j1].T) / np.outer(
+                    norms[i0:i1], norms[j0:j1]
+                )
+                M = np.round(S, 6) >= threshold
+                if i0 == j0:
+                    # strict upper triangle: row i contributes to col j>i
+                    M &= np.tri(i1 - i0, j1 - j0, k=-1, dtype=bool).T
+                counts[j0:j1] += M.sum(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy()[order],
+                "n": counts,
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        block_counts, "vec_id long, label long, n long"
+    )
+
+
 def _quantize(col):
     """Symmetric int8 quantization as a JVM expression: q_i = floor(x_i *
     127 / max|x| + 0.5). floor(v + 0.5) instead of round() because SQL
@@ -544,32 +591,26 @@ def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
     tags=("similarity", "dedup", "llm-pipeline"),
 )
 def semantic_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
-    assigned = _fixed_centroid_assign(spark, sf).select(
-        "vec_id", "embedding", "centroid_id"
-    )
-    # within-cluster pairwise cosine via the tiled-GEMM kernel (cluster =
+    # Within-cluster pairwise cosine via the tiled-GEMM kernel (cluster =
     # block label): a Catalyst self-join with interpreted HOF cosines is
     # ~10x slower on the same pair space (measured 12.6s vs 1.3s at sf0.1)
     # because higher-order array folds don't codegen; the GEMM kernel
     # rounds to 6 identically, so the oracle is unchanged.
-    pairs = embedding_near_dup_pairs(
-        assigned.select(
-            "vec_id", "embedding", F.col("centroid_id").alias("label")
-        ),
-        threshold=0.35,
+    #
+    # r10 OPT (guide §1.2 / §2.4): the close-LOWER-id count is computed
+    # INSIDE the per-cluster kernel, which emits one row per member — the
+    # old shape ran the centroid-argmax scan twice (once feeding the pair
+    # kernel, once for the final id list) and paid a vec_id-keyed shuffle
+    # join to re-attach the counts. Same math, same rounding, one scan.
+    assigned = _fixed_centroid_assign(spark, sf).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("label")
     )
-    close = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        assigned.select("vec_id", "centroid_id")
-        .join(close, "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_close_lower"),
-            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("is_pruned"),
-        )
+    counts = _close_lower_counts(assigned, threshold=0.35)
+    return counts.select(
+        "vec_id",
+        F.col("label").alias("centroid_id"),
+        F.col("n").cast("long").alias("n_close_lower"),
+        (F.col("n") > 0).cast("int").alias("is_pruned"),
     )
 
 
@@ -596,25 +637,16 @@ def build_ivf_cells(
     hashed = emb.select(
         "embedding", F.xxhash64(F.col("vec_id") + seed).alias("h")
     ).orderBy("h").limit(n_cells)
-    cent_rows = hashed.select(
+    centroids = hashed.select(
         (F.row_number().over(Window.orderBy("h")) - 1).alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-    ).collect()
+    )
 
     for _ in range(iters):
-        # r10 OPT (guide §2.3/§2.4, same rewrite as the PQ build): the
-        # centroid table is driver-sized by construction, so assignment
-        # is a literal-lookup projection on the embedding scan — the old
-        # shape paid, per iteration, a crossJoin to n·n_cells rows + a
-        # (vec_id) groupBy shuffle of them + a re-join of the embedding
-        # table. Re-centering now shuffles only map-side-combined
-        # (cell, dim) partials.
-        cell = _ivf_nearest_cell(F.col("embedding"), cent_rows)
-        cent_rows = (
-            emb.select(
-                cell.alias("cell"),
-                F.posexplode("embedding").alias("dim", "val"),
-            )
+        assigned = _assign_cells(emb, centroids)
+        centroids = (
+            assigned.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg(F.avg("val").alias("mean"))
             .groupBy("cell")
@@ -627,54 +659,28 @@ def build_ivf_cells(
                 "cell",
                 F.transform(F.col("dm"), lambda s: s["mean"]).alias("centroid"),
             )
-            .collect()
         )
-    assignments = emb.select(
-        "vec_id", _ivf_nearest_cell(F.col("embedding"), cent_rows).alias("cell")
-    )
-    centroids = emb.sparkSession.createDataFrame(
-        sorted(
-            ([int(r["cell"]), [float(x) for x in r["centroid"]]]
-             for r in cent_rows),
-        ),
-        "cell int, centroid array<double>",
-    )
+    assignments = _assign_cells(emb, centroids)
     return assignments, centroids
 
 
-def _ivf_nearest_cell(embedding, cent_rows):
-    """Nearest-cell expression against driver-side centroids: squared-L2
-    with the identical fold shape the old crossJoin side ran; argmin via
-    array_min over (d2, cell) structs — the exact ordering semantics of
-    the old min(struct(d2, cell)) aggregate."""
-    cands = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(
-                    *[F.lit(float(x)) for x in r["centroid"]]
-                ).alias("cent"),
-            )
-            for r in sorted(cent_rows, key=lambda r: int(r["cell"]))
-        ]
-    )
-    scored = F.transform(
-        cands,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    embedding,
-                    c["cent"],
-                    lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-            c["cell"].alias("cell"),
+def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec_id → nearest centroid cell. Centroids are tiny → broadcast
+    cross join + min-by distance, one narrow pass over the data."""
+    joined = emb.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
         ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return F.array_min(scored)["cell"]
+    scored = joined.select("vec_id", "cell", d2.alias("d2"))
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cell"))["cell"].alias("cell")
+    )
 
 
 @register(
@@ -686,8 +692,7 @@ def _ivf_nearest_cell(embedding, cent_rows):
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    _assignments, centroids = build_ivf_cells(emb, n_cells=16, iters=2)
-    cent_rows = centroids.collect()
+    assignments, centroids = build_ivf_cells(emb, n_cells=16, iters=2)
     qv = _query_vec(spark, sf, 0)
     # nprobe=4 nearest cells to the query
     probe_cells = [
@@ -709,14 +714,9 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(4)
         .collect()
     ]
-    # r10 OPT (guide §2.4): cell assignment is a literal-centroid
-    # projection, so probing is a narrow FILTER on the embedding scan —
-    # the old shape shuffle-joined the corpus against a separately
-    # computed (vec_id → cell) table on vec_id
-    cand = emb.where(
-        _ivf_nearest_cell(F.col("embedding"), cent_rows).isin(probe_cells)
-        & (F.col("vec_id") != 0)
-    )
+    cand = emb.join(
+        assignments.where(F.col("cell").isin(probe_cells)), "vec_id"
+    ).where(F.col("vec_id") != 0)
     return (
         cand.select(
             "vec_id",
@@ -830,16 +830,15 @@ def build_pq_codebooks(
             )
         ).alias("sub", "sv"),
     )
-    # the subvector table feeds every Lloyd iteration; cache it once
-    # instead of re-deriving it from the embedding scan per pass (r10:
-    # scoped cache + the seed collect as materializing action, replacing
-    # localCheckpoint's second non-AQE plan compile — guide §1.4 caveat).
-    # spread() first: the 1-file scan otherwise pins every assignment
-    # pass's distance math to one task (see queries.spread)
-    subv = _scoped_cache(spread(subv))
+    # the subvector table feeds every Lloyd iteration twice (assignment +
+    # re-centering join); checkpoint it once instead of re-deriving it
+    # from the embedding scan per consumer. spread() first: the 1-file
+    # scan otherwise pins every assignment pass's distance math to one
+    # task (see queries.spread)
+    subv = spread(subv).localCheckpoint(eager=True)
     # deterministic seeds: first k subvectors per subspace in hash order
     w = Window.partitionBy("sub").orderBy("h")
-    cent_rows = (
+    centroids = (
         subv.select(
             "sub", "sv", F.xxhash64(F.col("vec_id") + seed).alias("h")
         )
@@ -849,24 +848,13 @@ def build_pq_codebooks(
             "sub", (F.col("rn") - 1).alias("code"),
             F.col("sv").alias("centroid"),
         )
-        .collect()
     )
     spark = emb.sparkSession
     for _ in range(iters):
-        # r10 OPT (guide §2.3/§2.4): the codebook lives on the driver
-        # between iterations by construction (m·k rows), so assignment is
-        # a literal-lookup PROJECTION on the cached subvector table —
-        # the old shape paid, per iteration, a broadcast-join + a
-        # (vec_id, sub) groupBy shuffle of all n·m rows + a re-join of
-        # subv (two more full-table exchanges). Re-centering now shuffles
-        # only map-side-combined (sub, code, dim) partials (m·k·d groups).
-        code = _pq_nearest_code(F.col("sv"), F.col("sub"), cent_rows)
-        cent_rows = (
-            subv.select(
-                "sub",
-                code.alias("code"),
-                F.posexplode("sv").alias("dim", "val"),
-            )
+        assigned = _assign_pq(subv, centroids)
+        centroids = (
+            assigned.join(subv, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
             .groupBy("sub", "code", "dim")
             .agg(F.avg("val").alias("mean"))
             .groupBy("sub", "code")
@@ -882,76 +870,54 @@ def build_pq_codebooks(
                     "centroid"
                 ),
             )
-            .collect()
         )
-    return spark.createDataFrame(
-        cent_rows, "sub int, code int, centroid array<double>"
-    )
-
-
-def _pq_cands_lit(cent_rows):
-    """Nested literal: per-sub array of (code, centroid) structs, sorted
-    by code — the driver-side codebook as a broadcast-scalar expression."""
-    by_sub: dict[int, list] = {}
-    for r in cent_rows:
-        by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["code"]), [float(x) for x in r["centroid"]])
+        # materialize the m·k centroid rows on the driver (bounded by
+        # construction — the codebook IS the tiny output) so iteration
+        # i+1's plan starts from a literal table instead of replaying
+        # every previous iteration's assignment+average
+        centroids = spark.createDataFrame(
+            centroids.collect(),
+            "sub int, code int, centroid array<double>",
         )
-    subs = []
-    for s in sorted(by_sub):
-        cands = [
-            F.struct(
-                F.lit(c).alias("code"),
-                F.array(*[F.lit(x) for x in cent]).alias("cent"),
-            )
-            for c, cent in sorted(by_sub[s])
-        ]
-        subs.append(F.array(*cands))
-    return F.array(*subs)
+    return centroids
 
 
-def _pq_nearest_code(sv, sub, cent_rows):
-    """Nearest-code expression for one subvector: squared-L2 against the
-    sub's candidate centroids (identical fold shape to the old join-side
-    d2), argmin via array_min over (d2, code) structs — the exact
-    ordering semantics of the old min(struct(d2, code)) aggregate."""
-    cands = F.element_at(_pq_cands_lit(cent_rows), sub + 1)
-    scored = F.transform(
-        cands,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    sv, c["cent"], lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-            c["code"].alias("code"),
-        ),
+def _assign_pq(subv: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, sub) → nearest codebook code. Codebooks broadcast."""
+    d2 = F.aggregate(
+        F.zip_with("sv", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return F.array_min(scored)["code"]
+    scored = subv.join(F.broadcast(centroids), "sub").select(
+        "vec_id", "sub", F.col("code"), d2.alias("d2")
+    )
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d2", "code"))["code"].alias("code")
+    )
 
 
 def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
-    """vec_id → m-byte code array (the stored ANN index payload).
-
-    r10 OPT: one narrow projection over the embedding scan — per sub,
-    slice + literal-codebook argmin assembled positionally. The old shape
-    exploded to n·m rows, broadcast-joined the codebook, ran a
-    (vec_id, sub) groupBy shuffle AND a (vec_id) re-assembly shuffle;
-    none of that data motion is needed when the codebook is a literal."""
+    """vec_id → m-byte code array (the stored ANN index payload)."""
     d_total = len(emb.select("embedding").first()[0])
     d = d_total // m
-    cent_rows = codebooks.collect()
-    subvecs = F.expr(
-        f"transform(sequence(0, {m - 1}),"
-        f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
-        f"                x -> cast(x as double)))"
+    subv = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
+                f"                x -> cast(x as double)))"
+            )
+        ).alias("sub", "sv"),
     )
-    codes = F.transform(
-        subvecs, lambda sv, s: _pq_nearest_code(sv, s, cent_rows)
+    assigned = _assign_pq(spread(subv), codebooks)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
     )
-    return emb.select("vec_id", codes.alias("codes"))
 
 
 @register(
@@ -979,51 +945,30 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     codebooks = build_pq_codebooks(emb, m=m, k=16, iters=2)
-    cb_rows = codebooks.collect()
     codes = pq_encode(emb, codebooks, m=m)
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow[0]]
     # ADC lookup table: partial squared distance from each query subvector
-    # to every codebook centroid — m*k values, computed on the driver with
-    # the same sequential (x-y)² fold the old join-side expression ran
-    # (bit-identical IEEE doubles), and embedded as a nested literal.
-    # r10 OPT (guide §2.4): scoring is then ONE projection — the old shape
-    # posexploded codes to n·m rows, broadcast-joined the table, and paid
-    # a full (vec_id) groupBy shuffle to re-sum them.
-    pd2: dict[int, dict[int, float]] = {}
-    for r in cb_rows:
-        s, c = int(r["sub"]), int(r["code"])
-        acc = 0.0
-        for i, y in enumerate(r["centroid"]):
-            x = qv[s * d + i]
-            acc = acc + (x - float(y)) * (x - float(y))
-        pd2.setdefault(s, {})[c] = acc
-    # position c+1 ↔ code c: codes per sub may be sparse after Lloyd
-    # re-centering, so pad missing codes (never referenced) with NaN
-    table_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(pd2[s].get(c, float("nan")))
-                    for c in range(16)
-                ]
-            )
-            for s in range(m)
-        ]
+    # to every codebook centroid — m*k rows, broadcastable by construction
+    q_sub = spark.createDataFrame(
+        [(s, qv[s * d:(s + 1) * d]) for s in range(m)], "sub int, qsv array<double>"
     )
-    # fold in sub order — the same accumulation order the old hash
-    # aggregate saw (codes arrive per-vector in posexplode order)
-    approx_d2 = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            table_lit,
-            lambda c, sub_tab: F.element_at(sub_tab, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    table = q_sub.join(F.broadcast(codebooks), "sub").select(
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with("qsv", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("pd2"),
     )
-    scored = codes.where(F.col("vec_id") != 0).select(
-        "vec_id", F.round(approx_d2, 6).alias("approx_d2")
+    exploded = codes.where(F.col("vec_id") != 0).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2"), 6).alias("approx_d2"))
     )
     shortlist = (
         scored.orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())

@@ -584,26 +584,17 @@ _CLF_BUCKETS = 64
     tags=("llm-pipeline", "textstats", "quality"),
 )
 def quality_linear_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    bucket = F.expr(
-        "aggregate(transform(sequence(1, length(tok)),"
-        " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
-        " 0L, (a, c) -> (a * 131 + c) % 2147483647)"
-        f" % {_CLF_BUCKETS}"
-    )
-    w = (bucket * F.lit(2654435761) + F.lit(7919)) % 1000 - 500
-    per_doc = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"), F.sum("w").alias("sw")
-    )
-    logit = F.col("sw").cast("double") / (
-        F.lit(1000.0) * F.col("n_tokens")
-    )
+    # r10 OPT (guide §2.4): per-doc (n, sw) as a zero-shuffle array
+    # aggregate — the old explode + groupBy(doc_id) paid a full corpus
+    # exchange for sums that are per-row functions of the token array.
+    # Integer sum ⇒ bit-identical to the grouped form.
+    from .textstats_bridge import doc_token_weight_sums
+
+    per_doc = doc_token_weight_sums(load(spark, sf, "documents"))
+    logit = F.col("sw").cast("double") / (F.lit(1000.0) * F.col("n"))
     return per_doc.select(
         "doc_id",
-        "n_tokens",
+        F.col("n").alias("n_tokens"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
             "quality_score"
         ),
@@ -1277,17 +1268,24 @@ def token_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
     "window",
     tags=("text", "report", "topk"),
 )
+@_cache_scoped
 def top_ngram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     from ..queries import spread
 
     docs = spread(load(spark, sf, "documents"))
     toks = F.split(F.col("text"), " ")
     uni = docs.select(F.explode(toks).alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    # r10 OPT (guide §1.2): totals as one-row rollups of the count tables
-    # (Σc ≡ count of unigrams, Σcxy ≡ count of bigrams) — the old shape
-    # aggregated the corpus-sized token streams in two MORE branches, so
-    # the tokenize+explode work ran four times per query instead of twice
+    # r10 OPT (guide §1.2): the count tables are CACHED (vocab-sized, not
+    # corpus-sized) and the one-row totals become rollups of them (Σc ≡
+    # count of unigrams, Σcxy ≡ count of bigrams). The old shape ran the
+    # tokenize+explode pipeline in four separate branches (ucnt twice via
+    # cx/cy, plus two corpus-stream total aggregates); a first r10 attempt
+    # that derived totals from UNCACHED count tables measured 1.5x SLOWER
+    # (each rollup re-evaluated the whole groupBy subtree, and column
+    # pruning made the exchanges non-identical so ReuseExchange could not
+    # dedupe them) — caching is what makes the rollup an actual win:
+    # one unigram pass and one bigram pass total.
+    ucnt = _scoped_cache(uni.groupBy("w").agg(F.count("*").alias("c")))
     utot = ucnt.agg(F.sum("c").alias("nu"))
     pairs = F.when(
         F.size(toks) >= 2,
@@ -1302,7 +1300,9 @@ def top_ngram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     big = docs.select(F.explode(pairs).alias("p")).select(
         "p.w1", "p.w2"
     )
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    bcnt = _scoped_cache(
+        big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    )
     btot = bcnt.agg(F.sum("cxy").alias("nb"))
     cx = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     cy = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))

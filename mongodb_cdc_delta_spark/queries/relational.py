@@ -650,11 +650,20 @@ def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "approx", "accuracy"),
 )
 def approx_distinct_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    # r10 OPT (guide §2.3 "aggregate before you shuffle"): mixing an exact
+    # COUNT(DISTINCT) with another aggregate triggers Spark's distinct
+    # rewrite (Expand ×2 — every event row shuffled twice). Pre-distinct
+    # the (event_type, user_id) pairs with a map-side-combining groupBy,
+    # then count + HLL over the deduped pairs: an HLL sketch is a pure
+    # function of the value SET (duplicate inserts are no-ops), so the
+    # estimate is bit-identical to sketching the raw stream.
     return (
         load(spark, sf, "events")
+        .select("event_type", "user_id")
+        .distinct()
         .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact"),
+            F.count("*").alias("exact"),
             F.approx_count_distinct("user_id", 0.01).alias("approx"),
         )
         .select(
