@@ -366,6 +366,7 @@ def _jaccard_pair_counts(
     max_shingle_df: int | None = 100,
     pair_budget: int | None = DEFAULT_JACCARD_PAIR_BUDGET,
     on_budget: str = "raise",
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_inter, na, nb): the capped trigram-shingle pair
     pipeline shared by every Jaccard-derived operator (pairs, the
@@ -388,9 +389,12 @@ def _jaccard_pair_counts(
     unguarded shape)."""
     from pyspark.sql import Window
 
-    sh = shingles(docs, n=n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
+    if sh_df is not None:
+        sh = sh_df
+    else:
+        sh = shingles(docs, n=n).select(
+            "doc_id", F.xxhash64("shingle").alias("sh")
+        )
     if max_shingle_df is not None or pair_budget is not None:
         # r10 OPT (guide §1.2 "don't compute things twice" / §2.4): the
         # old shape ran the shingle pipeline TWICE — once under a
@@ -475,6 +479,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_shingle_df: int | None = 100,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs over a document frame.
 
@@ -490,7 +495,9 @@ def ngram_jaccard_pairs(
     # compare is a single long (collision odds at 2^64 are negligible
     # next to the driver's value-hash tolerance)
     jac = (
-        _jaccard_pair_counts(docs, n=n, max_shingle_df=max_shingle_df)
+        _jaccard_pair_counts(
+            docs, n=n, max_shingle_df=max_shingle_df, sh_df=sh_df
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -1112,7 +1119,32 @@ def minhash_signatures(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    return _minhash_from_base(
+        sh, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)), coeffs
+    )
+
+
+def minhash_signatures_from_hashes(
+    hashed: DataFrame, num_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """minhash_signatures over a PRE-HASHED shingle table (doc_id, sh =
+    xxhash64(shingle)) — bit-identical signatures, but the caller can
+    share one cached hash table between this and the exact-Jaccard
+    pipeline instead of running the shingle explode twice (r10 OPT,
+    guide §1.2)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    return _minhash_from_base(
+        hashed, F.pmod(F.col("sh"), F.lit(_MERSENNE)), coeffs
+    )
+
+
+def _minhash_from_base(sh: DataFrame, base, coeffs) -> DataFrame:
     mins = [
         F.min(
             F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
@@ -1122,7 +1154,7 @@ def minhash_signatures(
     agged = sh.groupBy("doc_id").agg(*mins)
     return agged.select(
         "doc_id",
-        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        F.array(*[f"h{i}" for i in range(len(coeffs))]).alias("sig"),
     )
 
 
@@ -1330,8 +1362,19 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 @_cache_scoped
 def dedup_minhash_lsh_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
+    # r10 OPT (guide §1.2 "don't compute things twice"): the exact-Jaccard
+    # side and the MinHash side both start from the SAME (doc_id,
+    # xxhash64(shingle)) table — one scoped-cached shingle explode+hash
+    # now feeds both, replacing two independent scans of the corpus
+    # through the tokenize/explode pipeline. Signatures are bit-identical
+    # (minhash base = pmod(sh, p) either way).
+    hashed = _scoped_cache(
+        shingles(docs, n=3).select(
+            "doc_id", F.xxhash64("shingle").alias("sh")
+        )
+    )
     exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, max_shingle_df=100
+        docs, n=3, threshold=0.8, max_shingle_df=100, sh_df=hashed
     ).select(
         "doc_a",
         "doc_b",
@@ -1339,8 +1382,7 @@ def dedup_minhash_lsh_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm"),
     )
-    sh = shingles(docs, n=3)
-    sigs = _scoped_cache(minhash_signatures(sh))
+    sigs = _scoped_cache(minhash_signatures_from_hashes(hashed))
     cand = lsh_candidate_pairs(sigs).withColumn(
         "found_by_lsh", F.lit(True)
     )
