@@ -693,14 +693,23 @@ def _incremental_jaccard_pairs(
 )
 def dedup_incremental_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    p = _incremental_jaccard_pairs(docs)
+    # r10 OPT (guide §1.2): the pair table fed THREE copies of the
+    # posting-join pipeline — the pair-count branch plus two union
+    # branches for the involved-doc rollup. Cache the (tiny) pair table
+    # and emit both endpoints with one conditional explode so the heavy
+    # pipeline executes once.
+    p = _scoped_cache(_incremental_jaccard_pairs(docs))
     pc = p.groupBy("pair_class").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
-    involved = p.select("pair_class", F.col("doc_a").alias("d")).unionByName(
-        p.where(F.col("pair_class") == "new_new").select(
-            "pair_class", F.col("doc_b").alias("d")
-        )
+    involved = p.select(
+        "pair_class",
+        F.explode(
+            F.when(
+                F.col("pair_class") == "new_new",
+                F.array("doc_a", "doc_b"),
+            ).otherwise(F.array("doc_a"))
+        ).alias("d"),
     )
     dc = involved.groupBy("pair_class").agg(
         F.countDistinct("d").cast("long").alias("n_new_docs")
@@ -878,6 +887,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Cluster assignment over an undirected pair graph: ``(id, cluster_id)``
     where ``cluster_id`` is the minimum vertex id reachable from ``id``.
@@ -928,12 +938,21 @@ def connected_components(
     # REVERTED: at bench scale AQE broadcasts the labels side, so the
     # cached distinct() partitioning is never re-used and the extra
     # exchange was a measured ~10% regression on the A/B)
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .persist()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not edges_unique:
+        # r10 OPT (guide §2.4 "a distinct on data that is already
+        # unique"): every in-repo caller feeds oriented doc_a < doc_b
+        # pairs from a groupBy — already unique, and the reversed union
+        # branch cannot collide with the forward one — so they pass
+        # edges_unique=True and skip this full (u, v) dedupe shuffle.
+        # The guard stays for callers with arbitrary edge lists (dupes
+        # would multiply the per-round neighbor-min work, not break
+        # correctness: min-label propagation is idempotent to edge
+        # multiplicity).
+        sym = sym.distinct()
+    sym = sym.persist()
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -1017,7 +1036,8 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents"), n=3, threshold=0.05, max_shingle_df=100
     )
     cc = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        edges_unique=True,  # oriented doc_a < doc_b pairs from a groupBy
     )
     return cc.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -1073,7 +1093,8 @@ def dedup_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=100)
     cc = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        edges_unique=True,  # oriented doc_a < doc_b pairs from a groupBy
     )
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     dist = sizes.groupBy("sz").agg(
@@ -2927,7 +2948,11 @@ def dedup_banded_fallback(spark: SparkSession, sf: str) -> DataFrame:
 def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh, sigs, cand = _portable_sigs_cands(docs)
-    dph = sh.distinct()
+    # r10 OPT (guide §1.2): dph feeds three branches (sizes + both sides
+    # of the intersection join); uncached, the per-character polynomial
+    # shingle hash — the most expensive projection in this pipeline —
+    # re-executed once per branch.
+    dph = _scoped_cache(sh.distinct())
     sz = dph.groupBy("doc_id").agg(F.count("*").alias("n"))
     pa = dph.select(F.col("doc_id").alias("doc_a"), "ph")
     pb = dph.select(F.col("doc_id").alias("docb"), F.col("ph").alias("phb"))
@@ -3053,7 +3078,10 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
 def lsh_band_sweep_recall(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     sh, sigs, _cand = _portable_sigs_cands(docs)
-    dph = sh.distinct()
+    # r10 OPT (guide §1.2): same three-branch dph reuse as
+    # minhash_estimate_error — cache it so the per-character polynomial
+    # shingle hash runs once, not once per branch.
+    dph = _scoped_cache(sh.distinct())
     sz = dph.groupBy("doc_id").agg(F.count("*").alias("n"))
     pa = dph.select(F.col("doc_id").alias("doc_a"), "ph")
     pb = dph.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("phb"))
@@ -3238,7 +3266,8 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     cc = connected_components(
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
+        ),
+        edges_unique=True,  # oriented doc_a < doc_b pairs from a groupBy
     ).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -3414,18 +3443,24 @@ def dedup_ensemble_flags(spark: SparkSession, sf: str) -> DataFrame:
     from .similarity import embedding_near_dup_pairs
 
     docs = load(spark, sf, "documents")
+    # r10 OPT (guide §1.2): both flagged-id sets were built as a union of
+    # two selects over the SAME pair table, executing each (expensive)
+    # pair pipeline twice — the Jaccard posting join and the GEMM kernel.
+    # One explode over both endpoints keeps a single execution of each.
     tpairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=100)
     tdup = (
-        tpairs.select(F.col("doc_a").alias("doc_id"))
-        .union(tpairs.select(F.col("doc_b")))
+        tpairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("t", F.lit(1))
     )
     emb = load(spark, sf, "embeddings").select("vec_id", "label", "embedding")
     epairs = embedding_near_dup_pairs(emb, threshold=0.3)
     edup = (
-        epairs.select(F.col("vec_a").alias("vec_id"))
-        .union(epairs.select(F.col("vec_b")))
+        epairs.select(
+            F.explode(F.array("vec_a", "vec_b")).alias("vec_id")
+        )
         .distinct()
         .withColumn("e", F.lit(1))
     )

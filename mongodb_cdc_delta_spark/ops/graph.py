@@ -245,10 +245,11 @@ def dedup_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("a", "b", "c")
     )
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionByName(tri.select(F.col("b").alias("doc_id")))
-        .unionByName(tri.select(F.col("c").alias("doc_id")))
+    # r10 OPT (guide §1.2): one explode over the three corners instead of
+    # a 3-way union of selects — the union shape executed the two-join
+    # triangle enumeration three times.
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return members.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles")

@@ -102,9 +102,13 @@ def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.05, max_shingle_df=100
     )
+    # r10 OPT (guide §1.2): one explode over both endpoints instead of a
+    # union of two selects — the union shape executed the whole pair
+    # pipeline (posting join included) twice.
     dup_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .distinct()
         .agg(F.count("*").alias("n_dup_docs"))
     )

@@ -453,8 +453,11 @@ def knn_cosine_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    # r10 OPT (guide §2.5 / verify-skill single-file note): quantization +
+    # integer dot per row are interpreted HOF folds; spread() breaks the
+    # one-file scan's single-task pin so they run on all cores.
     return (
-        emb.where(F.col("vec_id") != 0)
+        spread(emb.where(F.col("vec_id") != 0))
         .select(
             "vec_id",
             "label",
@@ -541,6 +544,9 @@ def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )  # bounded: 8 rows; becomes literals in the plan (broadcast-by-value)
+    # (an r10 spread() of the scan was tried here and REVERTED: the A/B
+    # measured 1.18x — the repartition's sort+exchange of the embedding
+    # payload cost more than the single-task argmax it parallelized)
     return assign_to_centroids(
         emb, [(r["vec_id"], r["embedding"]) for r in cents]
     )
@@ -632,6 +638,12 @@ def build_ivf_cells(
     """
     from pyspark.sql import Window
 
+    # r10 OPT (guide §2.5 / verify-skill single-file note): every
+    # assignment pass runs an n_cells-way interpreted zip_with per row;
+    # the one-file scan pinned all of it to ONE task. One spread up front
+    # parallelizes every downstream pass over the same frame.
+    emb = spread(emb)
+
     # deterministic init: rank rows by hash, take the first n_cells as seeds
     # (the post-limit window runs on n_cells rows — single tiny partition)
     hashed = emb.select(
@@ -642,6 +654,7 @@ def build_ivf_cells(
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
 
+    spark = emb.sparkSession
     for _ in range(iters):
         assigned = _assign_cells(emb, centroids)
         centroids = (
@@ -659,6 +672,16 @@ def build_ivf_cells(
                 "cell",
                 F.transform(F.col("dm"), lambda s: s["mean"]).alias("centroid"),
             )
+        )
+        # r10 OPT (guide §1.2; the r9 broadcast-of-derived-branch lesson):
+        # materialize the n_cells centroid rows on the driver — bounded
+        # by construction, they ARE the tiny index — so iteration i+1,
+        # the final assignment's broadcast, and the caller's probe-cell
+        # collect all start from a literal table instead of each
+        # replaying every previous iteration's assignment+average chain
+        # (build_pq_codebooks has used this exact shape since r8).
+        centroids = spark.createDataFrame(
+            centroids.collect(), "cell int, centroid array<double>"
         )
     assignments = _assign_cells(emb, centroids)
     return assignments, centroids
@@ -787,6 +810,7 @@ def build_pq_codebooks(
     iters: int = 2,
     seed: int = 7,
     train_rows: int | None = 65536,
+    return_subv: bool = False,
 ) -> DataFrame:
     """Per-subspace k-means codebooks, entirely as DataFrame ops.
 
@@ -802,13 +826,21 @@ def build_pq_codebooks(
     uses — m·k centroids saturate long before the corpus does, so
     training cost must stay flat while only the encode pass scales with
     rows. ``None`` trains on everything. Returns
-    (sub, code, centroid: array<double>).
+    (sub, code, centroid: array<double>), or with ``return_subv=True`` a
+    ``(codebooks, subv, d)`` triple where ``subv`` is the checkpointed
+    training subvector table when it covers the WHOLE input (no sampling
+    fired — the encode pass can then reuse it instead of re-exploding
+    the embedding scan) and None when training ran on a sample (at scale
+    the checkpoint is bounded by ``train_rows`` and the full corpus must
+    stream through encode lazily instead).
     """
     from pyspark.sql import Window
 
+    sampled = False
     if train_rows is not None:
         n = emb.count()
         if n > train_rows:
+            sampled = True
             frac_ppm = int(train_rows * 1_000_000 // n)
             emb = emb.where(
                 F.pmod(
@@ -879,6 +911,12 @@ def build_pq_codebooks(
             centroids.collect(),
             "sub int, code int, centroid array<double>",
         )
+    if return_subv:
+        # r10 OPT (guide §1.2): when no sampling fired the checkpointed
+        # training subvectors ARE the full input's subvectors — hand them
+        # back so pq_encode skips a second explode of the embedding scan
+        # (and its own dimension-probing first()).
+        return centroids, (None if sampled else subv), d
     return centroids
 
 
@@ -897,21 +935,34 @@ def _assign_pq(subv: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8) -> DataFrame:
-    """vec_id → m-byte code array (the stored ANN index payload)."""
-    d_total = len(emb.select("embedding").first()[0])
-    d = d_total // m
-    subv = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}),"
-                f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
-                f"                x -> cast(x as double)))"
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    subv: DataFrame | None = None,
+) -> DataFrame:
+    """vec_id → m-byte code array (the stored ANN index payload).
+
+    ``subv``: a precomputed (vec_id, sub, sv) subvector table covering
+    exactly ``emb`` (e.g. the training checkpoint from
+    ``build_pq_codebooks(..., return_subv=True)`` when sampling did not
+    fire) — skips re-exploding the embedding scan."""
+    if subv is None:
+        d_total = len(emb.select("embedding").first()[0])
+        d = d_total // m
+        subv = spread(
+            emb.select(
+                "vec_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, {m - 1}),"
+                        f" s -> transform(slice(embedding, s * {d} + 1, {d}),"
+                        f"                x -> cast(x as double)))"
+                    )
+                ).alias("sub", "sv"),
             )
-        ).alias("sub", "sv"),
-    )
-    assigned = _assign_pq(spread(subv), codebooks)
+        )
+    assigned = _assign_pq(subv, codebooks)
     return assigned.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
@@ -944,8 +995,15 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: x.cast("double") / _norm(F.col("embedding")),
         ),
     )
-    codebooks = build_pq_codebooks(emb, m=m, k=16, iters=2)
-    codes = pq_encode(emb, codebooks, m=m)
+    # r10 OPT (guide §1.2): reuse the training subvector checkpoint for
+    # the encode pass — at this corpus size sampling does not fire, so
+    # the encode explode and its dimension-probing first() are redundant
+    # re-derivations of the same table (pq_encode falls back to its own
+    # explode exactly when training ran on a sample).
+    codebooks, train_subv, _ = build_pq_codebooks(
+        emb, m=m, k=16, iters=2, return_subv=True
+    )
+    codes = pq_encode(emb, codebooks, m=m, subv=train_subv)
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     qv = [float(x) for x in qrow[0]]
     # ADC lookup table: partial squared distance from each query subvector

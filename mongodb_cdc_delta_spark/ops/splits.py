@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import load, register
+from ._cache import cache_scoped as _cache_scoped
+from ._cache import scoped_cache as _scoped_cache
 from .dedup import (
     _JACCARD_CTES,
     _jaccard_pairs_sql,
@@ -109,6 +111,7 @@ def _split_col(key):
     "one groupBy over the pair set.",
     tags=("llm-pipeline", "dedup", "sampling", "report"),
 )
+@_cache_scoped
 def split_leakage_report(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(
@@ -116,19 +119,26 @@ def split_leakage_report(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     sa = _split_col(F.col("doc_a"))
     sb = _split_col(F.col("doc_b"))
-    labeled = pairs.select(
-        F.least(sa, sb).alias("split_lo"),
-        F.greatest(sa, sb).alias("split_hi"),
-        "doc_a",
-        "doc_b",
+    # r10 OPT (guide §1.2): the labeled pair table fed THREE copies of
+    # the posting-join pipeline (the pair-count branch plus two union
+    # branches of the doc rollup). Cache it — it is bounded by the pair
+    # budget, never corpus-sized — and emit both endpoints with one
+    # explode so the pair pipeline executes once.
+    labeled = _scoped_cache(
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+            "doc_a",
+            "doc_b",
+        )
     )
     pair_counts = labeled.groupBy("split_lo", "split_hi").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
     exploded = labeled.select(
-        "split_lo", "split_hi", F.col("doc_a").alias("d")
-    ).unionByName(
-        labeled.select("split_lo", "split_hi", F.col("doc_b").alias("d"))
+        "split_lo",
+        "split_hi",
+        F.explode(F.array("doc_a", "doc_b")).alias("d"),
     )
     doc_counts = exploded.groupBy("split_lo", "split_hi").agg(
         F.countDistinct("d").cast("long").alias("n_docs")
@@ -201,7 +211,8 @@ def cluster_aware_split(spark: SparkSession, sf: str) -> DataFrame:
         docs, n=3, threshold=0.05, max_shingle_df=100
     ).select("doc_a", "doc_b")
     cc = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        edges_unique=True,  # oriented doc_a < doc_b pairs from a groupBy
     )
     assigned = docs.select(
         "doc_id", F.length("text").alias("n_chars")
