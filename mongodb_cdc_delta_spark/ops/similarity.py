@@ -656,6 +656,10 @@ def build_ivf_cells(
 
     spark = emb.sparkSession
     for _ in range(iters):
+        # (r10: carrying the embedding THROUGH the assignment aggregate
+        # via first() was tried and REVERTED — A/B 1.32x: the payload
+        # then rides the aggregation exchange where this join resolves
+        # as a broadcast of the small assignment table, guide §2.3)
         assigned = _assign_cells(emb, centroids)
         centroids = (
             assigned.join(emb, "vec_id")
@@ -883,6 +887,10 @@ def build_pq_codebooks(
     )
     spark = emb.sparkSession
     for _ in range(iters):
+        # (r10: carrying sv THROUGH the assignment aggregate via first()
+        # was tried and REVERTED — A/B 1.16x: the subvector payload then
+        # rides the aggregation exchange where this join resolves as a
+        # broadcast of the small assignment table, guide §2.3)
         assigned = _assign_pq(subv, centroids)
         centroids = (
             assigned.join(subv, ["vec_id", "sub"])
