@@ -692,21 +692,59 @@ def build_ivf_cells(
 
 
 def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """vec_id → nearest centroid cell. Centroids are tiny → broadcast
-    cross join + min-by distance, one narrow pass over the data."""
-    joined = emb.crossJoin(F.broadcast(centroids))
-    d2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "centroid",
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """vec_id → nearest centroid cell (squared-L2, ties to lowest cell).
+
+    r10 OPT (guide §4.2, the near-dup GEMM-kernel lesson): the old shape
+    was an n_cells-way broadcast crossJoin whose per-row interpreted
+    zip_with+aggregate fold doesn't codegen, re-reduced by a groupBy —
+    at 100x scale the fold work (rows × n_cells × d interpreted lambda
+    evals) was the measured residue of the whole IVF family. Now ONE
+    mapInPandas pass with the bounded centroid table (n_cells rows — it
+    IS the index, and every call site already materializes it as a
+    driver-literal table) inlined in the closure: no row blowup, no
+    re-aggregation, and the distance math runs vectorized in numpy.
+
+    Bit-identical to the old plan, not merely equivalent: the kernel
+    accumulates (x_i - c_i)^2 per dimension in ascending order — the
+    same IEEE-double op sequence as the old sequential aggregate fold —
+    and scans cells in ascending id with strict <, reproducing
+    min(struct(d2, cell)) tie-breaking exactly (proof: canonical-hash
+    equality at sf0.001/0.01/0.1 + /tmp/scale10, OPTIMIZATION_r10.md)."""
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
     )
-    scored = joined.select("vec_id", "cell", d2.alias("d2"))
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cell"))["cell"].alias("cell")
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+        C = np.asarray([v for _, v in cents], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            best_d2 = None
+            best_cell = None
+            for j in range(len(ids)):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for dim in range(C.shape[1]):
+                    diff = X[:, dim] - C[j, dim]
+                    acc = acc + diff * diff
+                if best_d2 is None:
+                    best_d2 = acc
+                    best_cell = np.full(len(pdf), ids[j], dtype=np.int64)
+                else:
+                    m = acc < best_d2
+                    best_d2 = np.where(m, acc, best_d2)
+                    best_cell = np.where(m, ids[j], best_cell)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": best_cell}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell int"
     )
 
 
@@ -929,17 +967,75 @@ def build_pq_codebooks(
 
 
 def _assign_pq(subv: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, sub) → nearest codebook code. Codebooks broadcast."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "centroid", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = subv.join(F.broadcast(centroids), "sub").select(
-        "vec_id", "sub", F.col("code"), d2.alias("d2")
-    )
-    return scored.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d2", "code"))["code"].alias("code")
+    """(vec_id, sub) → nearest codebook code (squared-L2, ties to lowest
+    code).
+
+    r10 OPT (guide §4.2): same kernel rewrite as _assign_cells — the old
+    k-way broadcast join ran rows × m × k interpreted zip_with folds (the
+    measured ~20x residue of ann_pq_topk's 100x factor) and re-reduced
+    them through a groupBy; the codebook is bounded (m·k rows) by
+    construction, so it inlines into one mapInPandas closure and each
+    input row yields exactly one output row. Per-dimension ascending
+    accumulation + strict-< ascending-code scan keep the result
+    bit-identical to the old fold + min(struct(d2, code)) (proof:
+    canonical-hash equality at sf0.001/0.01/0.1 + /tmp/scale10,
+    OPTIMIZATION_r10.md)."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in centroids.collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+        )
+    for lst in by_sub.values():
+        lst.sort()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        grids = {
+            s: (
+                np.asarray([c for c, _ in lst], dtype=np.int64),
+                np.asarray([v for _, v in lst], dtype=np.float64),
+            )
+            for s, lst in by_sub.items()
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sub_arr = pdf["sub"].to_numpy()
+            X = np.stack(pdf["sv"].to_numpy()).astype(np.float64)
+            out_code = np.zeros(len(pdf), dtype=np.int64)
+            for s in np.unique(sub_arr):
+                sel = np.flatnonzero(sub_arr == s)
+                code_ids, C = grids[int(s)]
+                Xs = X[sel]
+                best_d2 = None
+                best_code = None
+                for j in range(len(code_ids)):
+                    acc = np.zeros(len(sel), dtype=np.float64)
+                    for dim in range(C.shape[1]):
+                        diff = Xs[:, dim] - C[j, dim]
+                        acc = acc + diff * diff
+                    if best_d2 is None:
+                        best_d2 = acc
+                        best_code = np.full(
+                            len(sel), code_ids[j], dtype=np.int64
+                        )
+                    else:
+                        m = acc < best_d2
+                        best_d2 = np.where(m, acc, best_d2)
+                        best_code = np.where(m, code_ids[j], best_code)
+                out_code[sel] = best_code
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sub": sub_arr,
+                    "code": out_code,
+                }
+            )
+
+    return subv.select("vec_id", "sub", "sv").mapInPandas(
+        assign, "vec_id long, sub int, code int"
     )
 
 
@@ -995,13 +1091,42 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     raw = load(spark, sf, "embeddings")
     # L2-normalize first: PQ scores by squared L2, and on unit vectors the
     # L2 order IS the cosine order — without this, norm variance would
-    # leak into the ranking and recall vs the cosine ground truth drops
-    emb = raw.withColumn(
-        "embedding",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / _norm(F.col("embedding")),
-        ),
+    # leak into the ranking and recall vs the cosine ground truth drops.
+    #
+    # r10 OPT (guide §4.2/§1.2): the old expression normalize put
+    # _norm(embedding) — itself a d-element fold — INSIDE the transform
+    # lambda, so every row paid d re-evaluations of the fold (O(d²)
+    # interpreted ops/row), and CollapseProject inlined that whole thing
+    # into EVERY downstream consumer's projection (the training-sample
+    # explode and the encode explode each re-paid it: measured 77 s for
+    # one normalize pass over the 100x corpus, ~80% of the query). Now a
+    # numpy kernel normalizes once — per-dimension ascending accumulation
+    # for the norm (the fold's exact IEEE op order), then one IEEE divide
+    # per element, so values are bit-identical — and the result is
+    # checkpointed so all consumers share the single pass (hash-equality
+    # receipts at sf0.001/0.01/0.1 + /tmp/scale10, OPTIMIZATION_r10.md).
+
+    def l2norm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for dim in range(X.shape[1]):
+                acc = acc + X[:, dim] * X[:, dim]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = X / np.sqrt(acc)[:, None]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(out)}
+            )
+
+    emb = (
+        spread(raw.select("vec_id", "embedding"))
+        .mapInPandas(l2norm, "vec_id long, embedding array<double>")
+        .localCheckpoint(eager=True)
     )
     # r10 OPT (guide §1.2): reuse the training subvector checkpoint for
     # the encode pass — at this corpus size sampling does not fire, so
