@@ -924,7 +924,19 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line is still complete
-    print(json.dumps(payload))
+    # r11 (r10 verdict #7, bench-artifact truncation class): the grading
+    # driver keeps only the LAST 2000 characters of this line, so cap the
+    # diagnostic calib arrays on the PRINTED line (full series stays in
+    # bench_last.json above) — at 200+ queries an uncapped series pushes
+    # the headline scalars out of the tail window. Keys, scalars, and the
+    # three per-query dicts are unchanged.
+    line = dict(payload)
+    if len(line["calib_series"]) > 8:
+        line["calib_series"] = (
+            line["calib_series"][:1] + line["calib_series"][-7:]
+        )
+    line["calib_samples"] = line["calib_samples"][-8:]
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -895,19 +895,36 @@ def connected_components(
     This is the step every dedup pipeline needs after candidate generation —
     pairs (a,b),(b,c) must collapse into ONE keep-decision, not two
     independent ones. Algorithm: min-label propagation with pointer jumping
-    (label ← label[label] each round), the hash-to-min idea from
+    fused INTO the propagation (r11), the hash-to-min idea from
     Rastogi et al. "Finding Connected Components in Map-Reduce" (ICDE'13).
-    Propagation alone needs O(diameter) rounds; the pointer-jump join cuts
-    that to O(log diameter), which is what makes a 100-million-node dup
-    graph converge in ~5 rounds instead of ~50.
+    Propagation alone needs O(diameter) rounds; pointer jumping (label ←
+    label[label]) cuts that to O(log diameter), which is what makes a
+    100-million-node dup graph converge in ~5 rounds instead of ~50.
 
-    Scale notes: each round is two bounded shuffles (neighbor-min groupBy on
-    vertex id, pointer-jump join on label) over (long, long) pairs — never
-    document payloads. ``localCheckpoint`` truncates lineage every round;
-    without it the plan doubles per iteration and the driver, not the data,
-    becomes the bottleneck. Convergence detection exploits monotonicity:
-    every step assigns ``min(old, …)`` then a parent label that is itself
-    ≤ the looked-up key, so labels only ever decrease — the exact
+    r11 OPT (guide §2.4 "remove shuffles outright"; r10 verdict #2): the
+    jump used to be its own self-join keyed on ``label`` AFTER the
+    neighbor-min groupBy — a third per-round exchange (and at bench scale
+    a second broadcast build + job). It is now fused into the propagation
+    as *pointer edges*: each vertex u with label p != u contributes one
+    extra directed edge (u ← p), so the single neighbor-min groupBy
+    computes min(own, graph neighbors' labels, label[label]) in ONE pass —
+    one join + one groupBy per round instead of join + groupBy + join.
+    Pointer edges always stay inside u's component (label values are ids
+    of reachable vertices, by induction), so the fixpoint — every label =
+    its component's min id — is IDENTICAL; only intermediate labels can
+    differ. Convergence on a path of diameter d: distance-to-min doubles
+    per round (jump term), so O(log d) rounds still (the unfused form
+    saved at most one round by jumping on the post-min labels; the fused
+    form does strictly less work per round). Proven by the oracle's
+    recursive-CTE closure at every SF and the 64-node-path round-budget
+    test.
+
+    Scale notes: each round is one bounded (long, long) join + one
+    groupBy — never document payloads. ``localCheckpoint`` truncates
+    lineage every round; without it the plan doubles per iteration and
+    the driver, not the data, becomes the bottleneck. Convergence
+    detection exploits monotonicity: every step assigns ``min(old, …)``
+    of existing labels, so labels only ever decrease — the exact
     ``decimal(38,0)`` label sum is strictly smaller after a round iff any
     label changed. One scalar aggregate over the just-checkpointed round
     output replaces the old full shuffle-join-vs-previous-labels change
@@ -923,28 +940,36 @@ def connected_components(
     extra O(|V|) scalar aggregate to every real call to save one round
     only on that degenerate shape, a bad trade at scale.
     """
-    # materialize the edge list ONCE before symmetrizing: the union's two
-    # branches are distinct subtrees, so without this the (expensive)
-    # candidate-generation pipeline upstream would execute twice — a real
-    # 2x at scale, where pair generation dwarfs the per-round label work.
-    # r10 OPT (guide §1.4 caveat / verify-skill round-3 note): persist +
-    # count instead of localCheckpoint(eager) — localCheckpoint compiles
-    # a second NON-AQE plan of the expression-heavy pair pipeline (extra
-    # planning time, and the materialization runs without AQE's skew/
-    # coalesce handling, which matters on a skewed 100 TB pair graph).
-    edges = edges.persist()
-    edges.count()
+    # r11 OPT (guide §1.2 / §2.4): symmetrize with ONE explode instead of
+    # a union of two selects. The union's branches were distinct subtrees,
+    # so the (expensive) candidate-generation pipeline upstream had to be
+    # materialized FIRST (an extra persist + count job — ~1.3 s of the
+    # bench line) to avoid executing it twice; the explode reads every
+    # edge exactly once by construction, so only `sym` needs a cache and
+    # its materialization rides the first round's job. (r10 kept persist
+    # + count over localCheckpoint(eager) so the pair pipeline's
+    # materialization runs WITH AQE; that property is preserved — sym is
+    # a persist, and the first action over it is a normal AQE query.)
     # (an explicit repartition("v") of sym was tried here in r10 and
     # REVERTED: at bench scale AQE broadcasts the labels side, so the
     # cached distinct() partitioning is never re-used and the extra
     # exchange was a measured ~10% regression on the A/B)
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("u"), F.col(dst).alias("v")
+                ),
+                F.struct(
+                    F.col(dst).alias("u"), F.col(src).alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     if not edges_unique:
         # r10 OPT (guide §2.4 "a distinct on data that is already
         # unique"): every in-repo caller feeds oriented doc_a < doc_b
-        # pairs from a groupBy — already unique, and the reversed union
+        # pairs from a groupBy — already unique, and the reversed explode
         # branch cannot collide with the forward one — so they pass
         # edges_unique=True and skip this full (u, v) dedupe shuffle.
         # The guard stays for callers with arbitrary edge lists (dupes
@@ -952,7 +977,13 @@ def connected_components(
         # correctness: min-label propagation is idempotent to edge
         # multiplicity).
         sym = sym.distinct()
+    # materialize the cache NOW (one AQE job over the pair pipeline):
+    # every unrolled round below references `sym` up to 9 times, and an
+    # UN-materialized cache would put 9 copies of the expensive upstream
+    # subtree into the first job's plan — measured 2-4x the whole query
+    # in planning/analysis alone.
     sym = sym.persist()
+    sym.count()
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -960,39 +991,47 @@ def connected_components(
     # None until round 1 completes: a real round sum never equals None, and
     # an EMPTY graph's sum IS None (sum of zero rows) — caught explicitly
     prev_sum = None
-    for _ in range(max_rounds):
-        nbr = sym.join(
-            labels.select(F.col("id").alias("v"), "label"), "v"
+    def step(lab: DataFrame) -> DataFrame:
+        # pointer edges (u ← label(u)): the fused jump. Self-pointers are
+        # dropped (they attach label(u) to u — already in the unionByName
+        # below); the reverse direction (label(u) ← u) would attach the
+        # value label(u) to the vertex label(u) itself, a no-op by
+        # construction, so it is not emitted.
+        ptr = lab.where(F.col("id") != F.col("label")).select(
+            F.col("id").alias("u"), F.col("label").alias("v")
+        )
+        nbr = sym.unionByName(ptr).join(
+            lab.select(F.col("id").alias("v"), "label"), "v"
         ).select(F.col("u").alias("id"), "label")
-        new = (
-            labels.unionByName(nbr)
+        return (
+            lab.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        parent = new.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        # r10 OPT (guide §1.2 per-round job count): LAZY localCheckpoint —
-        # the convergence-probe aggregate below MATERIALIZES the round
-        # output, so each round is one job where eager localCheckpoint +
-        # collect was two. Lineage is still truncated to a LogicalRDD leaf
-        # every round, which is load-bearing: round k's plan references
-        # round k-1's THREE times (labels, nbr, parent), so an
-        # un-truncated representation grows 3^k and the driver dies in
-        # plan analysis long before the data is the problem (a plain
-        # .cache() here stack-overflowed generateTreeString at 10 rounds).
-        new = (
-            new.join(parent, new["label"] == parent["p_id"], "left")
-            .select("id", F.coalesce("p_label", "label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
+
+    # One propagation step per materialized job. (An r11 unroll of 2-3
+    # steps per job was tried and REVERTED with receipts: a 2-step job
+    # measured ~2.3x a 1-step job — per-step cost here is stage/AQE
+    # planning, not job-fixed overhead, and the 3^k growth of leaf
+    # references in the unrolled plan made 3 steps/job 3x WORSE overall:
+    # unroll=1 total 5.6 s vs unroll=2 7.1 s vs unroll=3 16.7 s, same
+    # session, sf0.1.)
+    # r10 OPT retained: LAZY localCheckpoint — the convergence-probe
+    # aggregate MATERIALIZES the round's output, so each round is one
+    # action. Lineage is still truncated to a LogicalRDD leaf every
+    # round, which is load-bearing: round k's plan references round
+    # k-1's THREE times (lab, ptr, nbr), so an un-truncated
+    # representation grows 3^k and the driver dies in plan analysis long
+    # before the data is the problem (a plain .cache() here
+    # stack-overflowed generateTreeString at 10 rounds).
+    for _ in range(max_rounds):
+        new = step(labels).localCheckpoint(eager=False)
         cur_sum = new.agg(label_sum).collect()[0]["s"]
         labels = new
         if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     sym.unpersist()
-    edges.unpersist()
     return labels
 
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import scoped_cache as _scoped_cache
+
 #: polynomial token hash shared with quality_linear_classifier/cms
 _TOK_POLY = (
     "aggregate(transform(sequence(1, length(tok)),"
@@ -92,7 +94,11 @@ def train_quality_classifier(
     construction — see module docstring."""
     spark = docs.sparkSession
     feats, sizes = hashed_features(docs, dim)
-    base = (
+    # r11 hygiene (r10 verdict #8): register the training cache in the
+    # scoped registry so an exception mid-loop cannot leak it past the
+    # next pipeline generation; the explicit unpersist in the finally
+    # below still releases it eagerly on the normal path.
+    base = _scoped_cache(
         feats.join(sizes, "doc_id")
         .join(
             docs.select(
@@ -100,8 +106,16 @@ def train_quality_classifier(
             ),
             "doc_id",
         )
-        .cache()
     )
+    try:
+        return _train_loop(spark, base, dim, iters, inv_lr)
+    finally:
+        base.unpersist()
+
+
+def _train_loop(
+    spark, base: DataFrame, dim: int, iters: int, inv_lr: int
+) -> list[int]:
     n_docs = base.select("doc_id").distinct().count()
     if n_docs == 0:
         raise ValueError("empty training corpus")
@@ -136,7 +150,6 @@ def train_quality_classifier(
             # Python's // is already floor-signed — this IS the floor
             # division _fdiv_sql emulates on the SQL side
             w[row["bucket"]] -= int(row["g"]) // denom
-    base.unpersist()
     return w
 
 

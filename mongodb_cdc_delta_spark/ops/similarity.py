@@ -829,8 +829,15 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     "0-1/10 and flips the boolean, failing the hash.",
     tags=("similarity", "ann", "accuracy"),
 )
+@_cache_scoped
 def ann_ivf_accuracy(spark: SparkSession, sf: str) -> DataFrame:
-    exact = knn_cosine_topk(spark, sf).select("vec_id", "cos_sim").cache()
+    # r11 hygiene (r10 verdict #8): scoped registry instead of a bare
+    # .cache() — the returned plan is lazy, so only the generation
+    # mechanism can release this without leaking one persisted set per
+    # call (the r7 leak class).
+    exact = _scoped_cache(
+        knn_cosine_topk(spark, sf).select("vec_id", "cos_sim")
+    )
     approx = ann_ivf_topk(spark, sf).select(
         "vec_id", F.lit(True).alias("in_ivf")
     )

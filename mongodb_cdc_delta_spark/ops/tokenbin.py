@@ -45,7 +45,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..queries import load, register
-from .webdataset import portable_shard
+from .webdataset import _shard_width, portable_shard
 
 MANIFEST_NAME = "manifest.json"
 
@@ -304,9 +304,11 @@ _TB_BUCKET_SQL = (
     """,
     description="packed-token export integrity report: tokenize "
     "documents with an engine-portable polynomial token hash "
-    f"(ids mod {_TB_VOCAB} — always uint16), write 4 deterministic "
-    "Megatron-layout .bin/.idx shards, read them back via "
-    "format('tokenbin') (one partition per shard), and report per-shard "
+    f"(ids mod {_TB_VOCAB} — always uint16), write deterministic "
+    "Megatron-layout .bin/.idx sub-shards (a multiple of the 4 logical "
+    "shards, width from spark.sql.shuffle.partitions), read them back via "
+    "format('tokenbin') (one partition per sub-shard), and report per "
+    "logical shard (sub % 4 == bucket % 4, so the report is unchanged) "
     "doc/token counts plus order-SENSITIVE checksums (sum of ids and "
     "position-weighted sum) FROM THE BYTES ON DISK — the oracle "
     "recomputes from the raw table, so a truncated .bin, a swapped "
@@ -319,6 +321,8 @@ def tokens_bin_export_report(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..queries import spread
+
     docs = load(spark, sf, "documents")
     poly = (
         "transform("
@@ -330,19 +334,33 @@ def tokens_bin_export_report(spark: SparkSession, sf: str) -> DataFrame:
         f"        (a, c) -> (a * 131 + c) % 2147483647) % {_TB_VOCAB}"
         "       as int))"
     )
-    ids = docs.select("doc_id", F.expr(poly).alias("token_ids"))
+    # r11 OPT (guide §2.5 single-file scan / §2.4): spread() ahead of the
+    # per-CHARACTER interpreted polynomial fold — on the driver testdata's
+    # one-row-group parquet the whole tokenize otherwise runs in ONE task
+    # before the shard exchange.
+    ids = spread(docs).select("doc_id", F.expr(poly).alias("token_ids"))
+    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W >= 4 sub-shards,
+    # W a multiple of 4 derived from spark.sql.shuffle.partitions (never a
+    # local constant): sub-shard = bucket % W, and since 4 | W,
+    # (bucket % W) % 4 == bucket % 4 — so folding the read-back by
+    # sub % 4 reproduces the EXACT 4-logical-shard report (the per-shard
+    # aggregates are order-insensitive across docs; within-doc order,
+    # which pos_weighted_sum checks, lives inside each sub-shard's bytes).
+    # The write/read paths then run W-way parallel instead of 4.
+    n_sub = _TB_N_SHARDS * max(1, _shard_width(spark) // _TB_N_SHARDS)
     out = tempfile.mkdtemp(prefix="tokenbin_export_")
     try:
         write_token_shards(
-            ids, out, key="doc_id", n_shards=_TB_N_SHARDS, dtype="uint16"
+            ids, out, key="doc_id", n_shards=n_sub, dtype="uint16"
         )
         register_tokenbin_source(spark)
         back = spark.read.format("tokenbin").load(out)
         report = (
             back.select(
-                F.regexp_extract("shard", r"shard-(\d+)", 1)
-                .cast("int")
-                .alias("shard"),
+                F.pmod(
+                    F.regexp_extract("shard", r"shard-(\d+)", 1).cast("int"),
+                    F.lit(_TB_N_SHARDS),
+                ).alias("shard"),
                 F.size("token_ids").alias("n_tok"),
                 F.aggregate(
                     "token_ids",

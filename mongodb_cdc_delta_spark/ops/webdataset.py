@@ -65,6 +65,18 @@ def portable_shard(key, n_shards: int):
     return F.pmod(sample_bucket(key), F.lit(n_shards)).cast("int")
 
 
+def _shard_width(spark: SparkSession) -> int:
+    """Write-parallelism width for the export-report paths, derived from
+    ``spark.sql.shuffle.partitions`` exactly like ``queries.spread`` —
+    scale-adaptive, never a local-mode constant. Callers round it to a
+    multiple of their logical shard count so the read-back fold
+    (sub-shard % base) reproduces the registered report exactly."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 32
+
+
 def _deterministic_member(name: str, payload: bytes) -> tarfile.TarInfo:
     ti = tarfile.TarInfo(name=name)
     ti.size = len(payload)
@@ -288,10 +300,13 @@ _WDS_BUCKET_SQL = (
     GROUP BY 1
     """,
     description="WebDataset export integrity report: shard the documents "
-    "table into 8 deterministic tar shards (each doc → <key>.txt + "
-    "<key>.json members, zeroed tar metadata so reruns are "
+    "table into deterministic tar sub-shards (a multiple of the 8 logical "
+    "shards, width from spark.sql.shuffle.partitions; each doc → "
+    "<key>.txt + <key>.json members, zeroed tar metadata so reruns are "
     "byte-identical), read the tars back via format('webdataset') (one "
-    "partition per shard), and report per-shard key/member/payload-byte "
+    "partition per sub-shard), and report per logical shard "
+    "(sub % 8 == bucket % 8, so the report is unchanged) with "
+    "key/member/payload-byte "
     "totals FROM THE BYTES ON DISK — the oracle recomputes the same "
     "totals from the raw table, so a dropped member, a truncated tar, or "
     "a shard-assignment drift all hash-mismatch. Scale: shard count is "
@@ -315,6 +330,13 @@ def multimodal_wds_export_report(spark: SparkSession, sf: str) -> DataFrame:
             F.lit('"}'),
         ).alias("meta"),
     )
+    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W >= 8 sub-shards, W a
+    # multiple of 8 derived from spark.sql.shuffle.partitions: sub-shard =
+    # bucket % W, and 8 | W makes (bucket % W) % 8 == bucket % 8, so the
+    # read-back fold below reproduces the EXACT 8-logical-shard report
+    # (per-shard totals are order-insensitive across docs) while the tar
+    # write and the read run W-way parallel instead of 8.
+    n_sub = _WDS_N_SHARDS * max(1, _shard_width(spark) // _WDS_N_SHARDS)
     out = tempfile.mkdtemp(prefix="wds_export_")
     try:
         write_webdataset_shards(
@@ -322,15 +344,17 @@ def multimodal_wds_export_report(spark: SparkSession, sf: str) -> DataFrame:
             out,
             key="doc_id",
             members={"text": "txt", "meta": "json"},
-            n_shards=_WDS_N_SHARDS,
+            n_shards=n_sub,
         )
         register_webdataset_source(spark)
         back = spark.read.format("webdataset").load(out)
         report = (
             back.select(
-                F.regexp_extract("shard", r"shard-(\d+)\.tar", 1)
-                .cast("int")
-                .alias("shard"),
+                F.pmod(
+                    F.regexp_extract("shard", r"shard-(\d+)\.tar", 1)
+                    .cast("int"),
+                    F.lit(_WDS_N_SHARDS),
+                ).alias("shard"),
                 F.size("members").alias("n_members"),
                 F.aggregate(
                     F.map_values("members"),

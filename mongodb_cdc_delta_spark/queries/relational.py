@@ -650,13 +650,16 @@ def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "approx", "accuracy"),
 )
 def approx_distinct_accuracy(spark: SparkSession, sf: str) -> DataFrame:
-    # r10 OPT (guide §2.3 "aggregate before you shuffle"): mixing an exact
-    # COUNT(DISTINCT) with another aggregate triggers Spark's distinct
-    # rewrite (Expand ×2 — every event row shuffled twice). Pre-distinct
-    # the (event_type, user_id) pairs with a map-side-combining groupBy,
-    # then count + HLL over the deduped pairs: an HLL sketch is a pure
-    # function of the value SET (duplicate inserts are no-ops), so the
-    # estimate is bit-identical to sketching the raw stream.
+    # r10 OPT (guide §2.3 "shuffle fewer bytes"; mechanism corrected per
+    # the r10 verdict — there is no Expand in the before-plan): mixing an
+    # exact COUNT(DISTINCT) with approx_count_distinct made the first
+    # exchange carry the PARTIAL HLL SKETCH BUFFER per not-yet-deduped
+    # (event_type, user_id) pair — a 1,641-column shuffle payload.
+    # Pre-distinct the pairs with a map-side-combining groupBy, then
+    # count + HLL over the deduped pairs (2-column shuffle): an HLL
+    # sketch is a pure function of the value SET (duplicate inserts are
+    # no-ops), so the estimate is bit-identical to sketching the raw
+    # stream.
     return (
         load(spark, sf, "events")
         .select("event_type", "user_id")

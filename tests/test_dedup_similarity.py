@@ -285,6 +285,41 @@ class TestConnectedComponents:
                for r in connected_components(edges).collect()}
         assert got == {2: 2, 5: 2, 9: 2}
 
+    def test_random_graphs_match_union_find(self, spark):
+        """r11 (fused pointer-jump rounds): the fixpoint must equal a
+        reference union-find on arbitrary graph shapes — stars, chains,
+        cycles, multi-component mixes — not just the hand cases above."""
+        import random
+
+        rng = random.Random(11)
+        for trial in range(3):
+            n = 60
+            edges = [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(40 + 10 * trial)
+            ]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = sorted({v for e in edges for v in e})
+            want = {v: find(v) for v in touched}
+            got = {
+                r["id"]: r["label"]
+                for r in connected_components(
+                    spark.createDataFrame(edges, "src long, dst long")
+                ).collect()
+            }
+            assert got == want, f"trial {trial}"
+
 
 class TestInt8Quantization:
     def test_int8_topk_recall_vs_fp32(self, spark):

@@ -115,3 +115,57 @@ class TestTokenBin:
         register_tokenbin_source(spark)
         rows = spark.read.format("tokenbin").load(out).collect()
         assert rows[0]["token_ids"] == [70000, 1 << 20]
+
+
+class TestSubShardFoldEquivalence:
+    """r11: the registered export reports write W sub-shards (W a multiple
+    of the logical shard count) and fold the read-back by sub % base.
+    Pin the identity that makes that safe: portable_shard(key, W) % base
+    == portable_shard(key, base) whenever base | W, and the folded
+    per-logical-shard aggregates over a W-sub-shard write equal the
+    aggregates over a direct base-shard write."""
+
+    def test_portable_shard_fold_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from mongodb_cdc_delta_spark.ops.webdataset import portable_shard
+
+        df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+        bad = df.select(
+            (
+                F.pmod(portable_shard(F.col("doc_id"), 32), F.lit(4))
+                != portable_shard(F.col("doc_id"), 4)
+            ).alias("diff")
+        ).where("diff").count()
+        assert bad == 0
+
+    def test_folded_report_equals_base_shard_report(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        def report(out, n_shards, base):
+            write_token_shards(
+                _frame(spark, n=200), out, key="doc_id", n_shards=n_shards
+            )
+            register_tokenbin_source(spark)
+            back = spark.read.format("tokenbin").load(out)
+            rows = (
+                back.select(
+                    F.pmod(
+                        F.regexp_extract("shard", r"shard-(\d+)", 1)
+                        .cast("int"),
+                        F.lit(base),
+                    ).alias("shard"),
+                    F.size("token_ids").alias("n_tok"),
+                )
+                .groupBy("shard")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens"),
+                )
+                .collect()
+            )
+            return sorted((r["shard"], r["n_docs"], r["n_tokens"]) for r in rows)
+
+        direct = report(str(tmp_path / "base4"), n_shards=4, base=4)
+        folded = report(str(tmp_path / "sub16"), n_shards=16, base=4)
+        assert direct == folded

@@ -38,9 +38,36 @@ def _read(t: str) -> pa.Table:
     return pq.read_table(os.path.join(SRC, f"{t}.parquet"))
 
 
+#: tables at/above this row count are written as a DIRECTORY of part
+#: files instead of one pyarrow file. r11 (r10 verdict #6): the one-file
+#: layout gave every scale A/B a fixed scan-straggler residue — a single
+#: small file is one Spark scan partition no matter how many row groups
+#: it holds (splitting is byte-ranged and capped by maxPartitionBytes,
+#: which a few-MB file never reaches), so the first stage of every
+#: 10x/100x measurement ran 1-13 tasks with one dominant straggler that
+#: was harness shape, not query cost.
+_MULTIFILE_MIN_ROWS = 10_000
+_N_FILES = 32
+
+
 def _write(out: str, t: str, tbl: pa.Table) -> None:
-    pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
-    print(f"  {t}: {tbl.num_rows} rows")
+    path = os.path.join(out, f"{t}.parquet")
+    n = tbl.num_rows
+    if n < _MULTIFILE_MIN_ROWS:
+        pq.write_table(tbl, path)
+        print(f"  {t}: {n} rows (1 file)")
+        return
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // _N_FILES)  # ceil: even slices, deterministic
+    for i in range(_N_FILES):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            tbl.slice(lo, min(per, n - lo)),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+        )
+    print(f"  {t}: {n} rows ({min(_N_FILES, -(-n // per))} files)")
 
 
 def _clone_with_offsets(
