@@ -552,6 +552,59 @@ def _fixed_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _assign_centroids_kernel(vecs: DataFrame, centroids) -> DataFrame:
+    """(vec_id, embedding: array<double>, label): nearest-centroid cosine
+    assignment as ONE numpy ``mapInPandas`` pass — the kernel form of
+    :func:`assign_to_centroids` for consumers that only need the argmax
+    label, not the per-centroid sims (guide §4.2; the r10 _assign_cells
+    lesson: an n_centroids-way interpreted zip_with+aggregate fold per
+    row does not codegen and was the measured residue of the family).
+
+    Same GEMM + ``np.round(·, 6)`` + ascending-id strict-``>`` scan
+    discipline as :func:`_close_lower_counts` (which the oracle already
+    value-checks on the same data): the scan reproduces
+    ``array_max(struct(sim, neg_cid))`` tie-breaking — ties keep the
+    LOWEST centroid id. Equality with the expression form is pinned by
+    tests/test_ann_assign_kernel.py at sf0.01 and sf0.1. Precondition:
+    finite embeddings with nonzero norms (a zero-norm vector yields NaN
+    sims, where the expression form's NULL-vs-NaN ordering differs —
+    same documented precondition as the r10 IVF/PQ kernels)."""
+    cents = sorted(
+        (int(cid), [float(x) for x in v]) for cid, v in centroids
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+        C = np.asarray([v for _, v in cents], dtype=np.float64)
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = np.round((X @ C.T) / np.outer(xn, cn), 6)
+            best_sim = S[:, 0].copy()
+            best = np.full(len(pdf), ids[0], dtype=np.int64)
+            for j in range(1, len(ids)):
+                m = S[:, j] > best_sim
+                best_sim = np.where(m, S[:, j], best_sim)
+                best = np.where(m, ids[j], best)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": list(X),
+                    "label": best,
+                }
+            )
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<double>, label long"
+    )
+
+
 @register(
     "semantic_dedup_prune",
     oracle="""
@@ -608,8 +661,19 @@ def semantic_dedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     # old shape ran the centroid-argmax scan twice (once feeding the pair
     # kernel, once for the final id list) and paid a vec_id-keyed shuffle
     # join to re-attach the counts. Same math, same rounding, one scan.
-    assigned = _fixed_centroid_assign(spark, sf).select(
-        "vec_id", "embedding", F.col("centroid_id").alias("label")
+    # r11 OPT (guide §4.2; r10 verdict #3): the argmax itself now runs in
+    # the numpy assignment kernel instead of 8 interpreted HOF cosines
+    # per row — prune only needs the label (semantic_cluster_assign,
+    # whose OUTPUT includes the sims, keeps the expression form).
+    emb = load(spark, sf, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )  # bounded: 8 rows
+    assigned = _assign_centroids_kernel(
+        emb, [(r["vec_id"], r["embedding"]) for r in cents]
     )
     counts = _close_lower_counts(assigned, threshold=0.35)
     return counts.select(
@@ -661,31 +725,36 @@ def build_ivf_cells(
         # then rides the aggregation exchange where this join resolves
         # as a broadcast of the small assignment table, guide §2.3)
         assigned = _assign_cells(emb, centroids)
-        centroids = (
-            assigned.join(emb, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("mean"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mean"))
-                ).alias("dm")
-            )
-            .select(
-                "cell",
-                F.transform(F.col("dm"), lambda s: s["mean"]).alias("centroid"),
-            )
-        )
         # r10 OPT (guide §1.2; the r9 broadcast-of-derived-branch lesson):
         # materialize the n_cells centroid rows on the driver — bounded
         # by construction, they ARE the tiny index — so iteration i+1,
         # the final assignment's broadcast, and the caller's probe-cell
         # collect all start from a literal table instead of each
-        # replaying every previous iteration's assignment+average chain
-        # (build_pq_codebooks has used this exact shape since r8).
+        # replaying every previous iteration's assignment+average chain.
+        # r11 OPT (guide §1.2): collect the per-(cell, dim) means
+        # DIRECTLY (bounded: n_cells·d rows) and assemble the centroid
+        # arrays driver-side — the old second groupBy + array_sort
+        # (collect_list(struct)) exchange re-shuffled 1k rows just to
+        # build arrays the driver was about to collect anyway. Same avg
+        # values, same explicit dim ordering.
+        mean_rows = (
+            assigned.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(
+                r["mean"]
+            )
         centroids = spark.createDataFrame(
-            centroids.collect(), "cell int, centroid array<double>"
+            [
+                (c, [dims[i] for i in sorted(dims)])
+                for c, dims in sorted(by_cell.items())
+            ],
+            "cell int, centroid array<double>",
         )
     assignments = _assign_cells(emb, centroids)
     return assignments, centroids
@@ -922,8 +991,11 @@ def build_pq_codebooks(
     # re-centering join); checkpoint it once instead of re-deriving it
     # from the embedding scan per consumer. spread() first: the 1-file
     # scan otherwise pins every assignment pass's distance math to one
-    # task (see queries.spread)
-    subv = spread(subv).localCheckpoint(eager=True)
+    # task (see queries.spread). r11 OPT (guide §1.2 job count): LAZY —
+    # iteration 1's collect materializes it (both of that job's
+    # references resolve to the one RDD), saving a dedicated
+    # materialization job whose only content was this explode.
+    subv = spread(subv).localCheckpoint(eager=False)
     # deterministic seeds: first k subvectors per subspace in hash order
     w = Window.partitionBy("sub").orderBy("h")
     centroids = (
@@ -944,31 +1016,32 @@ def build_pq_codebooks(
         # rides the aggregation exchange where this join resolves as a
         # broadcast of the small assignment table, guide §2.3)
         assigned = _assign_pq(subv, centroids)
-        centroids = (
+        # materialize the m·k centroid rows on the driver (bounded by
+        # construction — the codebook IS the tiny output) so iteration
+        # i+1's plan starts from a literal table instead of replaying
+        # every previous iteration's assignment+average.
+        # r11 OPT (guide §1.2): collect per-(sub, code, dim) means
+        # directly (bounded: m·k·d rows) and assemble the centroid arrays
+        # driver-side — drops the second groupBy + collect_list exchange
+        # whose only job was building arrays for this collect. Same avg
+        # values, same explicit dim ordering.
+        mean_rows = (
             assigned.join(subv, ["vec_id", "sub"])
             .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
             .groupBy("sub", "code", "dim")
             .agg(F.avg("val").alias("mean"))
-            .groupBy("sub", "code")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mean"))
-                ).alias("dm")
-            )
-            .select(
-                "sub",
-                "code",
-                F.transform(F.col("dm"), lambda s: s["mean"]).alias(
-                    "centroid"
-                ),
-            )
+            .collect()
         )
-        # materialize the m·k centroid rows on the driver (bounded by
-        # construction — the codebook IS the tiny output) so iteration
-        # i+1's plan starts from a literal table instead of replaying
-        # every previous iteration's assignment+average
+        by_code: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            by_code.setdefault(
+                (int(r["sub"]), int(r["code"])), {}
+            )[int(r["dim"])] = float(r["mean"])
         centroids = spark.createDataFrame(
-            centroids.collect(),
+            [
+                (s, c, [dims[i] for i in sorted(dims)])
+                for (s, c), dims in sorted(by_code.items())
+            ],
             "sub int, code int, centroid array<double>",
         )
     if return_subv:
@@ -1137,10 +1210,14 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(out)}
             )
 
+    # r11 OPT (guide §1.2 job count): LAZY checkpoint — the normalize pass
+    # materializes inside the first consumer's job (the training
+    # subvector table) instead of paying its own job; the query-row
+    # first() and the encode pass then read the same RDD.
     emb = (
         spread(raw.select("vec_id", "embedding"))
         .mapInPandas(l2norm, "vec_id long, embedding array<double>")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # r10 OPT (guide §1.2): reuse the training subvector checkpoint for
     # the encode pass — at this corpus size sampling does not fire, so

@@ -212,3 +212,89 @@ class TestNormalizeKernel:
         old_rows = {r["vec_id"]: list(r["embedding"]) for r in old.collect()}
         new_rows = {r["vec_id"]: list(r["embedding"]) for r in new.collect()}
         assert new_rows == old_rows  # exact float equality, every element
+
+
+class TestAssignCentroidsKernel:
+    """r11: semantic_dedup_prune's argmax assignment moved from 8
+    interpreted HOF cosines per row (assign_to_centroids) to the numpy
+    _assign_centroids_kernel. The contract: identical (vec_id -> label)
+    on the shipped corpora, and lowest-centroid-id tie-breaking on
+    constructed exact ties."""
+
+    def _expr_labels(self, spark, sf):
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            _fixed_centroid_assign,
+        )
+
+        return {
+            r["vec_id"]: r["centroid_id"]
+            for r in _fixed_centroid_assign(spark, sf)
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+
+    def _kernel_labels(self, spark, sf):
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            _assign_centroids_kernel,
+        )
+        from mongodb_cdc_delta_spark.queries import load
+
+        emb = load(spark, sf, "embeddings")
+        cents = (
+            emb.where(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        return {
+            r["vec_id"]: r["label"]
+            for r in _assign_centroids_kernel(
+                emb, [(c["vec_id"], c["embedding"]) for c in cents]
+            )
+            .select("vec_id", "label")
+            .collect()
+        }
+
+    def test_matches_expression_form_sf001_and_sf01(self, spark):
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            assert self._kernel_labels(spark, sf) == self._expr_labels(
+                spark, sf
+            ), sf
+
+    def test_exact_tie_breaks_to_lowest_centroid_id(self, spark):
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            _assign_centroids_kernel,
+        )
+
+        # two identical centroids: every row ties exactly; the winner
+        # must be the LOWER centroid id (array_max(struct(sim, neg_cid))
+        # semantics of the expression form)
+        vecs = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [0.5, 0.5]), (12, [-1.0, 0.25])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [(3, [2.0, 1.0]), (7, [2.0, 1.0])]
+        got = {
+            r["vec_id"]: r["label"]
+            for r in _assign_centroids_kernel(vecs, cents).collect()
+        }
+        assert got == {10: 3, 11: 3, 12: 3}
+
+    def test_embedding_passthrough_is_exact_float64(self, spark):
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            _assign_centroids_kernel,
+        )
+        from mongodb_cdc_delta_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        want = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        got = {
+            r["vec_id"]: list(r["embedding"])
+            for r in _assign_centroids_kernel(
+                emb, [(0, want[0])]
+            ).collect()
+        }
+        assert got == want
