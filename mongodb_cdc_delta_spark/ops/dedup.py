@@ -1930,6 +1930,7 @@ def _suffix_islands(
     )
 
 
+@_cache_scoped
 def cut_contaminated_spans(
     train: DataFrame, eval_set: DataFrame, gram: int = _SR_L
 ) -> DataFrame:
@@ -1969,8 +1970,16 @@ def cut_contaminated_spans(
             ).otherwise(0)
         ).over(wd),
     )
-    merged = grouped.groupBy("doc_id", "grp").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
+    # r11 OPT (guide §1.2, r10 verdict #5 duplicate-subtree audit): the
+    # merged span table feeds FOUR branches (docs_hit, both complement-
+    # segment branches, and the summary aggregate) — uncached, each
+    # branch re-ran the whole suffix-run detection (position explode of
+    # BOTH sides + gram join + island window). One scoped cache of the
+    # tiny per-span table collapses 4 detection executions to 1.
+    merged = _scoped_cache(
+        grouped.groupBy("doc_id", "grp").agg(
+            F.min("s").alias("s"), F.max("e").alias("e")
+        )
     )
     docs_hit = merged.select("doc_id").distinct().join(
         train.select("doc_id", "text"), "doc_id"
