@@ -778,11 +778,24 @@ def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     same IEEE-double op sequence as the old sequential aggregate fold —
     and scans cells in ascending id with strict <, reproducing
     min(struct(d2, cell)) tie-breaking exactly (proof: canonical-hash
-    equality at sf0.001/0.01/0.1 + /tmp/scale10, OPTIMIZATION_r10.md)."""
+    equality at sf0.001/0.01/0.1 + /tmp/scale10, OPTIMIZATION_r10.md).
+
+    Contract notes (r10 ADVICE): ``centroids`` is collect()ed EAGERLY at
+    call time — it must be the bounded index table (every call site
+    materializes it as a driver-literal table); the guard below turns a
+    mis-use on an unbounded frame into a loud error instead of a silent
+    driver collect. Precondition: finite embeddings/centroids — NaN
+    distances order differently under the strict-< scan than under
+    Spark's min(struct), which sorts NaN last."""
     cents = sorted(
         (int(r["cell"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()
     )
+    if len(cents) > 65536:
+        raise ValueError(
+            f"_assign_cells: {len(cents)} centroid rows collected — the "
+            "centroid side must be a bounded index table"
+        )
 
     def assign(batches):
         import numpy as np
@@ -1066,9 +1079,23 @@ def _assign_pq(subv: DataFrame, centroids: DataFrame) -> DataFrame:
     accumulation + strict-< ascending-code scan keep the result
     bit-identical to the old fold + min(struct(d2, code)) (proof:
     canonical-hash equality at sf0.001/0.01/0.1 + /tmp/scale10,
-    OPTIMIZATION_r10.md)."""
+    OPTIMIZATION_r10.md).
+
+    Contract notes (r10 ADVICE): ``centroids`` is collect()ed EAGERLY at
+    call time and must be the bounded m·k codebook (guarded below);
+    finite inputs assumed (NaN ordering differs from min(struct) — see
+    _assign_cells); a sub value with no codebook rows raises KeyError in
+    the kernel (crash-loud; the old inner join silently dropped such
+    rows — unreachable from in-repo callers, which always derive subs
+    FROM the codebook's m)."""
+    rows = centroids.collect()
+    if len(rows) > 65536:
+        raise ValueError(
+            f"_assign_pq: {len(rows)} codebook rows collected — the "
+            "codebook side must be a bounded m*k table"
+        )
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in centroids.collect():
+    for r in rows:
         by_sub.setdefault(int(r["sub"]), []).append(
             (int(r["code"]), [float(x) for x in r["centroid"]])
         )
@@ -1162,6 +1189,32 @@ def pq_encode(
     )
 
 
+def _l2norm_kernel(batches):
+    """mapInPandas kernel: (vec_id, embedding) → L2-normalized embedding,
+    BIT-identical to the old ``transform(e, x -> x / _norm(e))``
+    expression: the norm accumulates per-dimension in ascending order
+    (the fold's exact IEEE op sequence), then one IEEE divide per
+    element. Module-scope (r10 ADVICE) so the bit-identity test in
+    tests/test_ann_assign_kernel.py exercises THIS shipped kernel, not a
+    copy. Precondition: finite embeddings — a zero-norm vector yields
+    NaN elements where the expression form's Divide returned NULL."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros(len(pdf), dtype=np.float64)
+        for dim in range(X.shape[1]):
+            acc = acc + X[:, dim] * X[:, dim]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = X / np.sqrt(acc)[:, None]
+        yield pd.DataFrame(
+            {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(out)}
+        )
+
+
 @register(
     "ann_pq_topk",
     oracle=None,  # approximate; recall vs brute force asserted in tests
@@ -1186,37 +1239,20 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # interpreted ops/row), and CollapseProject inlined that whole thing
     # into EVERY downstream consumer's projection (the training-sample
     # explode and the encode explode each re-paid it: measured 77 s for
-    # one normalize pass over the 100x corpus, ~80% of the query). Now a
-    # numpy kernel normalizes once — per-dimension ascending accumulation
-    # for the norm (the fold's exact IEEE op order), then one IEEE divide
-    # per element, so values are bit-identical — and the result is
-    # checkpointed so all consumers share the single pass (hash-equality
-    # receipts at sf0.001/0.01/0.1 + /tmp/scale10, OPTIMIZATION_r10.md).
-
-    def l2norm(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros(len(pdf), dtype=np.float64)
-            for dim in range(X.shape[1]):
-                acc = acc + X[:, dim] * X[:, dim]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = X / np.sqrt(acc)[:, None]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(out)}
-            )
-
+    # one normalize pass over the 100x corpus, ~80% of the query). The
+    # module-scope _l2norm_kernel normalizes once — per-dimension
+    # ascending accumulation for the norm (the fold's exact IEEE op
+    # order), then one IEEE divide per element, so values are
+    # bit-identical — and the result is checkpointed so all consumers
+    # share the single pass (hash-equality receipts at sf0.001/0.01/0.1
+    # + /tmp/scale10, OPTIMIZATION_r10.md).
     # r11 OPT (guide §1.2 job count): LAZY checkpoint — the normalize pass
     # materializes inside the first consumer's job (the training
     # subvector table) instead of paying its own job; the query-row
     # first() and the encode pass then read the same RDD.
     emb = (
         spread(raw.select("vec_id", "embedding"))
-        .mapInPandas(l2norm, "vec_id long, embedding array<double>")
+        .mapInPandas(_l2norm_kernel, "vec_id long, embedding array<double>")
         .localCheckpoint(eager=False)
     )
     # r10 OPT (guide §1.2): reuse the training subvector checkpoint for

@@ -173,8 +173,13 @@ class TestNormalizeKernel:
     def test_pq_normalize_bit_identical_to_expression(self, spark):
         """ann_pq_topk's kernel normalize vs the old transform-lambda
         expression: identical doubles (not approx — the contract is that
-        the per-dimension accumulation replays the fold's IEEE ops)."""
-        from mongodb_cdc_delta_spark.ops.similarity import _norm
+        the per-dimension accumulation replays the fold's IEEE ops).
+        r11 (ADVICE): exercises the SHIPPED module-scope _l2norm_kernel,
+        not an in-test copy that could drift."""
+        from mongodb_cdc_delta_spark.ops.similarity import (
+            _l2norm_kernel,
+            _norm,
+        )
         from mongodb_cdc_delta_spark.queries import load, spread
 
         raw = load(spark, "/root/testdata/sf0.001", "embeddings")
@@ -185,29 +190,8 @@ class TestNormalizeKernel:
                 lambda x: x.cast("double") / _norm(F.col("embedding")),
             ).alias("embedding"),
         )
-
-        def l2norm(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                acc = np.zeros(len(pdf), dtype=np.float64)
-                for dim in range(X.shape[1]):
-                    acc = acc + X[:, dim] * X[:, dim]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    out = X / np.sqrt(acc)[:, None]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "embedding": list(out),
-                    }
-                )
-
         new = spread(raw.select("vec_id", "embedding")).mapInPandas(
-            l2norm, "vec_id long, embedding array<double>"
+            _l2norm_kernel, "vec_id long, embedding array<double>"
         )
         old_rows = {r["vec_id"]: list(r["embedding"]) for r in old.collect()}
         new_rows = {r["vec_id"]: list(r["embedding"]) for r in new.collect()}
