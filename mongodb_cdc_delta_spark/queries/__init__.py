@@ -224,19 +224,18 @@ def all_queries() -> dict[str, Query]:
 # (completed full-registry coverage: every oracle-checked name has had a
 # driver row at least once). r8: NOTES_r8.md (churn-first: 9 new ops +
 # the scoped-cache/Jaccard-guard/key-skew churn re-checks).
-# r9 rotation: see NOTES_r9.md / git history.
-# r10 rotation (this one, churn-first per the standing policy): 15
-# sentinels; then the SIX new sketch-accuracy companions (r9 verdict #4
-# — these convert the rows-only sketches' in-repo accuracy bounds into
-# driver-hashable tolerance verdicts; never had a driver row by
-# construction), the r10-churned matryoshka_recall_report (lazy query-
-# pool cap + ANSI div-by-zero guard) and the two CDC parse-path names
-# re-checked after the provenance-channel change to _parse_events_full
-# (cdc_op_classify/cdc_latest_state are sentinels already); then the
-# two r3 names that rolled from the r9 budget (unigram_logprob_score,
-# bpe_pair_counts — last driver row r3, seven rounds); then
-# oldest-driver-row-first through the r4 cohort (24 of 31 fit; the
-# remaining 7 + the r5 cohort roll to r11).
+# r9 rotation: NOTES_r9.md. r10 rotation: git history (15 sentinels +
+# the six sketch-accuracy companions + churn re-checks + r3/r4
+# rollovers).
+# r11 rotation (this one, churn-first per the standing policy): 15
+# sentinels; then the 11 names whose code paths changed in the r11
+# optimization session (CC-family consumers of the fused
+# connected_components rounds, the kernelized semantic_dedup_prune, the
+# sub-sharded export reports, the scoped-cached cut_spans, and the
+# mltrain-cache consumers); then oldest-driver-row-first: the 5
+# remaining r4-cohort names (last driver row round 4) and the first 19
+# of the r5 cohort (alphabetical for determinism; the rest roll to
+# r12).
 _DRIVER_PRIORITY = (
     # --- stable sentinels (one per family, unchanged since r3) ---
     "point_lookup",          # Q1 point query
@@ -251,46 +250,45 @@ _DRIVER_PRIORITY = (
     "quality_pii_mask",      # T4 masking
     "session_window_native", # streaming-semantics windows
     "dedup_ngram_jaccard",   # lexical near-dup
-    "dedup_connected_components",  # graph clustering
+    "dedup_connected_components",  # graph clustering (r11 churn too)
     "knn_cosine_topk",       # similarity search
     "sequence_packing",      # chunking/packing
-    # --- new sketch-accuracy companions (r9 verdict #4) ---
-    "approx_distinct_accuracy",
-    "approx_percentiles_accuracy",
-    "frequent_items_accuracy",
-    "dedup_minhash_lsh_accuracy",
-    "dedup_simhash_accuracy",
-    "ann_ivf_accuracy",
-    # --- r10 churn re-checks ---
-    "matryoshka_recall_report",
-    "cdc_metadata_projection",
-    "cdc_stale_split",
-    # --- r3 rollovers (last driver row r3) ---
-    "unigram_logprob_score",
-    "bpe_pair_counts",
-    # --- oldest-driver-row-first (r4 cohort, last driver rows r4) ---
-    "anti_join",
-    "bigram_logprob_score",
-    "concurrent_intervals_sweep",
+    # --- r11 churn re-checks (code paths touched this round) ---
+    "dedup_keep_list",
+    "dedup_cluster_profile",
+    "cluster_aware_split",
+    "dedup_quality_keep",
+    "dedup_incremental_keep",
+    "semantic_dedup_prune",
+    "decontaminate_cut_spans",
+    "tokens_bin_export_report",
+    "multimodal_wds_export_report",
+    "quality_linear_classifier",
     "curriculum_order",
-    "customer_rfm_segments",
-    "dedup_minhash_lsh_portable",
-    "doc_pii_scrub",
-    "event_gap_days",
-    "events_ohlc_downsample",
-    "forward_fill_timeseries",
-    "funnel_conversion",
-    "knn_cosine_topk_int8",
-    "market_share",
-    "min_cost_supplier",
-    "part_supplier_counts",
-    "product_profit",
-    "regional_revenue",
-    "repetition_signals",
-    "retention_cohorts",
-    "returned_item_ranking",
-    "rolling_zscore_anomalies",
-    "segment_stats_profile",
-    "set_ops",
-    "shipping_priority",
+    # --- oldest-driver-row-first: r4 cohort remainder (last row r4) ---
+    "simhash_portable_fingerprints",
+    "top_event_trigrams",
+    "top_supplier_revenue",
+    "user_path_transitions",
+    "volume_shipping",
+    # --- r5 cohort, first 19 alphabetical (last driver row r5) ---
+    "basket_part_pairs",
+    "char_entropy_score",
+    "cohort_ltv_curve",
+    "contamination_eval_report",
+    "dataset_three_way_split",
+    "dau_wau_stickiness",
+    "decontaminate_suffix_runs",
+    "dedup_ensemble_flags",
+    "dedup_triangle_counts",
+    "doc_chunking",
+    "fulfillment_latency_profile",
+    "fuzzy_levenshtein_pairs",
+    "hard_negative_mining",
+    "hierarchical_time_rollup",
+    "hll_distinct_tokens",
+    "importance_weighted_sample",
+    "purchase_attribution_last_touch",
+    "purchase_attribution_linear",
+    "purchase_attribution_u_shaped",
 )
