@@ -17,6 +17,11 @@ CENTROIDS = [
 ]
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _vec(cell, eps, fourth=0.1):
     v = [0.0, 0.0, 0.0, fourth]
     v[cell] = 1.0

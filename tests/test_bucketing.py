@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 from mongodb_cdc_delta_spark.ops.bucketing import bucketed_join, write_bucketed
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def bucketed_tables(spark):
     orders = spark.createDataFrame(

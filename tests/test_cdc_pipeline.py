@@ -27,6 +27,9 @@ NOW = "2024-01-24 00:00:00"
 TS = 1706054400000  # 2024-01-24T00:00:00Z millis
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def envelope(op, db="shop", coll="users", after=None, before=None, ts=TS):
     payload = {"op": op, "ts_ms": ts, "source": {"db": db, "collection": coll}}
     if after is not None:

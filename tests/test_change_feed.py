@@ -13,6 +13,9 @@ import pytest
 from mongodb_cdc_delta_spark.sinks import LakeTable
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def table(spark, tmp_path):
     return LakeTable(spark, str(tmp_path / "cdf"))

@@ -25,6 +25,9 @@ from mongodb_cdc_delta_spark.sinks.table import (
 )
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _mk_table(spark, tmp_path, n_commits: int) -> LakeTable:
     t = LakeTable(spark, str(tmp_path / "t"))
     df = spark.range(4).selectExpr("id", "id * 2 AS v")

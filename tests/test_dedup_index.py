@@ -18,6 +18,11 @@ OTHER = "completely different content about distributed query engines"
 THIRD = "yet another unrelated document describing parquet file layouts"
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _mk(spark, tmp_path):
     corpus = LakeTable(spark, str(tmp_path / "corpus"))
     idx = IncrementalLshIndex(LakeTable(spark, str(tmp_path / "idx")))

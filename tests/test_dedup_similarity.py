@@ -135,6 +135,7 @@ class TestSimHash:
 
 
 class TestIVF:
+    @pytest.mark.slow  # r11 fast-tier: heavy accuracy/soak contract, full-battery lane
     def test_recall_vs_brute_force(self, spark):
         from mongodb_cdc_delta_spark.queries import all_queries, load
 
@@ -160,6 +161,7 @@ class TestIVF:
 
 
 class TestScaleGuards:
+    @pytest.mark.slow  # r11 fast-tier: heavy accuracy/soak contract, full-battery lane
     def test_hot_shingle_df_cap_bounds_the_join(self, spark):
         """One boilerplate phrase shared by every doc must not explode the
         self-join: with the df cap the hot shingles are excluded (and these
@@ -375,6 +377,8 @@ class TestProductQuantization:
         pq = {r["vec_id"] for r in reg["ann_pq_topk"].fn(spark, sf).collect()}
         assert len(fp32 & pq) >= 5
 
+    @pytest.mark.slow  # r11 fast-tier: heavy accuracy/soak contract, full-battery lane
+
     def test_bounded_training_sample(self, spark):
         """Codebook training above train_rows runs on a deterministic
         hash sample: flat training cost at corpus scale (FAISS regime).
@@ -483,6 +487,7 @@ class TestWinnowing:
 
 
 class TestSpanExtraction:
+    @pytest.mark.slow  # r11 fast-tier: heavy accuracy/soak contract, full-battery lane
     def test_known_shared_passage_located(self, spark):
         from mongodb_cdc_delta_spark.ops.dedup import (
             dup_spans,
@@ -522,6 +527,7 @@ class TestSpanExtraction:
 
 
 class TestBloomDecontamination:
+    @pytest.mark.slow  # r11 fast-tier: heavy accuracy/soak contract, full-battery lane
     def test_no_false_negatives_and_bounded_fp(self, spark):
         from mongodb_cdc_delta_spark.queries import load
         from mongodb_cdc_delta_spark.ops.dedup import (

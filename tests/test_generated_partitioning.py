@@ -26,6 +26,11 @@ SCHEMA = StructType(
 )
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _day_df(spark, day: str, ids):
     return spark.createDataFrame(
         [(i, f"2024-01-{day} 0{i % 10}:30:00") for i in ids],

@@ -8,6 +8,11 @@ from mongodb_cdc_delta_spark.sinks import LakeTable
 from mongodb_cdc_delta_spark.streaming.aggregates import IncrementalAggregate
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _agg(spark, tmp_path, keys=("user",), measures=None):
     t = LakeTable(spark, str(tmp_path / "agg"))
     return IncrementalAggregate(

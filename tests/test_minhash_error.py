@@ -22,6 +22,11 @@ from mongodb_cdc_delta_spark.queries import all_queries
 REG = all_queries()
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _write_documents(path, rows):
     pq.write_table(
         pa.table(

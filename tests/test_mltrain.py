@@ -23,6 +23,11 @@ GOOD = ["insightful", "thorough", "rigorous", "clear", "grounded"]
 JUNK = ["zzspam", "qqjunk", "xxnoise", "wwfluff", "vvblah"]
 
 
+import pytest  # noqa: E402  (fast-tier marker below)
+
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _poly(tok: str) -> int:
     h = 0
     for ch in tok:

@@ -26,6 +26,9 @@ from mongodb_cdc_delta_spark.ops.dedup import (
 from pyspark.sql import functions as F
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _saturated_docs(spark, n_docs: int = 40):
     # 4-word vocabulary -> every trigram is one of <=64 possibilities;
     # 40 docs of 12 words saturate that space (dfs pile up against the

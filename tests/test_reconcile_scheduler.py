@@ -23,6 +23,9 @@ from mongodb_cdc_delta_spark.reconcile.scheduler import (
 )
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 class TestCron:
     def test_hourly_daily_weekly(self):
         hourly = Cron.parse("0 * * * *")

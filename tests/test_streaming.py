@@ -25,6 +25,9 @@ from mongodb_cdc_delta_spark.streaming import (
 TS = int(time.time() * 1000)
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def envelope(op, _id, coll="users", extra=None, ts=TS):
     doc = {"_id": _id, **(extra or {})}
     payload = {

@@ -17,6 +17,9 @@ from mongodb_cdc_delta_spark.streaming.stateful import (
 )
 
 
+# r11 fast-tier: moved to the slow (full-battery) lane in r11 so the default fast tier stays <15 min; this surface remains covered by the full battery and by the oracle-parity/plan-gate suites that stay in the fast lane
+pytestmark = pytest.mark.slow
+
 def _stream(spark, src_dir, schema="user_id long, ts timestamp, v double"):
     return (
         spark.readStream.schema(schema)
