@@ -45,7 +45,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..queries import load, register
-from .webdataset import _shard_width, portable_shard
+from .webdataset import _export_sub_shards, portable_shard
 
 MANIFEST_NAME = "manifest.json"
 
@@ -306,7 +306,7 @@ _TB_BUCKET_SQL = (
     "documents with an engine-portable polynomial token hash "
     f"(ids mod {_TB_VOCAB} — always uint16), write deterministic "
     "Megatron-layout .bin/.idx sub-shards (a multiple of the 4 logical "
-    "shards, width from spark.sql.shuffle.partitions), read them back via "
+    "shards, sized from source bytes), read them back via "
     "format('tokenbin') (one partition per sub-shard), and report per "
     "logical shard (sub % 4 == bucket % 4, so the report is unchanged) "
     "doc/token counts plus order-SENSITIVE checksums (sum of ids and "
@@ -339,15 +339,16 @@ def tokens_bin_export_report(spark: SparkSession, sf: str) -> DataFrame:
     # one-row-group parquet the whole tokenize otherwise runs in ONE task
     # before the shard exchange.
     ids = spread(docs).select("doc_id", F.expr(poly).alias("token_ids"))
-    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W >= 4 sub-shards,
-    # W a multiple of 4 derived from spark.sql.shuffle.partitions (never a
-    # local constant): sub-shard = bucket % W, and since 4 | W,
-    # (bucket % W) % 4 == bucket % 4 — so folding the read-back by
-    # sub % 4 reproduces the EXACT 4-logical-shard report (the per-shard
-    # aggregates are order-insensitive across docs; within-doc order,
-    # which pos_weighted_sum checks, lives inside each sub-shard's bytes).
-    # The write/read paths then run W-way parallel instead of 4.
-    n_sub = _TB_N_SHARDS * max(1, _shard_width(spark) // _TB_N_SHARDS)
+    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W sub-shards, W a
+    # multiple of 4 sized from the source table's bytes (see
+    # webdataset._export_sub_shards — bench corpus lands exactly on 4):
+    # sub-shard = bucket % W, and since 4 | W, (bucket % W) % 4 ==
+    # bucket % 4 — folding the read-back by sub % 4 reproduces the EXACT
+    # 4-logical-shard report (the per-shard aggregates are
+    # order-insensitive across docs; within-doc order, which
+    # pos_weighted_sum checks, lives inside each sub-shard's bytes).
+    # A large corpus's write/read then runs W-way parallel instead of 4.
+    n_sub = _export_sub_shards(_TB_N_SHARDS, sf)
     out = tempfile.mkdtemp(prefix="tokenbin_export_")
     try:
         write_token_shards(

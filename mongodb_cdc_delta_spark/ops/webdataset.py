@@ -65,16 +65,38 @@ def portable_shard(key, n_shards: int):
     return F.pmod(sample_bucket(key), F.lit(n_shards)).cast("int")
 
 
-def _shard_width(spark: SparkSession) -> int:
-    """Write-parallelism width for the export-report paths, derived from
-    ``spark.sql.shuffle.partitions`` exactly like ``queries.spread`` —
-    scale-adaptive, never a local-mode constant. Callers round it to a
-    multiple of their logical shard count so the read-back fold
-    (sub-shard % base) reproduces the registered report exactly."""
+#: source-parquet bytes per export sub-shard. Shard count must track
+#: DATA VOLUME (the WebDataset/Megatron ~GB-per-shard convention), never
+#: the session's core count: an r11 experiment deriving the width from
+#: spark.sql.shuffle.partitions measured ~2x SLOWER at sf0.1 in the
+#: driver-methodology bench (32 applyInPandas write groups + 32
+#: Python-datasource read partitions, each with fixed per-task cost,
+#: over a 1.5 MB corpus). 256 MB of source parquet ≈ 0.5-1 GB raw
+#: members per shard.
+EXPORT_SHARD_SOURCE_BYTES = 256 * 1024 * 1024
+
+
+def _export_sub_shards(base: int, sf_dir: str, table: str = "documents") -> int:
+    """Sub-shard count for the export-report paths: the smallest multiple
+    of ``base`` that keeps each sub-shard under
+    ``EXPORT_SHARD_SOURCE_BYTES`` of source parquet — scale-adaptive from
+    the DATA, with the bench corpus landing exactly on ``base`` (the
+    registered report's logical shard count). ``base | W`` keeps the
+    read-back fold (sub % base) an identity on the report rows."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        return 32
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    mult = max(1, -(-nbytes // (EXPORT_SHARD_SOURCE_BYTES * base)))
+    return base * int(mult)
 
 
 def _deterministic_member(name: str, payload: bytes) -> tarfile.TarInfo:
@@ -301,7 +323,7 @@ _WDS_BUCKET_SQL = (
     """,
     description="WebDataset export integrity report: shard the documents "
     "table into deterministic tar sub-shards (a multiple of the 8 logical "
-    "shards, width from spark.sql.shuffle.partitions; each doc → "
+    "shards, sized from source bytes; each doc → "
     "<key>.txt + <key>.json members, zeroed tar metadata so reruns are "
     "byte-identical), read the tars back via format('webdataset') (one "
     "partition per sub-shard), and report per logical shard "
@@ -330,13 +352,14 @@ def multimodal_wds_export_report(spark: SparkSession, sf: str) -> DataFrame:
             F.lit('"}'),
         ).alias("meta"),
     )
-    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W >= 8 sub-shards, W a
-    # multiple of 8 derived from spark.sql.shuffle.partitions: sub-shard =
-    # bucket % W, and 8 | W makes (bucket % W) % 8 == bucket % 8, so the
-    # read-back fold below reproduces the EXACT 8-logical-shard report
-    # (per-shard totals are order-insensitive across docs) while the tar
-    # write and the read run W-way parallel instead of 8.
-    n_sub = _WDS_N_SHARDS * max(1, _shard_width(spark) // _WDS_N_SHARDS)
+    # r11 OPT (r10 verdict #4, guide §2.2/§6): write W sub-shards, W a
+    # multiple of 8 sized from the source table's bytes (see
+    # _export_sub_shards): sub-shard = bucket % W, and 8 | W makes
+    # (bucket % W) % 8 == bucket % 8, so the read-back fold below
+    # reproduces the EXACT 8-logical-shard report (per-shard totals are
+    # order-insensitive across docs) while a large corpus's tar write
+    # and read run W-way parallel instead of 8.
+    n_sub = _export_sub_shards(_WDS_N_SHARDS, sf)
     out = tempfile.mkdtemp(prefix="wds_export_")
     try:
         write_webdataset_shards(
